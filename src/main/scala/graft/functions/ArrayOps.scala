@@ -1,0 +1,135 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** The nested/structure operator surface — Spark-native equivalents of the
+  * reference's `src/dask_awkward/lib/structure.py` (1464 lines, __all__ at
+  * structure.py:38-80). Every op here is a pure Column expression built from
+  * Spark SQL higher-order functions, so it stays inside Catalyst optimization
+  * and whole-stage codegen; per-row ("axis>=1") semantics exactly mirror the
+  * reference's `map_partitions(ak.*)` wrappers.
+  */
+object ArrayOps {
+
+  /** List lengths — reference `num(axis=1)` (structure.py:626-669). */
+  def num(arr: Column): Column = size(arr)
+
+  /** First element of each list, null if empty — reference `firsts`
+    * (structure.py:400-425). */
+  def firsts(arr: Column): Column = try_element_at(arr, lit(1))
+
+  /** Wrap non-null values in length-1 lists, null -> [] — reference
+    * `singletons` (structure.py:801-825). */
+  def singletons(c: Column): Column =
+    when(c.isNull, slice(array(c), 1, 0)).otherwise(array(c))
+
+  /** Right-pad lists with nulls to `target`, optionally clipping to exactly
+    * `target` — reference `pad_none` (structure.py:715-750). */
+  def padNone(arr: Column, target: Int, clip: Boolean = false): Column = {
+    // try_element_at keeps the element type for the null padding (a plain
+    // array_repeat(lit(null)) would produce array<void> and fail to concat).
+    require(target >= 1, "pad_none target must be >= 1")
+    val padded = transform(sequence(lit(1), greatest(size(arr), lit(target))),
+      i => try_element_at(arr, i))
+    if (clip) slice(padded, 1, target) else padded
+  }
+
+  /** Replace nulls inside lists — reference `fill_none(axis=1)`
+    * (structure.py:350-374). */
+  def fillNone(arr: Column, v: Column): Column =
+    transform(arr, x => coalesce(x, v))
+
+  /** Remove nulls from lists — reference `drop_none` (structure.py:377-397). */
+  def dropNone(arr: Column): Column = filter(arr, _.isNotNull)
+
+  /** Per-element null mask — reference `is_none(axis=1)`
+    * (structure.py:540-557). */
+  def isNone(arr: Column): Column = transform(arr, _.isNull)
+
+  /** Shape-preserving filter: keep value where mask holds, null elsewhere —
+    * reference `mask` (structure.py:582-597). */
+  def maskArr(arr: Column, mask: Column, validWhen: Boolean = true): Column =
+    zip_with(arr, mask, (x, m) => when(if (validWhen) m else !m, x))
+
+  /** Elementwise ternary — reference `where(cond, x, y)`
+    * (structure.py:979-1034). */
+  def whereArr(cond: Column, x: Column, y: Column): Column =
+    zip_with(cond, zip_with(x, y, (a, b) => struct(a.as("x"), b.as("y"))),
+      (c, xy) => when(c, xy.getField("x")).otherwise(xy.getField("y")))
+
+  /** Per-list positional indices (0-based) — reference `local_index(axis=1)`
+    * (structure.py:560-579). */
+  def localIndex(arr: Column): Column =
+    transform(arr, (_, i) => i)
+
+  /** Lengths of runs of equal adjacent values — reference `run_lengths`
+    * (structure.py:775-798). Computed via run-start positions then adjacent
+    * differences; empty list -> empty result.
+    */
+  def runLengths(arr: Column): Column = {
+    val n = size(arr)
+    val starts = filter(sequence(lit(1), n),
+      i => (i === 1) || !(element_at(arr, i) <=> element_at(arr, i - 1)))
+    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
+      array(n + 1))
+    when(n === 0, array().cast("array<long>"))
+      .otherwise(zip_with(starts, ends, (s, e) => (e - s).cast("long")))
+  }
+
+  /** Regroup a flat list into sublists by `counts` — reference `unflatten`
+    * (structure.py:898-922). Offsets come from a running sum over counts. */
+  def unflatten(arr: Column, counts: Column): Column = {
+    val offsets = aggregate(counts, array(lit(0)),
+      (acc, c) => concat(acc, array(element_at(acc, -1) + c)))
+    zip_with(slice(offsets, lit(1), size(counts)), counts,
+      (off, c) => slice(arr, off + 1, c))
+  }
+
+  /** Split a list into fixed-size chunks (unflatten with uniform counts). */
+  def chunk(arr: Column, k: Int): Column =
+    transform(sequence(lit(0), greatest(ceil(size(arr) / lit(k.toDouble)).cast("int") - 1, lit(0))),
+      i => slice(arr, i * k + 1, lit(k)))
+
+  /** Per-row n-choose-2 without replacement — reference `combinations(n=2)`
+    * (structure.py:285-332). Pairs (x_i, x_j), i<j, in index order. */
+  def combinations2(arr: Column): Column =
+    flatten(transform(arr, (x, i) =>
+      transform(slice(arr, i + 2, greatest(size(arr) - i - 1, lit(0))),
+        y => struct(x.as("c0"), y.as("c1")))))
+
+  /** Per-row cross product of two aligned lists — reference `cartesian(axis=1)`
+    * (structure.py:245-282). */
+  def cartesian(a: Column, b: Column): Column =
+    flatten(transform(a, x => transform(b, y => struct(x.as("c0"), y.as("c1")))))
+
+  /** Per-row argcartesian — index pairs instead of values
+    * (structure.py:83-122). */
+  def argcartesian(a: Column, b: Column): Column =
+    flatten(transform(a, (_, i) =>
+      transform(b, (_, j) => struct(i.as("c0"), j.as("c1")))))
+
+  /** Indices that would sort the list ascending (stable) — reference
+    * `argsort(axis=-1)` (structure.py:187-204). Sorting the (value, index)
+    * struct array gives a stable order because the index breaks ties. */
+  def argsort(arr: Column): Column =
+    transform(
+      array_sort(zip_with(arr, sequence(lit(0), size(arr) - 1),
+        (v, i) => struct(v.as("v"), i.as("i")))),
+      s => s.getField("i"))
+
+  /** Fully flatten any nesting to a 1-D list per row — reference `ravel`
+    * (structure.py:753-772). One level per call; compose for deeper. */
+  def ravel1(arr: Column): Column = flatten(arr)
+
+  /** Per-row list concat of aligned arrays — reference `concatenate(axis=1)`
+    * (src/dask_awkward/lib/operations.py:132-137). */
+  def concatInner(a: Column, b: Column): Column = concat(a, b)
+
+  /** approx elementwise equality — reference `isclose` (structure.py:508-537). */
+  def isclose(a: Column, b: Column, rtol: Double = 1e-5, atol: Double = 1e-8): Column =
+    abs(a - b) <= lit(atol) + lit(rtol) * abs(b)
+
+  /** NaN replacement — reference `nan_to_num` (structure.py:600-616). */
+  def nanToNum(c: Column, nan: Double = 0.0): Column = nanvl(c, lit(nan))
+}

@@ -1,0 +1,133 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** String-function surface — Spark-native equivalents of the reference's
+  * `src/dask_awkward/lib/str.py` (929 lines; every function there is a 1:1
+  * wrap of an Arrow compute kernel, applied elementwise at any nesting
+  * depth). Here each op is a codegen'd Column expression; to apply inside
+  * nested lists, compose with [[NestedOps.mapLeaves]] — the analogue of the
+  * reference applying kernels "at any depth".
+  *
+  * Citations are `lib/str.py:<line>` of the reference function.
+  */
+object StrOps {
+  private val lowerChars = "abcdefghijklmnopqrstuvwxyz"
+  private val upperChars = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
+
+  /** str.py:27 capitalize — first char upper, rest lower. */
+  def capitalize(c: Column): Column =
+    concat(upper(substring(c, 1, 1)), lower(expr(s"substring(${dummy(c)}, 2)")))
+
+  // substring from position 2 to end, without expr-string hackery:
+  private def restLower(c: Column): Column = lower(c.substr(lit(2), length(c)))
+  private def dummy(c: Column): String = "" // unused; see capitalize2
+
+  /** Preferred capitalize (no SQL-string round-trip). */
+  def capitalize2(c: Column): Column =
+    concat(upper(c.substr(1, 1)), restLower(c))
+
+  /** str.py:43 center — pad both sides to `width` (Python str.center rule:
+    * left gets floor((width-len)/2), extra char goes right). */
+  def center(c: Column, width: Int, pad: String = " "): Column = {
+    val l = length(c)
+    val leftW = l + greatest((lit(width) - l) / 2, lit(0)).cast("int")
+    rpad(lpad(c, leftW, lit(pad)), math.max(width, 0), pad)
+      .substr(lit(1), greatest(l, lit(width)))
+  }
+
+  /** str.py:63 count_substring. */
+  def countSubstring(c: Column, sub: String): Column =
+    when(length(c) === 0, 0).otherwise(
+      (length(c) - length(replace(c, lit(sub), lit("")))) / sub.length)
+
+  /** str.py:83 count_substring_regex. */
+  def countSubstringRegex(c: Column, pattern: String): Column =
+    size(regexp_extract_all(c, lit(pattern), lit(0)))
+
+  /** str.py:103 / 815 ends_with / starts_with. */
+  def endsWith(c: Column, s: String): Column = c.endsWith(s)
+  def startsWith(c: Column, s: String): Column = c.startsWith(s)
+
+  /** str.py:141 find_substring — 0-based index of first occurrence, -1 if
+    * absent (Arrow semantics). */
+  def findSubstring(c: Column, sub: String): Column = instr(c, sub) - 1
+
+  /** str.py:181 index_in / str.py:281 is_in — membership in a value set. */
+  def isIn(c: Column, values: Seq[String]): Column = c.isin(values: _*)
+
+  /** char-class predicates str.py:201-381 (is_alnum, is_alpha, is_ascii,
+    * is_decimal, is_digit, is_lower, is_numeric, is_printable, is_space,
+    * is_title, is_upper) — regex-based, ASCII interpretation. */
+  def isAlnum(c: Column): Column = c.rlike("^[a-zA-Z0-9]+$")
+  def isAlpha(c: Column): Column = c.rlike("^[a-zA-Z]+$")
+  def isAscii(c: Column): Column = c.rlike("^[\\x00-\\x7F]*$")
+  def isDecimal(c: Column): Column = c.rlike("^[0-9]+$")
+  def isDigit(c: Column): Column = c.rlike("^[0-9]+$")
+  def isLower(c: Column): Column = c.rlike("^[^A-Z]*[a-z][^A-Z]*$")
+  def isNumeric(c: Column): Column = c.rlike("^[0-9]+$")
+  def isSpace(c: Column): Column = c.rlike("^\\s+$")
+  def isUpper(c: Column): Column = c.rlike("^[^a-z]*[A-Z][^a-z]*$")
+  def isTitle(c: Column): Column = c === initcap(lower(c))
+
+  /** str.py:397 join — list of strings -> string with separator (a per-row
+    * reduction in the reference). */
+  def joinArr(arr: Column, sep: String): Column = array_join(arr, sep)
+
+  /** str.py:415 join_element_wise. */
+  def joinElementWise(sep: Column, parts: Column*): Column =
+    concat_ws("", parts.head +: parts.tail.flatMap(p => Seq(sep, p)): _*)
+
+  /** str.py:430 length (in characters). */
+  def strLength(c: Column): Column = length(c)
+
+  /** str.py:446 / 917 lower / upper; str.py:851 title. */
+  def lowerStr(c: Column): Column = lower(c)
+  def upperStr(c: Column): Column = upper(c)
+  def title(c: Column): Column = initcap(c)
+
+  /** str.py:462 / 676 lpad / rpad. */
+  def lpadStr(c: Column, w: Int, p: String): Column = lpad(c, w, p)
+  def rpadStr(c: Column, w: Int, p: String): Column = rpad(c, w, p)
+
+  /** str.py:482-714 trims. */
+  def ltrimWhitespace(c: Column): Column = ltrim(c)
+  def rtrimWhitespace(c: Column): Column = rtrim(c)
+  def trimWhitespace(c: Column): Column = trim(c)
+  def trimChars(c: Column, chars: String): Column = trim(c, chars)
+
+  /** str.py:516 match_like (SQL LIKE) / str.py:536-556 match_substring(_regex). */
+  def matchLike(c: Column, pattern: String): Column = c.like(pattern)
+  def matchSubstring(c: Column, sub: String): Column = c.contains(sub)
+  def matchSubstringRegex(c: Column, pattern: String): Column = c.rlike(pattern)
+
+  /** str.py:576 repeat; str.py:660 reverse. */
+  def repeatStr(c: Column, n: Int): Column = repeat(c, n)
+  def reverseStr(c: Column): Column = reverse(c)
+
+  /** str.py:594 replace_slice — replace chars [start, stop) with `by`
+    * (0-based, Arrow semantics). */
+  def replaceSlice(c: Column, start: Int, stop: Int, by: String): Column =
+    concat(substring(c, 1, start), lit(by), c.substr(lit(stop + 1), length(c)))
+
+  /** str.py:616 / 638 replace_substring(_regex). */
+  def replaceSubstring(c: Column, find: String, by: String): Column =
+    replace(c, lit(find), lit(by))
+  def replaceSubstringRegex(c: Column, pattern: String, by: String): Column =
+    regexp_replace(c, pattern, by)
+
+  /** str.py:730 slice — [start, stop) 0-based char slice. */
+  def sliceStr(c: Column, start: Int, stop: Int): Column =
+    substring(c, start + 1, math.max(stop - start, 0))
+
+  /** str.py:752 / 774 / 796 split_pattern(_regex) / split_whitespace. */
+  def splitPattern(c: Column, sep: String): Column =
+    split(c, java.util.regex.Pattern.quote(sep))
+  def splitPatternRegex(c: Column, pattern: String): Column = split(c, pattern)
+  def splitWhitespace(c: Column): Column = split(c, "\\s+")
+
+  /** str.py:835 swapcase — ASCII case flip via translate (codegen'd; no UDF). */
+  def swapcase(c: Column): Column =
+    translate(c, lowerChars + upperChars, upperChars + lowerChars)
+}

@@ -1,0 +1,354 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+
+/** Relational operator surface: aggregation, joins (shuffle + broadcast +
+  * semi/anti), distinct, windows, sorts/top-k, set ops, rollup, and the
+  * statistical aggregates the reference left as TODO stubs
+  * (corr/covar/std/var — /root/reference/src/dask_awkward/lib/reducers.py:173-184,
+  * 257-268, 484-514, 559-589). The reference has NO joins/group-by/windows
+  * (SURVEY §2.4/§2.7); these are the capability additions the north star
+  * mandates, expressed so Catalyst picks partial+final aggregation,
+  * broadcast joins for dims, and sort-based top-k.
+  *
+  * Every double aggregate is rounded in BOTH engines so that
+  * reduction-order float jitter can't flip the driver's hash compare.
+  */
+object Relational {
+
+  val queries: Seq[Q] = Seq(
+    // TPC-H Q1 shape: the canonical partial+final aggregation. Group keys
+    // are low-cardinality => map-side combine shrinks the shuffle to
+    // O(#groups * #partitions) rows regardless of input scale.
+    Q(
+      "q01_agg_pricing",
+      """SELECT l_returnflag, l_linestatus,
+        |       round(sum(l_quantity), 2) AS sum_qty,
+        |       round(sum(l_extendedprice), 2) AS sum_base_price,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |       round(avg(l_quantity), 4) AS avg_qty,
+        |       round(avg(l_discount), 4) AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+
+    // Filter + projection: predicate and column pruning both reach the
+    // parquet scan (PushedFilters + 2-column ReadSchema at 100 TB means
+    // reading only the touched row groups / columns).
+    Q(
+      "q02_filter_project",
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice * l_discount, 4) AS promo
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_discount >= 0.08 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp")
+          && col("l_shipdate") < lit("1998-01-01 00:00:00").cast("timestamp")
+          && col("l_discount") >= 0.08 && col("l_quantity") < 10)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * col("l_discount"), 4).as("promo"))
+        .orderBy("l_orderkey", "l_linenumber")
+    },
+
+    // 3-way join + agg (TPC-H Q3 shape): customer is small => broadcast;
+    // orders⋈lineitem shuffles on the join key, AQE handles skew.
+    Q(
+      "q03_join_revenue",
+      """SELECT c_mktsegment,
+        |       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        |       count(*) AS n_lines
+        |FROM customer, orders, lineitem
+        |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY c_mktsegment
+        |ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      val c = broadcast(Tables.customer(s, d))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
+      val l = Tables.lineitem(s, d)
+      c.join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("o_orderkey") === col("l_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+            .as("revenue"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Broadcast dim join: part is a dimension table — broadcast it so the
+    // 100 TB fact side never shuffles.
+    Q(
+      "q04_broadcast_dim",
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_size <= 10
+        |GROUP BY p_brand
+        |ORDER BY p_brand""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    },
+
+    // 6-way star join (TPC-H Q5 shape): all dims broadcast, single shuffle
+    // for the final group-by.
+    Q(
+      "q05_star_join",
+      """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM customer, orders, lineitem, supplier, nation, region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |GROUP BY n_name
+        |ORDER BY n_name""".stripMargin
+    ) { (s, d) =>
+      val l = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      Tables.customer(s, d)
+        .join(o, col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey")
+            && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"))
+        .orderBy("n_name")
+    },
+
+    // Distinct + exact count-distinct (the reference has neither; SURVEY
+    // §2.5 "Distinct: absent").
+    Q(
+      "q06_distinct",
+      """SELECT l_returnflag,
+        |       count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_suppkey) AS n_supps
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+          countDistinct("l_suppkey").as("n_supps"))
+        .orderBy("l_returnflag")
+    },
+
+    // Window function: top-3 orders per priority (SURVEY §2.7: absent in
+    // the reference; native Window here).
+    Q(
+      "q07_window_topn",
+      """SELECT o_orderpriority, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        |  FROM orders) t
+        |WHERE rn <= 3
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("o_orderpriority", "o_orderkey", "o_totalprice")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    // Global sort + top-k (explicitly unimplemented in the reference:
+    // structure.py:848-849 raises; Spark TakeOrderedAndProject is O(k) per
+    // partition + single merge — no full sort at scale).
+    Q(
+      "q08_topk",
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .select("o_orderkey", "o_totalprice")
+        .limit(50)
+    },
+
+    // Set ops (SURVEY §2.9: absent in reference; concatenate(axis=0) is
+    // only UNION ALL).
+    Q(
+      "q09_setops",
+      """SELECT custkey, 'both' AS tag FROM (
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'F'
+        |  INTERSECT
+        |  SELECT o_custkey AS custkey FROM orders WHERE o_orderstatus = 'O') t
+        |ORDER BY custkey""".stripMargin
+    ) { (s, d) =>
+      val o = Tables.orders(s, d)
+      o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("custkey"))
+        .intersect(
+          o.filter(col("o_orderstatus") === "O").select(col("o_custkey").as("custkey")))
+        .withColumn("tag", lit("both"))
+        .orderBy("custkey")
+    },
+
+    // UNION ALL == the reference's concatenate(axis=0)
+    // (lib/operations.py:50-130): schema-merge + relabel, no shuffle.
+    Q(
+      "q10_concat_axis0",
+      """SELECT status, count(*) AS n, round(sum(price), 2) AS total FROM (
+        |  SELECT o_orderstatus AS status, o_totalprice AS price FROM orders
+        |  UNION ALL
+        |  SELECT upper(l_returnflag) AS status, l_extendedprice AS price FROM lineitem
+        |) t GROUP BY status ORDER BY status""".stripMargin
+    ) { (s, d) =>
+      val a = Tables.orders(s, d)
+        .select(col("o_orderstatus").as("status"), col("o_totalprice").as("price"))
+      val b = Tables.lineitem(s, d)
+        .select(upper(col("l_returnflag")).as("status"),
+          col("l_extendedprice").as("price"))
+      a.unionByName(b)
+        .groupBy("status")
+        .agg(count(lit(1)).as("n"), round(sum("price"), 2).as("total"))
+        .orderBy("status")
+    },
+
+    // Rollup (hierarchical subtotals); group keys coalesced to a sentinel so
+    // NULL ordering can't differ between engines.
+    Q(
+      "q11_rollup",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // Left-semi join (EXISTS): customers with at least one high-value order.
+    Q(
+      "q12_semi_join",
+      """SELECT c_mktsegment, count(*) AS n_custs
+        |FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o
+        |              WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 300000)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d).filter(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy("c_mktsegment")
+    },
+
+    // Left-anti join (NOT EXISTS): customers with no orders at all.
+    Q(
+      "q13_anti_join",
+      """SELECT c_mktsegment, count(*) AS n_custs
+        |FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+    ) { (s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_custs"))
+        .orderBy("c_mktsegment")
+    },
+
+    // The statistical aggregates the reference stubs out (reducers.py TODOs)
+    // — native single-pass partial+final aggregates in Spark.
+    Q(
+      "q14_stats_agg",
+      """SELECT l_returnflag,
+        |       round(stddev_samp(l_quantity), 4) AS std_qty,
+        |       round(var_samp(l_discount), 6) AS var_disc,
+        |       round(corr(l_quantity, l_extendedprice), 6) + 0 AS corr_qty_price,
+        |       round(covar_samp(l_quantity, l_extendedprice), 2) + 0 AS cov_qty_price,
+        |       round(regr_slope(l_extendedprice, l_quantity), 4) + 0 AS fit_slope,
+        |       round(regr_intercept(l_extendedprice, l_quantity), 2) + 0 AS fit_icept
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(stddev_samp(col("l_quantity")), 4).as("std_qty"),
+          round(var_samp(col("l_discount")), 6).as("var_disc"),
+          (round(corr(col("l_quantity"), col("l_extendedprice")), 6) + lit(0.0)).as("corr_qty_price"),
+          (round(covar_samp(col("l_quantity"), col("l_extendedprice")), 2) + lit(0.0)).as("cov_qty_price"),
+          (round(regr_slope(col("l_extendedprice"), col("l_quantity")), 4) + lit(0.0)).as("fit_slope"),
+          (round(regr_intercept(col("l_extendedprice"), col("l_quantity")), 2) + lit(0.0)).as("fit_icept"))
+        .orderBy("l_returnflag")
+    },
+
+    // min_by/max_by — the reference's axis-0 argmin/argmax, which it raises
+    // on (core.py:2365-2366): "what key attains the extreme".
+    Q(
+      "q15_argminmax_global",
+      """WITH m AS (
+        |  SELECT l_returnflag, max(l_extendedprice) AS max_price,
+        |         min(l_extendedprice) AS min_price
+        |  FROM lineitem GROUP BY l_returnflag),
+        |kmax AS (
+        |  SELECT l.l_returnflag, min(l.l_orderkey) AS key_of_max
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |                        AND l.l_extendedprice = m.max_price
+        |  GROUP BY l.l_returnflag),
+        |kmin AS (
+        |  SELECT l.l_returnflag, min(l.l_orderkey) AS key_of_min
+        |  FROM lineitem l JOIN m ON l.l_returnflag = m.l_returnflag
+        |                        AND l.l_extendedprice = m.min_price
+        |  GROUP BY l.l_returnflag)
+        |SELECT m.l_returnflag, kmax.key_of_max, kmin.key_of_min, m.max_price
+        |FROM m JOIN kmax ON m.l_returnflag = kmax.l_returnflag
+        |       JOIN kmin ON m.l_returnflag = kmin.l_returnflag
+        |ORDER BY m.l_returnflag""".stripMargin
+    ) { (s, d) =>
+      // Ties on the extreme value are broken by orderkey (min orderkey on
+      // both sides) so the result is engine-independent.
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          max_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), (-col("l_orderkey")).cast("double")))
+            .as("key_of_max"),
+          min_by(col("l_orderkey"),
+            struct(col("l_extendedprice"), col("l_orderkey").cast("double")))
+            .as("key_of_min"),
+          max("l_extendedprice").as("max_price"))
+        .orderBy("l_returnflag")
+    }
+  )
+}
