@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data pipeline primitives: tokenization, shingling,
+  * MinHash, SimHash, and embedding similarity — all pure Column expressions
+  * (codegen'd, shuffle-free per row), so at 100 TB they run as a single
+  * scan-project stage. The dedup/similarity *queries* built on these are in
+  * `graft.queries.DedupQueries`.
+  *
+  * Beyond the reference's surface (it has no dedup/similarity ops); mandated
+  * by the north star in BASELINE.json.
+  */
+object TextOps {
+
+  private def dbl(c: Column): Column = c.cast("double")
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish subword token count: runs of letters, runs of digits, or a
+    * single other non-space char. */
+  def bpeishCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+      .cast("long")
+
+  /** Word n-gram shingles joined by a single space. Empty when there are
+    * fewer than n words. */
+  def shingles(words: Column, n: Int): Column =
+    when(size(words) < n, array().cast("array<string>"))
+      .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+
+  /** One MinHash value: the lexicographic minimum of salted md5 digests over
+    * the shingle set. Different salts simulate independent permutations. */
+  def minhash(shingles: Column, salt: String): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(salt), sh))))
+
+  /** Value (0-15) of the hex digit of `h` at 1-based position `pos`. */
+  private def hexDigitAt(h: Column, pos: Column): Column =
+    conv(h.substr(pos, lit(1)), 16, 10).cast("int")
+
+  /** Bit `b` (0-based, Column) of the first 4 hex digits of md5(word). */
+  private def md5Bit(word: Column, b: Column): Column = {
+    val digit = hexDigitAt(md5(word), floor(b.cast("double") / 4).cast("int") + 1)
+    pmod(floor(dbl(digit) / pow(lit(2.0), pmod(b, lit(4)).cast("double"))).cast("int"),
+      lit(2))
+  }
+
+  /** 16-bit SimHash over a token list: per bit, sum +/-1 votes from each
+    * token's hash bit; set the bit when the vote is positive. */
+  def simhash16(words: Column): Column = {
+    def score(b: Column): Column =
+      aggregate(words, lit(0), (acc, w) => acc + (md5Bit(w, b) * 2 - 1))
+    aggregate(
+      transform(sequence(lit(0), lit(15)),
+        b => when(score(b) > 0, pow(lit(2.0), b.cast("double")).cast("long"))
+          .otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Dot product of two float-array columns, accumulated in double. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 norm. */
+  def norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => dbl(x) * dbl(x)), lit(0.0),
+      (acc, x) => acc + x))
+
+  /** Cosine similarity. */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Signed-random-projection-style LSH bucket from the signs of the first
+    * `bits` vector components (axis-aligned hyperplanes — deterministic and
+    * engine-independent; a production variant would use seeded random
+    * planes). */
+  def signBucket(vec: Column, bits: Int): Column =
+    aggregate(
+      transform(sequence(lit(0), lit(bits - 1)),
+        i => when(element_at(vec, i + 1) > 0,
+          pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Jaccard similarity of the distinct-element sets of two arrays. */
+  def jaccard(a: Column, b: Column): Column = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / size(array_union(a, b)).cast("double")
+  }
+}

@@ -1,7 +1,132 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{Q, Tables}
 
+/** Time-series / event-log operators over the `events` table: time
+  * bucketing, JSON prop extraction, ordered-window gaps, sessionization,
+  * and keep-first dedup. These are the batch twins of the Structured
+  * Streaming pipeline in `graft.streaming` (same windowing semantics;
+  * watermarks only matter for unbounded input). Timestamps are compared
+  * via epoch seconds so engine timestamp formatting can never diverge.
+  */
 object EventQueries {
-  val queries: Seq[Q] = Seq()
+
+  private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d)
+
+  val queries: Seq[Q] = Seq(
+    // Tumbling 1-hour windows (batch form of streaming window agg).
+    Q(
+      "q60_hourly",
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_start,
+        |       event_type, count(*) AS n, round(sum(value), 2) AS sum_val
+        |FROM events GROUP BY hour_start, event_type
+        |ORDER BY hour_start, event_type""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .groupBy(
+          unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+        .orderBy("hour_start", "event_type")
+    },
+
+    // Tumbling 6-hour windows via Spark's native window() — epoch-aligned,
+    // identical to integer bucketing in the oracle.
+    Q(
+      "q61_window_6h",
+      """SELECT CAST(floor(epoch(ts) / 21600) * 21600 AS BIGINT) AS wstart,
+        |       count(*) AS n, round(avg(value), 4) AS avg_val
+        |FROM events GROUP BY wstart ORDER BY wstart""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .groupBy(window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
+        .select(unix_timestamp(col("w.start")).as("wstart"), col("n"),
+          col("avg_val"))
+        .orderBy("wstart")
+    },
+
+    // JSON property extraction (props is a JSON string column).
+    Q(
+      "q62_json_props",
+      """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS kmod,
+        |       count(*) AS n, round(avg(value), 4) AS avg_val
+        |FROM events GROUP BY kmod ORDER BY kmod""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .groupBy((get_json_object(col("props"), "$.k").cast("long") % 10)
+          .as("kmod"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
+        .orderBy("kmod")
+    },
+
+    // Ordered window: gap to previous event per user (lag), average gap.
+    Q(
+      "q63_user_gaps",
+      """SELECT user_id, count(*) AS n_events,
+        |  round(avg(gap), 2) AS avg_gap_s
+        |FROM (
+        |  SELECT user_id,
+        |    epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+        |                                     ORDER BY ts, event_id) AS gap
+        |  FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sec = col("ts").cast("double")
+      ev(s, d)
+        .withColumn("gap", sec - lag(sec, 1).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"), round(avg("gap"), 2).as("avg_gap_s"))
+        .orderBy("user_id")
+    },
+
+    // Sessionization: a session starts when the gap to the previous event
+    // of the same user exceeds 30 minutes.
+    Q(
+      "q64_sessionize",
+      """SELECT user_id, CAST(sum(new_session) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) > 1800
+        |         OR lag(epoch(ts)) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) IS NULL
+        |    THEN 1 ELSE 0 END AS new_session
+        |  FROM events) t
+        |GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val sec = col("ts").cast("double")
+      val prev = lag(sec, 1).over(w)
+      ev(s, d)
+        .withColumn("new_session",
+          when(sec - prev > 1800 || prev.isNull, 1).otherwise(0))
+        .groupBy("user_id")
+        .agg(sum("new_session").cast("long").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")
+    },
+
+    // Keep-first dedup by (user, event_type): the streaming
+    // dropDuplicates-with-watermark analogue in batch.
+    Q(
+      "q65_event_dedup",
+      """SELECT user_id, event_type, min(event_id) AS first_event,
+        |       CAST(floor(epoch(min(ts))) AS BIGINT) AS first_ts, count(*) AS n
+        |FROM events GROUP BY user_id, event_type
+        |ORDER BY user_id, event_type""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .groupBy("user_id", "event_type")
+        .agg(min("event_id").as("first_event"),
+          unix_timestamp(min(col("ts"))).as("first_ts"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "event_type")
+    }
+  )
 }

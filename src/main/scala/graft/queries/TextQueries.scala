@@ -1,7 +1,214 @@
 package graft.queries
 
-import graft.Q
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Column
+import graft.{Q, Tables}
+import graft.functions.TextOps
 
+/** Text analysis over the `documents` table: string kernels (SURVEY §2.10 —
+  * the reference's lib/str.py wraps ~50 Arrow compute kernels; here they are
+  * codegen'd Column expressions), plus the training-data-pipeline text ops
+  * the north star mandates: token counting, quality scoring, language-ID
+  * heuristic, document fingerprinting. All per-row, shuffle-free.
+  */
 object TextQueries {
-  val queries: Seq[Q] = Seq()
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+
+  val queries: Seq[Q] = Seq(
+    // Token/word statistics — str.py length/split kernels + counts.
+    Q(
+      "q40_text_stats",
+      """SELECT doc_id,
+        |  CAST(length(text) AS BIGINT) AS n_chars2,
+        |  length(text) = n_chars AS chars_ok,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  round(list_sum(list_transform(string_split(text, ' '),
+        |                 w -> CAST(length(w) AS DOUBLE))) /
+        |        len(string_split(text, ' ')), 4) AS avg_wlen,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d).select(
+        col("doc_id"),
+        length(col("text")).cast("long").as("n_chars2"),
+        (length(col("text")) === col("n_chars")).as("chars_ok"),
+        size(ws).cast("long").as("n_words"),
+        round(aggregate(ws, lit(0.0), (a, w) => a + length(w).cast("double"))
+          / size(ws), 4).as("avg_wlen"),
+        size(array_distinct(ws)).cast("long").as("n_distinct"))
+        .orderBy("doc_id")
+    },
+
+    // Scalar string kernels — upper/lower/reverse/pad/repeat/replace/slice/
+    // trim/contains/position (str.py:27-917 equivalents).
+    Q(
+      "q41_str_kernels",
+      """SELECT doc_id,
+        |  upper(source) AS up, lower(lang) AS lo,
+        |  reverse(substr(text, 1, 10)) AS rev10,
+        |  lpad(source, 8, '_') AS pad8,
+        |  repeat(lang, 3) AS rep3,
+        |  replace(source, 'src', 'origin_') AS repl,
+        |  substr(text, 3, 5) AS slice5,
+        |  contains(text, 'spark') AS has_spark,
+        |  CAST(strpos(text, 'join') AS BIGINT) AS pos_join,
+        |  starts_with(source, 'src1') AS is_src1,
+        |  concat_ws('|', lang, source) AS joined
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        upper(col("source")).as("up"), lower(col("lang")).as("lo"),
+        reverse(substring(col("text"), 1, 10)).as("rev10"),
+        lpad(col("source"), 8, "_").as("pad8"),
+        repeat(col("lang"), 3).as("rep3"),
+        replace(col("source"), lit("src"), lit("origin_")).as("repl"),
+        substring(col("text"), 3, 5).as("slice5"),
+        col("text").contains("spark").as("has_spark"),
+        instr(col("text"), "join").cast("long").as("pos_join"),
+        col("source").startsWith("src1").as("is_src1"),
+        concat_ws("|", col("lang"), col("source")).as("joined"))
+        .orderBy("doc_id")
+    },
+
+    // Regex kernels — match/extract/replace/split (str.py:516-796). Patterns
+    // stay in the RE2-compatible subset so Java and RE2 agree.
+    Q(
+      "q42_regex",
+      """SELECT doc_id,
+        |  regexp_extract(text, '[a-z]{6,}') AS first_long,
+        |  CAST(len(regexp_extract_all(text, '\bs[a-z]+')) AS BIGINT) AS s_words,
+        |  length(regexp_replace(text, '[aeiou]', '', 'g')) -
+        |    length(text) AS vowel_delta,
+        |  CAST(len(string_split_regex(text, '[eo]')) AS BIGINT) AS eo_parts,
+        |  regexp_matches(text, 'join.*merge|merge.*join') AS jm
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      docs(s, d).select(
+        col("doc_id"),
+        regexp_extract(col("text"), "[a-z]{6,}", 0).as("first_long"),
+        size(regexp_extract_all(col("text"), lit("\\bs[a-z]+"), lit(0)))
+          .cast("long").as("s_words"),
+        (length(regexp_replace(col("text"), "[aeiou]", "")) - length(col("text")))
+          .as("vowel_delta"),
+        size(split(col("text"), "[eo]")).cast("long").as("eo_parts"),
+        col("text").rlike("join.*merge|merge.*join").as("jm"))
+        .orderBy("doc_id")
+    },
+
+    // Token counting: whitespace + BPE-ish regex + type-token ratio.
+    Q(
+      "q43_tokens",
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+        |  CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS bpe_tokens,
+        |  round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE) /
+        |        len(string_split(text, ' ')), 4) AS ttr
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d).select(
+        col("doc_id"),
+        size(ws).cast("long").as("ws_tokens"),
+        TextOps.bpeishCount(col("text")).as("bpe_tokens"),
+        round(size(array_distinct(ws)).cast("double") / size(ws), 4).as("ttr"))
+        .orderBy("doc_id")
+    },
+
+    // Quality scoring: stopword ratio, mean word length, long-word share,
+    // and a combined score.
+    Q(
+      "q44_quality",
+      """SELECT doc_id,
+        |  round(CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))
+        |        AS DOUBLE) / len(ws), 4) AS stop_ratio,
+        |  round(CAST(len(list_filter(ws, w -> length(w) >= 6)) AS DOUBLE) / len(ws), 4)
+        |    AS long_ratio,
+        |  round(0.5 * (CAST(len(list_filter(ws, w -> w IN ('the','a','of','and','to','in','is')))
+        |          AS DOUBLE) / len(ws))
+        |      + 0.5 * least(CAST(len(ws) AS DOUBLE) / 100, 1.0), 4) AS quality
+        |FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      val stopRatio = size(filter(ws,
+        w => w.isin("the", "a", "of", "and", "to", "in", "is")))
+        .cast("double") / size(ws)
+      docs(s, d).select(
+        col("doc_id"),
+        round(stopRatio, 4).as("stop_ratio"),
+        round(size(filter(ws, w => length(w) >= 6)).cast("double") / size(ws), 4)
+          .as("long_ratio"),
+        round(lit(0.5) * stopRatio
+          + lit(0.5) * least(size(ws).cast("double") / 100, lit(1.0)), 4)
+          .as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // Language-ID heuristic: marker-word votes with fixed precedence.
+    Q(
+      "q45_langid",
+      """SELECT doc_id, lang,
+        |  CASE
+        |    WHEN en >= fr AND en >= de AND en >= es THEN 'en'
+        |    WHEN fr >= de AND fr >= es THEN 'fr'
+        |    WHEN de >= es THEN 'de'
+        |    ELSE 'es' END AS pred,
+        |  CAST(en AS BIGINT) AS en_score
+        |FROM (SELECT doc_id, lang,
+        |        len(list_filter(ws, w -> w IN ('the','and','of','is'))) AS en,
+        |        len(list_filter(ws, w -> w IN ('le','la','et','est'))) AS fr,
+        |        len(list_filter(ws, w -> w IN ('der','die','das','und'))) AS de,
+        |        len(list_filter(ws, w -> w IN ('el','los','las','y'))) AS es
+        |      FROM (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |            FROM documents) i) t
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      def score(words: String*): Column =
+        size(filter(ws, w => w.isin(words: _*))).cast("long")
+      docs(s, d)
+        .withColumn("en", score("the", "and", "of", "is"))
+        .withColumn("fr", score("le", "la", "et", "est"))
+        .withColumn("de", score("der", "die", "das", "und"))
+        .withColumn("es", score("el", "los", "las", "y"))
+        .select(
+          col("doc_id"), col("lang"),
+          when(col("en") >= col("fr") && col("en") >= col("de")
+            && col("en") >= col("es"), "en")
+            .when(col("fr") >= col("de") && col("fr") >= col("es"), "fr")
+            .when(col("de") >= col("es"), "de")
+            .otherwise("es").as("pred"),
+          col("en").as("en_score"))
+        .orderBy("doc_id")
+    },
+
+    // Document fingerprinting: full-text md5, min-word hash, min-shingle
+    // hash, 8-hex prefix fingerprint.
+    Q(
+      "q46_fingerprint",
+      """SELECT doc_id,
+        |  md5(text) AS fp_full,
+        |  substr(md5(text), 1, 8) AS fp8,
+        |  list_min(list_transform(string_split(text, ' '), w -> md5(w))) AS fp_minword,
+        |  list_min(list_transform(
+        |    list_transform(range(1, len(string_split(text, ' ')) - 1),
+        |      i -> array_to_string((string_split(text, ' '))[i:i+2], ' ')),
+        |    sh -> md5(sh))) AS fp_minshingle
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d).select(
+        col("doc_id"),
+        md5(col("text")).as("fp_full"),
+        substring(md5(col("text")), 1, 8).as("fp8"),
+        array_min(transform(ws, w => md5(w))).as("fp_minword"),
+        array_min(transform(TextOps.shingles(ws, 3), sh => md5(sh)))
+          .as("fp_minshingle"))
+        .orderBy("doc_id")
+    }
+  )
 }
