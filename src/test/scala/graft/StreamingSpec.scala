@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.EventStreams
+
+/** Structured Streaming: windowed aggregation with watermark and stateful
+  * sessionization over a MemoryStream (the reference has no streaming at
+  * all — SURVEY §2.12; this is north-star surface). */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hourlyCounts: windowed agg with watermark over a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val events = mem.toDF().toDF("ts", "event_type", "value")
+    val agg = EventStreams.hourlyCounts(events)
+
+    val query = agg.writeStream
+      .format("memory").queryName("hourly_test").outputMode("update").start()
+    try {
+      def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+      mem.addData((ts(0, 10), "click", 1.0), (ts(0, 20), "click", 2.0),
+        (ts(1, 5), "view", 3.0))
+      query.processAllAvailable()
+      val got = spark.table("hourly_test")
+        .orderBy("hour_start", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+      assert(got.contains((1704067200L, "click", 2L, 3.0)))
+      assert(got.contains((1704070800L, "view", 1L, 3.0)))
+    } finally query.stop()
+  }
+
+  test("sessionize: keyed state splits sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    val mem = MemoryStream[Ev]
+    val sessions = EventStreams.sessionize(mem.toDS(), gapSec = 100.0)
+
+    val query = sessions.writeStream
+      .format("memory").queryName("sessions_test").outputMode("append").start()
+    try {
+      // user 1: two bursts separated by > 100s -> first session closes
+      mem.addData(Ev(1, 1, 0.0), Ev(1, 2, 50.0), Ev(1, 3, 500.0))
+      query.processAllAvailable()
+      mem.addData(Ev(1, 4, 1000.0))  // closes the (500.0) session
+      query.processAllAvailable()
+      val got = spark.table("sessions_test").as[Session].collect().toSeq
+      assert(got.contains(Session(1, 0.0, 50.0, 2)))
+      assert(got.contains(Session(1, 500.0, 500.0, 1)))
+    } finally query.stop()
+  }
+}

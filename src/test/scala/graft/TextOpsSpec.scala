@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+import java.security.MessageDigest
+
+/** Differential tests for the pipeline text ops: goldens computed with an
+  * independent JVM md5 implementation (same idiom as the reference testing
+  * lazy vs eager awkward). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def md5hex(s: String): String =
+    MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  test("shingles: 3-grams in order; short docs yield empty") {
+    val df = Seq((0L, "a b c d e"), (1L, "x y")).toDF("row_id", "t")
+    val got = eval1(df, TextOps.shingles(TextOps.tokens(col("t")), 3)).map(seqOf)
+    assert(got(0) == Seq("a b c", "b c d", "c d e"))
+    assert(got(1) == Seq())
+  }
+
+  test("minhash matches independent md5 min") {
+    val text = "the quick brown fox jumps"
+    val df = Seq((0L, text)).toDF("row_id", "t")
+    val shingles = Seq("the quick brown", "quick brown fox", "brown fox jumps")
+    val expected = shingles.map(s => md5hex("s0" + s)).min
+    val got = eval1(df,
+      TextOps.minhash(TextOps.shingles(TextOps.tokens(col("t")), 3), "s0"))
+    assert(got == Seq(expected))
+  }
+
+  test("simhash16 matches independent bit-vote computation") {
+    val words = Seq("spark", "join", "merge", "scan", "filter")
+    val df = Seq((0L, words.mkString(" "))).toDF("row_id", "t")
+    def bit(w: String, b: Int): Int = {
+      val digit = Integer.parseInt(md5hex(w).substring(b / 4, b / 4 + 1), 16)
+      (digit >> (b % 4)) & 1
+    }
+    val expected = (0 until 16).map { b =>
+      val score = words.map(w => bit(w, b) * 2 - 1).sum
+      if (score > 0) 1L << b else 0L
+    }.sum
+    val got = eval1(df, TextOps.simhash16(TextOps.tokens(col("t"))))
+    assert(got == Seq(expected))
+  }
+
+  test("dot / norm / cosine on known vectors") {
+    val df = Seq((0L, Seq(3.0f, 4.0f), Seq(4.0f, 3.0f))).toDF("row_id", "a", "b")
+    assert(eval1(df, TextOps.dot(col("a"), col("b"))) == Seq(24.0))
+    assert(eval1(df, TextOps.norm(col("a"))) == Seq(5.0))
+    val cos = eval1(df, TextOps.cosine(col("a"), col("b"))).head
+      .asInstanceOf[Double]
+    assert(math.abs(cos - 24.0 / 25.0) < 1e-12)
+  }
+
+  test("signBucket packs sign bits") {
+    val df = Seq((0L, Seq(1.0f, -1.0f, 2.0f, -2.0f))).toDF("row_id", "v")
+    // bits: e1>0 -> 1, e2<0 -> 0, e3>0 -> 4, e4<0 -> 0 => 5
+    assert(eval1(df, TextOps.signBucket(col("v"), 4)) == Seq(5L))
+  }
+
+  test("jaccard on distinct sets") {
+    val df = Seq((0L, Seq("a", "b", "c"), Seq("b", "c", "d")))
+      .toDF("row_id", "x", "y")
+    val got = eval1(df, TextOps.jaccard(col("x"), col("y"))).head
+      .asInstanceOf[Double]
+    assert(math.abs(got - 0.5) < 1e-12)
+  }
+
+  test("bpeishCount splits letters/digits/other") {
+    val df = Seq((0L, "ab12 cd-ef")).toDF("row_id", "t")
+    // ab, 12, cd, -, ef
+    assert(eval1(df, TextOps.bpeishCount(col("t"))) == Seq(5L))
+  }
+}
