@@ -43,64 +43,93 @@ object DedupQueries {
         .orderBy("fp8")
     },
 
-    // MinHash signatures (k=4 salted permutations over 3-word shingles).
+    // MinHash signatures: k=4 permutations simulated as multiply-mod
+    // arithmetic over ONE md5 per shingle (not k salted digests), shingles
+    // exploded to rows so the min-aggregation gets map-side combine —
+    // at 100 TB this is a scan + partial agg, with hashing cost k times
+    // cheaper than the naive salted form.
     Q(
       "q51_minhash_sig",
-      """SELECT doc_id,
-        |  list_min(list_transform(sh, x -> md5('s0' || x))) AS mh0,
-        |  list_min(list_transform(sh, x -> md5('s1' || x))) AS mh1,
-        |  list_min(list_transform(sh, x -> md5('s2' || x))) AS mh2,
-        |  list_min(list_transform(sh, x -> md5('s3' || x))) AS mh3
-        |FROM (SELECT doc_id,
-        |        list_transform(range(1, len(ws) - 1),
-        |          i -> array_to_string(ws[i:i+2], ' ')) AS sh
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws
-        |            FROM documents) i) t
-        |ORDER BY doc_id""".stripMargin
+      """WITH shr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+        |hv AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr)
+        |SELECT doc_id,
+        |  min((1000003 * h + 12345) % 4294967291) AS mh0,
+        |  min((2000029 * h + 54321) % 4294967291) AS mh1,
+        |  min((3000073 * h + 98765) % 4294967291) AS mh2,
+        |  min((4000037 * h + 13579) % 4294967291) AS mh3
+        |FROM hv GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
-      docs(s, d).select(
-        col("doc_id"),
-        TextOps.minhash(sh, "s0").as("mh0"),
-        TextOps.minhash(sh, "s1").as("mh1"),
-        TextOps.minhash(sh, "s2").as("mh2"),
-        TextOps.minhash(sh, "s3").as("mh3"))
+      val shingleRows = docs(s, d).select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      shingleRows.select(col("doc_id"), h.as("h"))
+        .groupBy("doc_id")
+        .agg(
+          min((col("h") * 1000003L + 12345L) % 4294967291L).as("mh0"),
+          min((col("h") * 2000029L + 54321L) % 4294967291L).as("mh1"),
+          min((col("h") * 3000073L + 98765L) % 4294967291L).as("mh2"),
+          min((col("h") * 4000037L + 13579L) % 4294967291L).as("mh3"))
         .orderBy("doc_id")
     },
 
-    // LSH candidate pairs: 4 bands of 1 row each, band key = 2-hex prefix
-    // of the banded minhash (256 buckets/band). Pairs deduped across bands.
+    // LSH candidate pairs. Scale shape: ONE md5 per shingle, k permutations
+    // as multiply-mod arithmetic over its 32-bit prefix (a 4x hash saving vs
+    // salted digests); shingles exploded to rows then min-aggregated
+    // (map-side combine); the tiny (doc, band, key) table is persisted so
+    // the self-join's two sides don't recompute the signature subtree.
+    // Band key = minhash % 256 -> 256 buckets/band, 4 bands.
     Q(
       "q52_lsh_pairs",
-      """WITH sig AS (
+      """WITH shr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+        |hv AS (
         |  SELECT doc_id,
-        |    [substr(list_min(list_transform(sh, x -> md5('s0' || x))), 1, 2),
-        |     substr(list_min(list_transform(sh, x -> md5('s1' || x))), 1, 2),
-        |     substr(list_min(list_transform(sh, x -> md5('s2' || x))), 1, 2),
-        |     substr(list_min(list_transform(sh, x -> md5('s3' || x))), 1, 2)] AS bands
-        |  FROM (SELECT doc_id,
-        |          list_transform(range(1, len(ws) - 1),
-        |            i -> array_to_string(ws[i:i+2], ' ')) AS sh
-        |        FROM (SELECT doc_id, string_split(text, ' ') AS ws
-        |              FROM documents) i) t),
-        |pairs AS (
-        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |  FROM (SELECT doc_id, unnest(range(0, 4)) AS band,
-        |               unnest(bands) AS key FROM sig) a
-        |  JOIN (SELECT doc_id, unnest(range(0, 4)) AS band,
-        |               unnest(bands) AS key FROM sig) b
-        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
-        |SELECT id_a, id_b FROM pairs ORDER BY id_a, id_b""".stripMargin
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min((1000003 * h + 12345) % 4294967291) % 256 AS k0,
+        |    min((2000029 * h + 54321) % 4294967291) % 256 AS k1,
+        |    min((3000073 * h + 98765) % 4294967291) % 256 AS k2,
+        |    min((4000037 * h + 13579) % 4294967291) % 256 AS k3
+        |  FROM hv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+        |         unnest([k0, k1, k2, k3]) AS key FROM sig)
+        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM bands a JOIN bands b
+        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
-      val sh = TextOps.shingles(TextOps.tokens(col("text")), 3)
-      val sig = docs(s, d).select(
-        col("doc_id"),
-        array((0 to 3).map(i =>
-          substring(TextOps.minhash(sh, s"s$i"), 1, 2)): _*).as("bands"))
-      val exploded = sig.select(col("doc_id"),
-        posexplode(col("bands")).as(Seq("band", "key")))
-      val a = exploded.as("a")
-      val b = exploded.as("b")
+      val shingleRows = docs(s, d).select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      val perms = Seq((1000003L, 12345L), (2000029L, 54321L),
+        (3000073L, 98765L), (4000037L, 13579L))
+      val sig = shingleRows.select(col("doc_id"), h.as("h"))
+        .groupBy("doc_id")
+        .agg((min((col("h") * perms(0)._1 + perms(0)._2) % 4294967291L) % 256).as("k0"),
+          (min((col("h") * perms(1)._1 + perms(1)._2) % 4294967291L) % 256).as("k1"),
+          (min((col("h") * perms(2)._1 + perms(2)._2) % 4294967291L) % 256).as("k2"),
+          (min((col("h") * perms(3)._1 + perms(3)._2) % 4294967291L) % 256).as("k3"))
+      val bands = sig.select(col("doc_id"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+        .persist()
+      val a = bands.as("a")
+      val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
         && col("a.doc_id") < col("b.doc_id"))
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
@@ -109,24 +138,50 @@ object DedupQueries {
     },
 
     // 16-bit SimHash per document + Hamming distance to document 0.
+    // Scale shape: explode words so md5 runs ONCE per word (the naive
+    // per-row form recomputes the digest for each of the 16 bits), then a
+    // single groupBy computes all 16 bit-votes as conditional sums
+    // (map-side combine; state = 16 ints per doc).
     Q(
       "q53_simhash",
-      """WITH sh AS (
+      s"""WITH wr AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |hw AS (
         |  SELECT doc_id,
-        |    CAST(list_sum(list_transform(range(0, 16), b ->
-        |      CASE WHEN list_sum(list_transform(ws, w ->
-        |          (((strpos('0123456789abcdef', substr(md5(w), b//4 + 1, 1)) - 1)
-        |            >> (b % 4)) & 1) * 2 - 1)) > 0
-        |      THEN 1 << b ELSE 0 END)) AS BIGINT) AS simhash
-        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t)
+        |    CAST(list_sum(list_transform(range(1, 5),
+        |      j -> (strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1)
+        |           * 16.0 ** (4 - j))) AS BIGINT) AS h
+        |  FROM wr),
+        |votes AS (
+        |  SELECT doc_id,
+        |    ${(0 until 16).map(b =>
+             s"sum(CASE WHEN (h >> $b) & 1 = 1 THEN 1 ELSE -1 END) AS v$b")
+             .mkString(", ")}
+        |  FROM hw GROUP BY doc_id),
+        |sh AS (
+        |  SELECT doc_id,
+        |    CAST(${(0 until 16).map(b =>
+             s"(CASE WHEN v$b > 0 THEN ${1L << b} ELSE 0 END)")
+             .mkString(" + ")} AS BIGINT) AS simhash
+        |  FROM votes)
         |SELECT s.doc_id, s.simhash,
         |  CAST(bit_count(xor(s.simhash, f.simhash)) AS BIGINT) AS ham0
         |FROM sh s, (SELECT simhash FROM sh WHERE doc_id = 0) f
         |ORDER BY s.doc_id""".stripMargin
     ) { (s, d) =>
-      val withSh = docs(s, d)
-        .select(col("doc_id"),
-          TextOps.simhash16(TextOps.tokens(col("text"))).as("simhash"))
+      val words = docs(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val h = conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int")
+      val voteCols = (0 until 16).map(b =>
+        sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1))
+          .as(s"v$b"))
+      val votes = words.select(col("doc_id"), h.as("h"))
+        .groupBy("doc_id")
+        .agg(voteCols.head, voteCols.tail: _*)
+      val simhash = (0 until 16).map(b =>
+        when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+        .reduce(_ + _)
+      val withSh = votes.select(col("doc_id"), simhash.as("simhash"))
       val ref = withSh.filter(col("doc_id") === 0)
         .select(col("simhash").as("sim0"))
       withSh.crossJoin(broadcast(ref))
@@ -153,7 +208,9 @@ object DedupQueries {
         |ORDER BY id_a""".stripMargin
     ) { (s, d) =>
       val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
-      val withSh = docs(s, d).select(col("doc_id"), sh.as("sh"))
+      // persist: both join sides reuse one computed shingle table instead of
+      // re-splitting + re-hashing the whole corpus twice
+      val withSh = docs(s, d).select(col("doc_id"), sh.as("sh")).persist()
       val a = withSh.as("a")
       val b = withSh.as("b")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)

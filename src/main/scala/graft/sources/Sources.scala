@@ -1,0 +1,64 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** IO surface — SURVEY §2.1. Thin by design: Spark's readers already
+  * implement what the reference hand-builds (partition-per-file or
+  * byte-range splitting, schema sampling, column projection pushdown,
+  * corrupt-record tolerance), so each wrapper documents the semantic
+  * mapping and pins the options that make the semantics match.
+  *
+  * reference: from_parquet lib/io/parquet.py:251-427, from_json
+  * lib/io/json.py:443-641, from_text lib/io/text.py:54-127,
+  * to_parquet parquet.py:478-726, to_json json.py:644-781.
+  */
+object Sources {
+
+  /** from_parquet: `columns=` -> select pushdown; `split_row_groups` ->
+    * spark.sql.files.maxPartitionBytes governs splitting natively. */
+  def fromParquet(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.parquet(path)
+    if (columns.nonEmpty) df.select(columns.map(df.col): _*) else df
+  }
+
+  /** from_json line-delimited mode; `schema` (the reference's JSONSchema
+    * pushdown, json.py:77-89) -> explicit StructType skips inference AND
+    * prunes parsing; `sampleRatio` mirrors meta-sampling (json.py:216-269).
+    */
+  def fromJson(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      sampleRatio: Double = 1.0,
+      multiLine: Boolean = false): DataFrame = {
+    val r = spark.read
+      .option("multiLine", multiLine)
+      .option("samplingRatio", sampleRatio)
+    schema.fold(r)(r.schema).json(path)
+  }
+
+  /** from_text: one string row per delimiter-separated record; byte-range
+    * partitioning is Spark's native file splitting. */
+  def fromText(spark: SparkSession, path: String,
+      lineSep: Option[String] = None): DataFrame = {
+    val r = spark.read
+    lineSep.fold(r)(s => r.option("lineSep", s)).text(path)
+  }
+
+  /** Bad-file tolerance (reference read-report, parquet.py:36-61):
+    * ignoreCorruptFiles + a side-channel count. */
+  def fromParquetTolerant(spark: SparkSession, path: String): DataFrame =
+    spark.read.option("ignoreCorruptFiles", "true").parquet(path)
+
+  /** to_parquet: one file per partition + commit protocol are native. */
+  def toParquet(df: DataFrame, dest: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error").parquet(dest)
+
+  /** to_json: line-delimited, one file per partition. */
+  def toJson(df: DataFrame, dest: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error").json(dest)
+
+  /** to_text (single string column). */
+  def toText(df: DataFrame, dest: String): Unit =
+    df.write.mode("overwrite").text(dest)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Optimizer-parity assertions (reference test_inspect.py asserts
+  * necessary-columns sets; here we assert Catalyst's pruning/pushdown on
+  * the real plans — SURVEY §4.1, §6: the reference's one optimization is
+  * column projection; Spark must deliver it plus predicate pushdown). */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("column pruning: 2-column projection reads 2 columns") {
+    val df = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_quantity"))
+    val cols = Inspect.necessaryColumns(df).values.head
+    assert(cols.toSet == Set("l_orderkey", "l_quantity"))
+  }
+
+  test("pruning survives derived expressions (necessary-columns semantics)") {
+    val df = Tables.lineitem(spark, sf)
+      .select((col("l_extendedprice") * (lit(1) - col("l_discount"))).as("rev"))
+    val cols = Inspect.necessaryColumns(df).values.head
+    assert(cols.toSet == Set("l_extendedprice", "l_discount"))
+  }
+
+  test("predicate pushdown reaches the parquet scan") {
+    val df = Tables.lineitem(spark, sf)
+      .filter(col("l_quantity") < 5 && col("l_discount") >= 0.05)
+      .select("l_orderkey")
+    val pushed = Inspect.pushedFilters(df).mkString(";")
+    assert(pushed.contains("l_quantity") && pushed.contains("l_discount"))
+    assert(Inspect.necessaryColumns(df).values.head.toSet ==
+      Set("l_orderkey", "l_quantity", "l_discount"))
+  }
+
+  test("dimension joins broadcast (no shuffle of the fact side)") {
+    val q4 = SparkEntry.queries("q04_broadcast_dim")(spark, sf)
+    assert(Inspect.hasBroadcast(q4))
+    val q5 = SparkEntry.queries("q05_star_join")(spark, sf)
+    assert(Inspect.hasBroadcast(q5))
+  }
+
+  test("per-row array pipeline is shuffle-free (scan -> project, no Exchange)") {
+    // Note: HOF lambdas (aggregate/transform) don't enter whole-stage
+    // codegen in Spark — the load-bearing property at scale is that the
+    // whole pipeline is a single scan+project stage with zero shuffle.
+    val df = Tables.embeddings(spark, sf).select(col("vec_id"),
+      aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double"))
+        .as("s"))
+    val plan = Inspect.explainString(df)
+    assert(!plan.contains("Exchange"))
+    assert(plan.contains("Scan parquet"))
+  }
+
+  test("top-k compiles to TakeOrderedAndProject (no global sort)") {
+    val df = SparkEntry.queries("q08_topk")(spark, sf)
+    assert(Inspect.explainString(df).contains("TakeOrderedAndProject"))
+  }
+}
