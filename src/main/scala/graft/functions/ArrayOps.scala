@@ -133,4 +133,31 @@ object ArrayOps {
 
   /** NaN replacement — reference `nan_to_num` (structure.py:600-616). */
   def nanToNum(c: Column, nan: Double = 0.0): Column = nanvl(c, lit(nan))
+
+  /** Gather: `arr[int_array]` inner-axis indexing (reference
+    * _getitem_outer_bool_or_int_lazy_array, core.py:1368-1383). 0-based,
+    * null for out-of-range (try_element_at), negative indices wrap like
+    * numpy. */
+  def gather(arr: Column, idxs: Column): Column =
+    transform(idxs, i =>
+      try_element_at(arr, when(i >= 0, i + 1).otherwise(size(arr) + i + 1)))
+
+  /** General per-row n-choose-k combinations (reference
+    * `combinations(n)`, structure.py:285-332) built by recursive HOF
+    * composition — SURVEY §7.3's "recursive HOF expression builder"; no
+    * custom Generator required. Output: array of fixed-size arrays. */
+  def combinationsN(arr: Column, n: Int): Column = {
+    require(n >= 1, "combinations n must be >= 1")
+    // rec(start, k): combinations of arr[start..] of size k, as array<array>
+    def rec(startIdx: Column, k: Int): Column =
+      if (k == 1)
+        transform(slice(arr, startIdx + 1, greatest(size(arr) - startIdx, lit(0))),
+          x => array(x))
+      else
+        flatten(transform(
+          slice(arr, startIdx + 1, greatest(size(arr) - startIdx - (k - 1), lit(0))),
+          (x, i) => transform(rec(startIdx + i + 1, k - 1),
+            rest => concat(array(x), rest))))
+    rec(lit(0), n)
+  }
 }

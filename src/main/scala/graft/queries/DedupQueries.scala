@@ -69,7 +69,9 @@ object DedupQueries {
     ) { (s, d) =>
       val shingleRows = docs(s, d).select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      // native codegen'd expression (graft.plans.Md5Prefix64): one md5 +
+      // direct byte->long, no hex-string round trip
+      val h = call_function("md5_prefix64", col("sh"))
       shingleRows.select(col("doc_id"), h.as("h"))
         .groupBy("doc_id")
         .agg(
@@ -115,7 +117,7 @@ object DedupQueries {
     ) { (s, d) =>
       val shingleRows = docs(s, d).select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
-      val h = conv(substring(md5(col("sh")), 1, 8), 16, 10).cast("long")
+      val h = call_function("md5_prefix64", col("sh"))
       val perms = Seq((1000003L, 12345L), (2000029L, 54321L),
         (3000073L, 98765L), (4000037L, 13579L))
       val sig = shingleRows.select(col("doc_id"), h.as("h"))

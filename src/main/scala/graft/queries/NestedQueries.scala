@@ -333,6 +333,34 @@ object NestedQueries {
         .offset(10).limit(5)
     },
 
+    // Elementwise ufunc broadcasting into lists (reference
+    // __array_ufunc__, core.py:1756-1769) + any/all reducers
+    // (reducers.py:71-102/37-68) + int-array gather (core.py:1368-1383).
+    Q(
+      "q36_ufunc_math",
+      """SELECT vec_id,
+        |  list_transform(w, x -> round(sin(CAST(x AS DOUBLE)), 6)) AS sins,
+        |  list_transform(w, x -> round(exp(CAST(x AS DOUBLE)), 6)) AS exps,
+        |  list_transform(w, x -> round(sqrt(abs(CAST(x AS DOUBLE))), 6)) AS roots,
+        |  len(list_filter(w, x -> x > 0)) > 0 AS any_pos,
+        |  len(list_filter(w, x -> x <= 0)) = 0 AS all_pos,
+        |  [w[2], w[4], w[len(w)]] AS gathered
+        |FROM (SELECT vec_id, embedding[1:6] AS w FROM embeddings) t
+        |ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps
+      val w = slice(col("embedding"), 1, 6)
+      emb(s, d).select(
+        col("vec_id"),
+        transform(w, x => round(sin(dbl(x)), 6)).as("sins"),
+        transform(w, x => round(exp(dbl(x)), 6)).as("exps"),
+        transform(w, x => round(sqrt(abs(dbl(x))), 6)).as("roots"),
+        exists(w, x => x > 0).as("any_pos"),
+        forall(w, x => x > 0).as("all_pos"),
+        ArrayOps.gather(w, array(lit(1), lit(3), lit(-1))).as("gathered"))
+        .orderBy("vec_id")
+    },
+
     // Decimation sample — reference sample(factor=N) (lib/inspect.py:241-273):
     // deterministic every-Nth-row selection.
     Q(

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{ArrayOps, Behaviors}
+import Behaviors._
+
+/** Behavior/extension surface (reference tests/test_behavior.py) + the
+  * late additions: gather, combinationsN, md5_prefix64 native expression. */
+class BehaviorsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("Point behavior: distance and magnitude on struct columns") {
+    val df = Seq((0L, (3.0, 4.0), (0.0, 0.0))).toDF("row_id", "p", "q")
+      .select(col("row_id"),
+        col("p").cast("struct<x:double,y:double>").as("p"),
+        col("q").cast("struct<x:double,y:double>").as("q"))
+    assert(eval1(df, col("p").magnitude) == Seq(5.0))
+    assert(eval1(df, col("p").distance(col("q"))) == Seq(5.0))
+  }
+
+  test("behavior lifts into arrays (points fixture)") {
+    val mags = eval1(pointsDF, col("points").magnitudes).map(seqOf)
+    assert(mags(1) == Seq())                      // empty row
+    val m0 = mags(0).map(_.asInstanceOf[Double])
+    assert(math.abs(m0.head - math.sqrt(1 + 81)) < 1e-12)
+  }
+
+  test("withName carries record-name metadata") {
+    val df = pointsDF.select(Behaviors.withName(col("points"), "Point"))
+    assert(df.schema.fields.head.metadata.getString("graft.record_name")
+      == "Point")
+  }
+
+  test("gather: positive, negative, out-of-range indices") {
+    val df = Seq((0L, Seq(10, 20, 30), Seq(2, 0, -1, 5))).toDF("row_id", "xs", "is")
+    assert(eval1(df, ArrayOps.gather(col("xs"), col("is"))).map(seqOf) ==
+      Seq(Seq(30, 10, 30, null)))
+  }
+
+  test("combinationsN: n=2 matches combinations2; n=3 correct") {
+    val df = Seq((0L, Seq("a", "b", "c", "d"))).toDF("row_id", "xs")
+    val c2 = eval1(df, ArrayOps.combinationsN(col("xs"), 2)).map(seqOf).head
+      .map(seqOf)
+    assert(c2 == Seq(Seq("a", "b"), Seq("a", "c"), Seq("a", "d"),
+      Seq("b", "c"), Seq("b", "d"), Seq("c", "d")))
+    val c3 = eval1(df, ArrayOps.combinationsN(col("xs"), 3)).map(seqOf).head
+      .map(seqOf)
+    assert(c3 == Seq(Seq("a", "b", "c"), Seq("a", "b", "d"),
+      Seq("a", "c", "d"), Seq("b", "c", "d")))
+  }
+
+  test("md5_prefix64 native expression matches conv(substring(md5)) and codegens") {
+    val df = Seq((0L, "hello"), (1L, "spark engine"), (2L, ""))
+      .toDF("row_id", "s")
+    val native = eval1(df, call_function("md5_prefix64", col("s")))
+    val composed = eval1(df,
+      conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
+    assert(native == composed)
+  }
+}
