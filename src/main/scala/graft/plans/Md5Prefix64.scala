@@ -57,5 +57,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("md5_prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
       (children: Seq[Expression]) => Md5Prefix64(children.head)))
+    ext.injectOptimizerRule(_ => SizeFilterToExists)
   }
 }

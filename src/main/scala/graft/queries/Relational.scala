@@ -288,6 +288,83 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
+    // Exact interpolated percentiles (sort-based distributed aggregate —
+    // absent in the reference, where axis-0 order statistics don't exist).
+    Q(
+      "q16_percentiles",
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS med_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
+          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
+          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("q1_price"))
+        .orderBy("l_returnflag")
+    },
+
+    // Full CUBE (all grouping-set combinations).
+    Q(
+      "q17_cube",
+      """SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+        |       coalesce(l_linestatus, 'ALL') AS lstatus,
+        |       count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY rflag, lstatus""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .select(coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+          col("n"), col("sum_qty"))
+        .orderBy("rflag", "lstatus")
+    },
+
+    // Date/time functions (none in the reference — datetime64 is only a
+    // leaf dtype there; free capability on Spark).
+    Q(
+      "q18_dates",
+      """SELECT CAST(year(l_shipdate) AS BIGINT) AS y,
+        |       CAST(month(l_shipdate) AS BIGINT) AS m,
+        |       count(*) AS n,
+        |       CAST(min(date_diff('day', TIMESTAMP '1995-01-01', l_shipdate)) AS BIGINT)
+        |         AS min_day_off
+        |FROM lineitem
+        |GROUP BY y, m ORDER BY y, m""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy(year(col("l_shipdate")).cast("long").as("y"),
+          month(col("l_shipdate")).cast("long").as("m"))
+        .agg(count(lit(1)).as("n"),
+          min(datediff(col("l_shipdate"), lit("1995-01-01").cast("date")))
+            .cast("long").as("min_day_off"))
+        .orderBy("y", "m")
+    },
+
+    // Grouped collection aggregate: distinct set -> sorted list -> string
+    // (collect_set is unordered across partitions; sort_array restores
+    // determinism).
+    Q(
+      "q19_collect",
+      """SELECT l_returnflag,
+        |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+        |  list_sort(list(DISTINCT l_linestatus)) AS status_arr
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          array_join(sort_array(collect_set(col("l_linestatus"))), ",")
+            .as("statuses"),
+          sort_array(collect_set(col("l_linestatus"))).as("status_arr"))
+        .orderBy("l_returnflag")
+    },
+
     // The statistical aggregates the reference stubs out (reducers.py TODOs)
     // — native single-pass partial+final aggregates in Spark.
     Q(

@@ -53,6 +53,23 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("Scan parquet"))
   }
 
+  test("SizeFilterToExists rule rewrites size(filter) > 0 to exists") {
+    // must read a real source — a local Seq would be constant-folded into
+    // a LocalRelation before the optimized plan is inspectable
+    val df = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        (size(filter(col("embedding"), x => x > 0.2f)) > 0).as("p"))
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("exists("), s"rule did not fire:\n$optimized")
+    assert(!optimized.contains("size("), s"size survived:\n$optimized")
+    // semantics preserved vs the unoptimized composed form
+    val composed = Tables.embeddings(spark, sf)
+      .select(col("vec_id"),
+        exists(col("embedding"), x => x > 0.2f).as("p"))
+    assert(df.orderBy("vec_id").collect().map(_.getBoolean(1)).toSeq ==
+      composed.orderBy("vec_id").collect().map(_.getBoolean(1)).toSeq)
+  }
+
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
     val df = SparkEntry.queries("q08_topk")(spark, sf)
     assert(Inspect.explainString(df).contains("TakeOrderedAndProject"))
