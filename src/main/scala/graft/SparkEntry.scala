@@ -20,13 +20,13 @@ object SparkEntry {
       graft.queries.EventQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * Mirrors SURVEY §7.2's end-to-end slice: scan → filter (pushed) →
-    * broadcast join → partial+final agg → ordered result.
+    * Mirrors SURVEY §7.2's end-to-end slice: scan -> join -> partial+final
+    * agg -> ordered result (AQE picks the join strategy at runtime).
     */
   def entry(spark: SparkSession): DataFrame = {
     val d = "/root/testdata/sf0.001"
     Tables.lineitem(spark, d)
-      .join(broadcast(Tables.orders(spark, d)),
+      .join(Tables.orders(spark, d),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy("o_orderpriority")
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)

@@ -70,8 +70,9 @@ object Relational {
         .orderBy("l_orderkey", "l_linenumber")
     },
 
-    // 3-way join + agg (TPC-H Q3 shape): customer is small => broadcast;
-    // orders⋈lineitem shuffles on the join key, AQE handles skew.
+    // 3-way join + agg (TPC-H Q3 shape): all three tables scale with SF,
+    // so both joins shuffle on their keys; AQE demotes to broadcast /
+    // splits skewed partitions at runtime.
     Q(
       "q03_join_revenue",
       """SELECT c_mktsegment,
@@ -83,7 +84,10 @@ object Relational {
         |GROUP BY c_mktsegment
         |ORDER BY c_mktsegment""".stripMargin
     ) { (s, d) =>
-      val c = broadcast(Tables.customer(s, d))
+      // customer scales with SF: declare the join and let AQE pick
+      // broadcast at runtime when the filtered side is actually small
+      // (a forced broadcast would be a 10+ GB ship at 100 TB).
+      val c = Tables.customer(s, d)
       val o = Tables.orders(s, d)
         .filter(col("o_orderdate") < lit("1997-01-01 00:00:00").cast("timestamp"))
       val l = Tables.lineitem(s, d)
@@ -97,8 +101,9 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
-    // Broadcast dim join: part is a dimension table — broadcast it so the
-    // 100 TB fact side never shuffles.
+    // Filtered-dim join: the p_size predicate shrinks part; at runtime AQE
+    // converts the shuffle join to broadcast when the filtered side fits,
+    // so the 100 TB fact side avoids shuffling without a hardcoded hint.
     Q(
       "q04_broadcast_dim",
       """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
@@ -107,16 +112,19 @@ object Relational {
         |GROUP BY p_brand
         |ORDER BY p_brand""".stripMargin
     ) { (s, d) =>
+      // part scales with SF; the p_size filter shrinks it and AQE turns
+      // the shuffle join into a broadcast join at runtime when it fits.
       Tables.lineitem(s, d)
-        .join(broadcast(Tables.part(s, d).filter(col("p_size") <= 10)),
+        .join(Tables.part(s, d).filter(col("p_size") <= 10),
           col("l_partkey") === col("p_partkey"))
         .groupBy("p_brand")
         .agg(round(sum("l_quantity"), 2).as("sum_qty"), count(lit(1)).as("n"))
         .orderBy("p_brand")
     },
 
-    // 6-way star join (TPC-H Q5 shape): all dims broadcast, single shuffle
-    // for the final group-by.
+    // 6-way star join (TPC-H Q5 shape): nation/region are FIXED-size dims
+    // (25/5 rows at any SF) -> forced broadcast; customer/supplier/orders
+    // scale with SF -> shuffle joins that AQE may demote to broadcast.
     Q(
       "q05_star_join",
       """SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
@@ -132,7 +140,7 @@ object Relational {
       Tables.customer(s, d)
         .join(o, col("c_custkey") === col("o_custkey"))
         .join(l, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(Tables.supplier(s, d),
           col("l_suppkey") === col("s_suppkey")
             && col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.nation(s, d)),
