@@ -16,6 +16,25 @@ object EventQueries {
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
 
+  /** Non-SQL-expressible entries (rows-only driver check): multimodal
+    * decode plumbing — the featurize step runs per-partition via
+    * mapPartitions; not expressible as DuckDB SQL over the input tables. */
+  val multimodal: Seq[Q] = Seq(
+    Q.noOracle("q70_media_features") { (s, d) =>
+      val media = graft.multimodal.Multimodal.fakeMediaTable(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.multimodal.Multimodal.decodeAndFeaturize(media)
+        .orderBy("media_id")
+    },
+    Q.noOracle("q71_frame_sample") { (s, d) =>
+      val media = graft.multimodal.Multimodal.fakeMediaTable(
+        Tables.documents(s, d), "doc_id", "text")
+      graft.multimodal.Multimodal.sampleFrames(media, stride = 2)
+        .select(col("media_id"), col("kind"),
+          size(col("sampled_frames")).cast("long").as("n_sampled"))
+        .orderBy("media_id")
+    })
+
   val queries: Seq[Q] = Seq(
     // Tumbling 1-hour windows (batch form of streaming window agg).
     Q(

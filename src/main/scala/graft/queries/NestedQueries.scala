@@ -361,6 +361,73 @@ object NestedQueries {
         .orderBy("vec_id")
     },
 
+    // concatenate(axis=1) + argcartesian + local_index — reference
+    // operations.py:132-137, structure.py:83-122, 560-579.
+    Q(
+      "q37_concat_argcart",
+      """SELECT vec_id,
+        |  list_concat(embedding[1:2], embedding[3:4]) AS joined,
+        |  flatten(list_transform(range(0, 2),
+        |    i -> list_transform(range(0, 2), j -> {'c0': i, 'c1': j}))) AS argcart,
+        |  range(0, len(embedding[1:3])) AS lidx
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps
+      emb(s, d).filter(col("vec_id") < 100).select(
+        col("vec_id"),
+        ArrayOps.concatInner(slice(col("embedding"), 1, 2),
+          slice(col("embedding"), 3, 2)).as("joined"),
+        transform(ArrayOps.argcartesian(slice(col("embedding"), 1, 2),
+          slice(col("embedding"), 3, 2)),
+          p => struct(p.getField("c0").cast("long").as("c0"),
+            p.getField("c1").cast("long").as("c1"))).as("argcart"),
+        transform(ArrayOps.localIndex(slice(col("embedding"), 1, 3)),
+          i => i.cast("long")).as("lidx"))
+        .orderBy("vec_id")
+    },
+
+    // isclose + nan_to_num — reference structure.py:508-537, 600-616.
+    Q(
+      "q38_isclose_nan",
+      """SELECT vec_id,
+        |  abs(CAST(embedding[1] AS DOUBLE) - CAST(embedding[2] AS DOUBLE))
+        |    <= 1e-8 + 0.5 * abs(CAST(embedding[2] AS DOUBLE)) AS close_half,
+        |  CASE WHEN isnan('NaN'::DOUBLE) THEN 0.0 ELSE 'NaN'::DOUBLE END
+        |    AS nan_to_num0
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps
+      val a = col("embedding").getItem(0).cast("double")
+      val b = col("embedding").getItem(1).cast("double")
+      emb(s, d).filter(col("vec_id") < 100).select(
+        col("vec_id"),
+        ArrayOps.isclose(a, b, rtol = 0.5).as("close_half"),
+        ArrayOps.nanToNum(lit(Double.NaN)).as("nan_to_num0"))
+        .orderBy("vec_id")
+    },
+
+    // values_astype / strings_astype / enforce_type — reference
+    // structure.py:957-976, 860-868 (TODO there; native cast here),
+    // 1349-1368.
+    Q(
+      "q39_casts",
+      """SELECT vec_id,
+        |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS as_double,
+        |  list_transform(embedding[1:3], x -> CAST(round(x * 100, 0) AS BIGINT))
+        |    AS as_long,
+        |  CAST(substr(CAST(vec_id AS VARCHAR) || '7', 1, 10) AS BIGINT) AS parsed
+        |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val w = slice(col("embedding"), 1, 3)
+      emb(s, d).filter(col("vec_id") < 100).select(
+        col("vec_id"),
+        transform(w, x => x.cast("double")).as("as_double"),
+        transform(w, x => round(x * 100, 0).cast("long")).as("as_long"),
+        concat(col("vec_id").cast("string"), lit("7")).substr(1, 10)
+          .cast("long").as("parsed"))
+        .orderBy("vec_id")
+    },
+
     // Decimation sample — reference sample(factor=N) (lib/inspect.py:241-273):
     // deterministic every-Nth-row selection.
     Q(
