@@ -19,8 +19,12 @@ object Bench {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
 
-    def run(df: org.apache.spark.sql.DataFrame): Unit =
+    def run(df: org.apache.spark.sql.DataFrame): Unit = {
       df.write.format("noop").mode("overwrite").save()
+      // queries may persist() intermediates (e.g. LSH signatures); drop
+      // them so cache memory doesn't leak across measured queries
+      spark.catalog.clearCache()
+    }
 
     // Warm-up: JIT the parquet reader, codegen, shuffle machinery.
     run(SparkEntry.entry(spark))

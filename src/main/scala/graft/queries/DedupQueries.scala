@@ -214,7 +214,10 @@ object DedupQueries {
       // re-splitting + re-hashing the whole corpus twice
       val withSh = docs(s, d).select(col("doc_id"), sh.as("sh")).persist()
       val a = withSh.as("a")
-      val b = withSh.as("b")
+      // shuffle_hash: Spark's size estimate (from the parquet file) would
+      // broadcast the computed shingle table, which is orders of magnitude
+      // bigger than its source bytes — at 100 TB that broadcast is fatal.
+      val b = withSh.as("b").hint("shuffle_hash")
       a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
           round(TextOps.jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))

@@ -155,9 +155,12 @@ object NestedQueries {
         |      FROM embeddings) t
         |ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
-      emb(s, d).select(
-        col("vec_id"),
-        ArrayOps.runLengths(transform(col("embedding"), x => x > 0)).as("runs"))
+      // alias barrier: bind sgn as an attribute first — inlined, every
+      // element_at(i) inside runLengths would re-evaluate the whole
+      // transform(), turning O(n) into O(n^2) per row
+      emb(s, d)
+        .select(col("vec_id"), transform(col("embedding"), x => x > 0).as("sgn"))
+        .select(col("vec_id"), ArrayOps.runLengths(col("sgn")).as("runs"))
         .orderBy("vec_id")
     },
 

@@ -200,14 +200,18 @@ object TextQueries {
         |    sh -> md5(sh))) AS fp_minshingle
         |FROM documents ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val ws = TextOps.tokens(col("text"))
-      docs(s, d).select(
-        col("doc_id"),
-        md5(col("text")).as("fp_full"),
-        substring(md5(col("text")), 1, 8).as("fp8"),
-        array_min(transform(ws, w => md5(w))).as("fp_minword"),
-        array_min(transform(TextOps.shingles(ws, 3), sh => md5(sh)))
-          .as("fp_minshingle"))
+      // bind tokens + digest once (alias barrier) instead of re-splitting /
+      // re-hashing the text for each output column
+      docs(s, d)
+        .select(col("doc_id"), md5(col("text")).as("h"),
+          TextOps.tokens(col("text")).as("ws"))
+        .select(
+          col("doc_id"),
+          col("h").as("fp_full"),
+          substring(col("h"), 1, 8).as("fp8"),
+          array_min(transform(col("ws"), w => md5(w))).as("fp_minword"),
+          array_min(transform(TextOps.shingles(col("ws"), 3), sh => md5(sh)))
+            .as("fp_minshingle"))
         .orderBy("doc_id")
     }
   )
