@@ -89,8 +89,13 @@ object ArrayOps {
 
   /** Split a list into fixed-size chunks (unflatten with uniform counts). */
   def chunk(arr: Column, k: Int): Column =
-    transform(sequence(lit(0), greatest(ceil(size(arr) / lit(k.toDouble)).cast("int") - 1, lit(0))),
-      i => slice(arr, i * k + 1, lit(k)))
+    // empty input -> empty chunk list (type-correct empty: build-then-clip)
+    when(size(arr) === 0, slice(array(slice(arr, lit(1), lit(k))), 1, 0))
+      .otherwise(
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(arr) / lit(k.toDouble)).cast("int") - 1, lit(0))),
+          i => slice(arr, i * k + 1, lit(k))))
 
   /** Per-row n-choose-2 without replacement — reference `combinations(n=2)`
     * (structure.py:285-332). Pairs (x_i, x_j), i<j, in index order. */
@@ -115,8 +120,7 @@ object ArrayOps {
     * struct array gives a stable order because the index breaks ties. */
   def argsort(arr: Column): Column =
     transform(
-      array_sort(zip_with(arr, sequence(lit(0), size(arr) - 1),
-        (v, i) => struct(v.as("v"), i.as("i")))),
+      array_sort(transform(arr, (v, i) => struct(v.as("v"), i.as("i")))),
       s => s.getField("i"))
 
   /** Fully flatten any nesting to a 1-D list per row — reference `ravel`
@@ -139,8 +143,12 @@ object ArrayOps {
     * null for out-of-range (try_element_at), negative indices wrap like
     * numpy. */
   def gather(arr: Column, idxs: Column): Column =
-    transform(idxs, i =>
-      try_element_at(arr, when(i >= 0, i + 1).otherwise(size(arr) + i + 1)))
+    transform(idxs, i => {
+      val pos = when(i >= 0, i + 1).otherwise(size(arr) + i + 1)
+      // guard: a wrapped index can land on 0 (e.g. -1 into an empty list),
+      // which element_at rejects even in try_ form
+      try_element_at(arr, when(pos === 0, lit(null)).otherwise(pos))
+    })
 
   /** General per-row n-choose-k combinations (reference
     * `combinations(n)`, structure.py:285-332) built by recursive HOF

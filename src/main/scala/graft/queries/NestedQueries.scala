@@ -431,6 +431,44 @@ object NestedQueries {
         .orderBy("vec_id")
     },
 
+    // The engine's core identity end-to-end at query level: BUILD jagged
+    // nested rows from relational rows (collect_list of structs — one
+    // nested row per order, like the reference's points fixture), then
+    // apply the per-row nested operator surface over them. At scale this is
+    // one shuffle (the groupBy) and then a shuffle-free nested pipeline.
+    Q(
+      "q80_nested_roundtrip",
+      """WITH nested AS (
+        |  SELECT l_orderkey,
+        |    list({'ln': l_linenumber, 'qty': l_quantity, 'price': l_extendedprice}
+        |         ORDER BY l_linenumber, l_quantity, l_extendedprice) AS items
+        |  FROM lineitem GROUP BY l_orderkey)
+        |SELECT l_orderkey,
+        |  CAST(len(items) AS BIGINT) AS n_items,
+        |  items[1].qty AS first_qty,
+        |  round(list_sum(list_transform(items, x -> x.price)), 2) AS sum_price,
+        |  list_sort(list_transform(items, x -> x.qty)) AS qty_sorted,
+        |  CAST(len(items) * (len(items) - 1) // 2 AS BIGINT) AS n_pairs
+        |FROM nested ORDER BY l_orderkey""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.{ArrayOps, Reducers}
+      val nested = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(sort_array(collect_list(struct(
+          col("l_linenumber").as("ln"),
+          col("l_quantity").as("qty"),
+          col("l_extendedprice").as("price")))).as("items"))
+      nested.select(
+        col("l_orderkey"),
+        ArrayOps.num(col("items")).cast("long").as("n_items"),
+        ArrayOps.firsts(col("items")).getField("qty").as("first_qty"),
+        round(Reducers.sumArr(transform(col("items"), _.getField("price"))), 2)
+          .as("sum_price"),
+        array_sort(transform(col("items"), _.getField("qty"))).as("qty_sorted"),
+        size(ArrayOps.combinations2(col("items"))).cast("long").as("n_pairs"))
+        .orderBy("l_orderkey")
+    },
+
     // Decimation sample — reference sample(factor=N) (lib/inspect.py:241-273):
     // deterministic every-Nth-row selection.
     Q(

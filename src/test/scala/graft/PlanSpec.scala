@@ -70,6 +70,28 @@ class PlanSpec extends SparkSpec {
       composed.orderBy("vec_id").collect().map(_.getBoolean(1)).toSeq)
   }
 
+  test("nested schema pruning: one struct field from array<struct> prunes the scan") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString + "/pts"
+    pointsDF.write.mode("overwrite").parquet(dir)
+    // NOTE (documented parity gap): Spark's SchemaPruning does NOT see
+    // through HOF lambdas — transform(points, p => p.x) reads the full
+    // struct. Direct extraction (`points.x` = GetArrayStructFields) prunes;
+    // the engine idiom is: extract fields FIRST, then run HOFs on the
+    // extracted arrays (COVERAGE.md §2.2 note).
+    val pruned = spark.read.parquet(dir)
+      .select(col("row_id"), col("points.x").as("xs"))
+    val schemaStr = pruned.queryExecution.executedPlan.toString
+    assert(schemaStr.contains("struct<x:bigint>") &&
+      !schemaStr.contains("y:bigint"),
+      s"nested pruning missing: $schemaStr")
+    // and the pruned-extraction form feeds HOFs just fine
+    val summed = pruned.select(col("row_id"),
+      aggregate(col("xs"), lit(0L), (a, x) => a + x).as("sx"))
+    assert(summed.orderBy("row_id").collect().map(_.getLong(1)).toSeq ==
+      Seq(6L, 0L, 9L, 6L, 24L))
+  }
+
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
     val df = SparkEntry.queries("q08_topk")(spark, sf)
     assert(Inspect.explainString(df).contains("TakeOrderedAndProject"))

@@ -1,0 +1,101 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.functions.ArrayOps._
+
+/** Property-based laws for the structure ops (an improvement over the
+  * reference, which has no property testing — SURVEY §5). Each property
+  * evaluates the Column expression through Spark and checks an algebraic
+  * law against an independent Scala-collections computation. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Deterministic mini-forAll: the scalatest/scalacheck bridge isn't in
+    * the offline cache, so drive Gen directly with a fixed seed chain. */
+  private def forAll[T](gen: Gen[T], n: Int = 12)(f: T => Unit): Unit = {
+    var seed = Seed(42L)
+    (0 until n).foreach { _ =>
+      f(gen.pureApply(Gen.Parameters.default, seed))
+      seed = seed.next
+    }
+  }
+
+  private val smallList = Gen.listOfN(8, Gen.chooseNum(-50, 50))
+    .flatMap(l => Gen.chooseNum(0, 8).map(n => l.take(n)))
+
+  // batch multiple generated rows into ONE Spark job per property for speed
+  private def evalRows(rows: List[List[Int]],
+      expr: org.apache.spark.sql.Column): Seq[Any] = {
+    val df = rows.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+      .toDF("row_id", "xs")
+    df.orderBy("row_id").select(expr.as("v")).collect().toSeq.map(_.get(0))
+  }
+
+  test("law: flatten(unflatten(xs, counts)) == xs") {
+    forAll(Gen.listOfN(6, smallList)) { rows =>
+      val counts = rows.map(xs => if (xs.isEmpty) Seq[Int]() else {
+        // split xs into group sizes summing to length
+        val k = math.max(1, xs.length / 2)
+        Seq(k, xs.length - k).filter(_ > 0)
+      })
+      val df = rows.zip(counts).zipWithIndex
+        .map { case ((xs, cs), i) => (i.toLong, xs, cs) }
+        .toDF("row_id", "xs", "cs")
+      val got = df.orderBy("row_id")
+        .select(flatten(unflatten(col("xs"), col("cs"))).as("v"))
+        .collect().map(_.getSeq[Int](0)).toList
+      assert(got == rows.map(_.toList))
+    }
+  }
+
+  test("law: runLengths sums to list length; encodes runs") {
+    forAll(Gen.listOfN(6, smallList.map(_.map(_ % 3)))) { rows =>
+      val got = evalRows(rows, runLengths(col("xs")))
+        .map(v => seqOf(v).map(_.asInstanceOf[Long]))
+      rows.zip(got).foreach { case (xs, rl) =>
+        assert(rl.sum == xs.length)
+        // independent run-length encoding
+        val expected = xs.foldLeft(List.empty[(Int, Long)]) {
+          case ((v, n) :: rest, x) if v == x => (v, n + 1) :: rest
+          case (acc, x) => (x, 1L) :: acc
+        }.reverse.map(_._2)
+        assert(rl.toList == expected)
+      }
+    }
+  }
+
+  test("law: gather(sorted, argsort) == array_sort") {
+    forAll(Gen.listOfN(6, smallList)) { rows =>
+      val got = evalRows(rows, gather(col("xs"), argsort(col("xs"))))
+        .map(v => seqOf(v).map(_.asInstanceOf[Int]).toList)
+      assert(got == rows.map(_.sorted))
+    }
+  }
+
+  test("law: combinations2 has n*(n-1)/2 pairs, each i<j ordered") {
+    forAll(Gen.listOfN(6, smallList)) { rows =>
+      val got = evalRows(rows, size(combinations2(col("xs"))))
+        .map(_.asInstanceOf[Int])
+      assert(got.toList == rows.map(xs => xs.length * (xs.length - 1) / 2))
+    }
+  }
+
+  test("law: padNone(clip) always yields exactly target elements") {
+    forAll(Gen.listOfN(6, smallList)) { rows =>
+      val got = evalRows(rows, size(padNone(col("xs"), 5, clip = true)))
+        .map(_.asInstanceOf[Int])
+      assert(got.forall(_ == 5))
+    }
+  }
+
+  test("law: dropNone(maskArr(xs, m)) == filter by m") {
+    forAll(Gen.listOfN(6, smallList)) { rows =>
+      val m = transform(col("xs"), x => x > 0)
+      val got = evalRows(rows, dropNone(maskArr(col("xs"), m)))
+        .map(v => seqOf(v).map(_.asInstanceOf[Int]).toList)
+      assert(got == rows.map(_.filter(_ > 0)))
+    }
+  }
+}
