@@ -32,6 +32,37 @@ class StreamingSpec extends SparkSpec {
     } finally query.stop()
   }
 
+  test("file-stream source: batch query = streaming query on the same data") {
+    // drive the real events table as a file stream; the windowed streaming
+    // aggregate must agree with the batch twin (q60) on complete input
+    val sf = "/root/testdata/sf0.001"
+    val batchEvents = Tables.events(spark, sf)
+    val expected = batchEvents
+      .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_start"),
+        col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("hour_start", "event_type")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    batchEvents.select("ts", "event_type", "value").write
+      .mode("overwrite").parquet(dir)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(dir).schema)
+      .parquet(dir)
+    val agg = EventStreams.hourlyCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("file_hourly")
+      .outputMode("update").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("file_hourly")
+        .groupBy("hour_start", "event_type").agg(max("n").as("n"))
+        .orderBy("hour_start", "event_type")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSeq
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("sessionize: keyed state splits sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams._
