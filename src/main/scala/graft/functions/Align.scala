@@ -23,7 +23,7 @@ object Align {
     val schema = StructType(df.schema.fields :+
       StructField(name, LongType, nullable = false))
     df.sparkSession.createDataFrame(
-      df.rdd.zipWithIndex.map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
+      df.rdd.zipWithIndex().map { case (r, i) => Row.fromSeq(r.toSeq :+ i) },
       schema)
   }
 

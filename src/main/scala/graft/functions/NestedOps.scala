@@ -23,7 +23,7 @@ object NestedOps {
     dt match {
       case ArrayType(et, _) => transform(c, x => mapLeaves(x, et)(f))
       case st: StructType =>
-        struct(st.fields.map(fld =>
+        struct(st.fields.toIndexedSeq.map(fld =>
           mapLeaves(c.getField(fld.name), fld.dataType)(f).as(fld.name)): _*)
       case leaf => f(c, leaf)
     }
@@ -37,7 +37,7 @@ object NestedOps {
     dt match {
       case ArrayType(et, _) => zip_with(a, b, (x, y) => zipLeaves(x, y, et)(f))
       case st: StructType =>
-        struct(st.fields.map(fld =>
+        struct(st.fields.toIndexedSeq.map(fld =>
           zipLeaves(a.getField(fld.name), b.getField(fld.name), fld.dataType)(f)
             .as(fld.name)): _*)
       case _ => f(a, b)

@@ -99,6 +99,37 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // Second string-kernel family: capitalize/swapcase/title/center/
+    // count_substring/find_substring (str.py:27, 835, 851, 43, 63, 141) —
+    // the kernels without single-builtin Spark equivalents, built from
+    // codegen'd primitives (translate / pad / substr arithmetic).
+    Q(
+      "q47_str_kernels2",
+      """SELECT doc_id,
+        |  upper(substr(lang, 1, 1)) || lower(substr(lang, 2)) AS cap,
+        |  translate(source, 'abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |            'ABCDEFGHIJKLMNOPQRSTUVWXYZabcdefghijklmnopqrstuvwxyz') AS swapped,
+        |  array_to_string(list_transform(string_split(substr(text, 1, 20), ' '),
+        |    w -> upper(substr(w, 1, 1)) || lower(substr(w, 2))), ' ') AS titled,
+        |  CASE WHEN length(lang) >= 6 THEN lang
+        |       ELSE rpad(lpad(lang, CAST(length(lang) + (6 - length(lang)) // 2 AS INTEGER), '*'), 6, '*')
+        |  END AS centered,
+        |  CAST((length(text) - length(replace(text, 'an', ''))) / 2 AS BIGINT) AS n_an,
+        |  CAST(strpos(text, 'data') - 1 AS BIGINT) AS find_data
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.StrOps
+      docs(s, d).select(
+        col("doc_id"),
+        StrOps.capitalize2(col("lang")).as("cap"),
+        StrOps.swapcase(col("source")).as("swapped"),
+        StrOps.title(substring(col("text"), 1, 20)).as("titled"),
+        StrOps.center(col("lang"), 6, "*").as("centered"),
+        StrOps.countSubstring(col("text"), "an").cast("long").as("n_an"),
+        StrOps.findSubstring(col("text"), "data").cast("long").as("find_data"))
+        .orderBy("doc_id")
+    },
+
     // Token counting: whitespace + BPE-ish regex + type-token ratio.
     Q(
       "q43_tokens",
