@@ -48,6 +48,23 @@ class SourcesSpec extends SparkSpec {
       Seq("alpha", "beta", "gamma"))
   }
 
+  test("permissive JSON: corrupt lines land in _corrupt_record") {
+    import org.apache.spark.sql.types._
+    val dir = tmp("badjson")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(dir))
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      "{\"id\": 1}\nnot json at all\n{\"id\": 2}\n".getBytes)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("_corrupt_record", StringType)))
+    val df = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir)
+    val rows = df.collect()
+    assert(rows.count(_.isNullAt(1)) == 2)      // two good records
+    assert(rows.count(r => !r.isNullAt(1)) == 1) // one corrupt line captured
+  }
+
   test("tolerant parquet read skips corrupt files") {
     val dir = tmp("tolerant")
     Seq((1L, "x")).toDF("id", "s").write.mode("overwrite").parquet(dir)
