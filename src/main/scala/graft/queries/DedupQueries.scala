@@ -299,6 +299,109 @@ object DedupQueries {
         .orderBy(col("qid"), col("rdot").desc, col("vec_id"))
     },
 
+    // IVF-style ANN: coarse quantizer = 8 deterministic centroids; every
+    // vector is assigned to its nearest centroid (one scan, shuffle-free
+    // per row); a query probes its nprobe=2 nearest cells and ranks only
+    // those candidates. At 100 TB the assignment is a write-once partition
+    // key and each probe touches ~nprobe/nlist of the data.
+    Q(
+      "q58_ivf_ann",
+      """WITH cent AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings WHERE vec_id < 8),
+        |dots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE))) AS dot
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        |    FROM dots) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id ORDER BY dot DESC, cid) AS rn
+        |    FROM dots WHERE vec_id IN (10, 11, 12)) t WHERE rn <= 2),
+        |cand AS (
+        |  SELECT p.qid, a.vec_id FROM probes p
+        |  JOIN assign a ON a.cid = p.cid AND a.vec_id != p.qid),
+        |scored AS (
+        |  SELECT c.qid, c.vec_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))), 4) + 0
+        |      AS rdot
+        |  FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings q ON q.vec_id = c.qid)
+        |SELECT qid, vec_id, rdot FROM (
+        |  SELECT qid, vec_id, rdot,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rdot DESC, vec_id) AS rn
+        |  FROM scored) t WHERE rn <= 3
+        |ORDER BY qid, rdot DESC, vec_id""".stripMargin
+    ) { (s, d) =>
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val dots = e.crossJoin(broadcast(cent))
+        .select(col("vec_id"), col("cid"),
+          TextOps.dot(col("embedding"), col("cv")).as("dot"))
+      val byDot = Window.partitionBy("vec_id")
+        .orderBy(col("dot").desc, col("cid"))
+      val ranked = dots.withColumn("rn", row_number().over(byDot))
+      val assign = ranked.filter(col("rn") === 1).select("vec_id", "cid")
+      val probes = ranked.filter(col("vec_id").isin(10, 11, 12) && col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid"))
+      val cand = probes.join(assign.withColumnRenamed("vec_id", "cand_id"), "cid")
+        .filter(col("cand_id") =!= col("qid"))
+      val scored = cand
+        .join(e.select(col("vec_id").as("cand_id"), col("embedding").as("ev")),
+          "cand_id")
+        .join(broadcast(e.filter(col("vec_id").isin(10, 11, 12))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+        .select(col("qid"), col("cand_id").as("vec_id"),
+          (round(TextOps.dot(col("ev"), col("qv")), 4) + lit(0.0)).as("rdot"))
+      val topw = Window.partitionBy("qid").orderBy(col("rdot").desc, col("vec_id"))
+      scored.withColumn("rn", row_number().over(topw))
+        .filter(col("rn") <= 3)
+        .select("qid", "vec_id", "rdot")
+        .orderBy(col("qid"), col("rdot").desc, col("vec_id"))
+    },
+
+    // Embedding-cosine near-duplicate pairs from LSH buckets (the fourth
+    // dedup flavor): candidates restricted to a shared sign-bucket, kept
+    // when similarity clears a threshold.
+    Q(
+      "q59_cosine_dups",
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(0, 6), i ->
+        |      CASE WHEN embedding[i + 1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)
+        |      AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
+        |    AS rdot
+        |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val withB = emb(s, d).select(col("vec_id"), col("embedding"),
+        TextOps.signBucket(col("embedding"), 6).as("bucket")).persist()
+      val a = withB.as("a")
+      val b = withB.as("b").hint("shuffle_hash")
+      val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +
+        lit(0.0)
+      a.join(b, col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          rdot.as("rdot"))
+        .filter(col("rdot") > 0.15)
+        .orderBy("id_a", "id_b")
+    },
+
     // Embedding near-dup histogram: distribution of rounded cosine between
     // consecutive vectors (bounded deterministic candidate set).
     Q(
