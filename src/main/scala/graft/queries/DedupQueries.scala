@@ -402,6 +402,68 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Capstone pipeline: the composed training-data flow — quality filter
+    // -> MinHash bucket dedup (keep min doc per bucket) -> join embeddings
+    // -> per-language corpus stats. One shuffle per stage boundary; every
+    // per-row step is scan-local.
+    Q(
+      "q81_pipeline",
+      """WITH toks AS (
+        |  SELECT doc_id, lang, string_split(text, ' ') AS ws FROM documents),
+        |quality AS (
+        |  SELECT doc_id, lang, len(ws) AS nw FROM toks WHERE len(ws) >= 30),
+        |shr AS (
+        |  SELECT t.doc_id, unnest(list_transform(range(1, len(t.ws) - 1),
+        |           i -> array_to_string(t.ws[i:i+2], ' '))) AS s
+        |  FROM toks t JOIN quality q ON q.doc_id = t.doc_id),
+        |hv AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |sig AS (
+        |  SELECT doc_id, min((1000003 * h + 12345) % 4294967291) % 1024 AS bucket
+        |  FROM hv GROUP BY doc_id),
+        |kept AS (
+        |  SELECT bucket, min(doc_id) AS doc_id FROM sig GROUP BY bucket),
+        |enriched AS (
+        |  SELECT q.lang, q.nw,
+        |    sqrt(list_sum(list_transform(e.embedding,
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+        |  FROM kept k
+        |  JOIN quality q ON q.doc_id = k.doc_id
+        |  JOIN embeddings e ON e.vec_id = k.doc_id)
+        |SELECT lang, count(*) AS n_kept,
+        |  round(avg(CAST(nw AS DOUBLE)), 2) AS avg_words,
+        |  round(avg(nrm), 4) AS avg_norm
+        |FROM enriched GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val toks = docs(s, d).select(col("doc_id"), col("lang"),
+        TextOps.tokens(col("text")).as("ws"))
+      val quality = toks.filter(size(col("ws")) >= 30)
+        .select(col("doc_id"), col("lang"), size(col("ws")).as("nw"))
+      val shingleRows = toks
+        .join(quality.select("doc_id"), "doc_id")
+        .select(col("doc_id"),
+          explode(TextOps.shingles(col("ws"), 3)).as("sh"))
+      val h = call_function("md5_prefix64", col("sh"))
+      val sig = shingleRows.select(col("doc_id"), h.as("h"))
+        .groupBy("doc_id")
+        .agg((min((col("h") * 1000003L + 12345L) % 4294967291L) % 1024)
+          .as("bucket"))
+      val kept = sig.groupBy("bucket").agg(min("doc_id").as("doc_id"))
+      val enriched = kept
+        .join(quality, "doc_id")
+        .join(emb(s, d).select(col("vec_id").as("doc_id"),
+          TextOps.norm(col("embedding")).as("nrm")), "doc_id")
+      enriched.groupBy("lang")
+        .agg(count(lit(1)).as("n_kept"),
+          round(avg(col("nw").cast("double")), 2).as("avg_words"),
+          round(avg("nrm"), 4).as("avg_norm"))
+        .orderBy("lang")
+    },
+
     // Embedding near-dup histogram: distribution of rounded cosine between
     // consecutive vectors (bounded deterministic candidate set).
     Q(
