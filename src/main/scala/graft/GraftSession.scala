@@ -19,6 +19,11 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
 
-  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession =
-    builder(s"local[$cores]", cores).getOrCreate()
+  def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
+    val s = builder(s"local[$cores]", cores).getOrCreate()
+    // getOrCreate may have returned a pre-existing session built without
+    // our extensions — make the native functions available regardless
+    graft.plans.GraftExtensions.install(s)
+    s
+  }
 }

@@ -17,16 +17,8 @@ object StrOps {
   private val upperChars = "ABCDEFGHIJKLMNOPQRSTUVWXYZ"
 
   /** str.py:27 capitalize — first char upper, rest lower. */
-  def capitalize(c: Column): Column =
-    concat(upper(substring(c, 1, 1)), lower(expr(s"substring(${dummy(c)}, 2)")))
-
-  // substring from position 2 to end, without expr-string hackery:
-  private def restLower(c: Column): Column = lower(c.substr(lit(2), length(c)))
-  private def dummy(c: Column): String = "" // unused; see capitalize2
-
-  /** Preferred capitalize (no SQL-string round-trip). */
   def capitalize2(c: Column): Column =
-    concat(upper(c.substr(1, 1)), restLower(c))
+    concat(upper(c.substr(1, 1)), lower(c.substr(lit(2), length(c))))
 
   /** str.py:43 center — pad both sides to `width` (Python str.center rule:
     * left gets floor((width-len)/2), extra char goes right). */
@@ -129,4 +121,12 @@ object StrOps {
   /** str.py:835 swapcase — ASCII case flip via translate (codegen'd; no UDF). */
   def swapcase(c: Column): Column =
     translate(c, lowerChars + upperChars, upperChars + lowerChars)
+
+  /** str.py:123 extract_regex — first match's capture groups as a struct
+    * with the given field names (Arrow returns a struct array likewise). */
+  def extractRegex(c: Column, pattern: String, groups: Seq[String]): Column =
+    when(c.rlike(pattern),
+      struct(groups.zipWithIndex.map { case (g, i) =>
+        regexp_extract(c, pattern, i + 1).as(g)
+      }: _*))
 }

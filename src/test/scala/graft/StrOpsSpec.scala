@@ -86,6 +86,34 @@ class StrOpsSpec extends SparkSpec {
       lit("z"))) == Seq("x/y/z"))
   }
 
+  test("extractRegex returns a struct of named groups, null on no match") {
+    val df = strs("id=42;x", "nope")
+    val got = df.orderBy("row_id")
+      .select(StrOps.extractRegex(col("s"), "id=([0-9]+);([a-z])",
+        Seq("num", "tag")).as("r"))
+      .collect()
+    assert(got(0).getStruct(0).getString(0) == "42")
+    assert(got(0).getStruct(0).getString(1) == "x")
+    assert(got(1).isNullAt(0))
+  }
+
+  test("remaining char-class predicates") {
+    val df = strs("abc", "ABC 123", "\u00e9t\u00e9", "Title Case")
+    assert(eval1(df, StrOps.isAscii(col("s"))) ==
+      Seq(true, true, false, true))
+    assert(eval1(df, StrOps.isNumeric(col("s"))) ==
+      Seq(false, false, false, false))
+    assert(eval1(df, StrOps.isTitle(col("s"))) ==
+      Seq(false, false, false, true))
+  }
+
+  test("countSubstringRegex / replaceSubstring") {
+    val df = strs("ab1cd22ef333")
+    assert(eval1(df, StrOps.countSubstringRegex(col("s"), "[0-9]+")) == Seq(3))
+    assert(eval1(df, StrOps.replaceSubstring(col("s"), "22", "_")) ==
+      Seq("ab1cd_ef333"))
+  }
+
   test("center pads both sides (Python rule)") {
     val df = strs("ab", "abc", "abcdef")
     assert(eval1(df, StrOps.center(col("s"), 5, "*")) ==
