@@ -36,9 +36,17 @@ object SparkEntry {
       .orderBy("o_orderpriority")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Each entry
+    * installs the engine's native functions into whatever session it is
+    * handed, so the map works from sessions built without
+    * `spark.sql.extensions=graft.plans.GraftExtensions` too. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    all.map(q => q.name -> q.fn).toMap
+    all.map { q =>
+      q.name -> { (s: SparkSession, d: String) =>
+        graft.plans.GraftExtensions.install(s)
+        q.fn(s, d)
+      }
+    }.toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for non-SQL-expressible ops. */
