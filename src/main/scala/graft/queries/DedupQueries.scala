@@ -346,11 +346,17 @@ object DedupQueries {
       val dots = e.crossJoin(broadcast(cent))
         .select(col("vec_id"), col("cid"),
           TextOps.dot(col("embedding"), col("cv")).as("dot"))
+      // assignment as a max_by AGGREGATE (map-side partial combine) rather
+      // than a window rank — at scale the window would shuffle+sort all
+      // N x nlist scored rows; the aggregate shuffles one partial per
+      // (partition, vector). Ties break to the smaller centroid id.
+      val assign = dots.groupBy("vec_id")
+        .agg(max_by(col("cid"), struct(col("dot"), -col("cid"))).as("cid"))
       val byDot = Window.partitionBy("vec_id")
         .orderBy(col("dot").desc, col("cid"))
-      val ranked = dots.withColumn("rn", row_number().over(byDot))
-      val assign = ranked.filter(col("rn") === 1).select("vec_id", "cid")
-      val probes = ranked.filter(col("vec_id").isin(10, 11, 12) && col("rn") <= 2)
+      val probes = dots.filter(col("vec_id").isin(10, 11, 12))
+        .withColumn("rn", row_number().over(byDot))
+        .filter(col("rn") <= 2)
         .select(col("vec_id").as("qid"), col("cid"))
       val cand = probes.join(assign.withColumnRenamed("vec_id", "cand_id"), "cid")
         .filter(col("cand_id") =!= col("qid"))
