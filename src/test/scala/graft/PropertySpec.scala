@@ -90,6 +90,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: minhash is invariant under shingle permutation and duplication") {
+    import graft.functions.TextOps
+    val words = Gen.listOfN(12,
+      Gen.oneOf("spark", "join", "scan", "merge", "sort", "hash", "row"))
+    forAll(words, n = 8) { ws =>
+      val doc = ws.mkString(" ")
+      val shuffled = scala.util.Random.javaRandomToRandom(
+        new java.util.Random(7)).shuffle(ws)
+      val dupes = (shuffled ++ shuffled.take(3)).mkString(" ")
+      val df = List((0L, doc), (1L, dupes)).toDF("row_id", "t")
+      val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("t")), 1))
+      val mh = eval1(df, TextOps.minhash(sh, "s0"))
+      assert(mh(0) == mh(1), s"minhash not set-invariant for $ws")
+    }
+  }
+
+  test("law: simhash16 is invariant under token permutation") {
+    import graft.functions.TextOps
+    val words = Gen.listOfN(10,
+      Gen.oneOf("alpha", "beta", "gamma", "delta", "epsilon"))
+    forAll(words, n = 8) { ws =>
+      val perm = ws.reverse
+      val df = List((0L, ws.mkString(" ")), (1L, perm.mkString(" ")))
+        .toDF("row_id", "t")
+      val sh = eval1(df, TextOps.simhash16(TextOps.tokens(col("t"))))
+      assert(sh(0) == sh(1), s"simhash order-dependent for $ws")
+    }
+  }
+
   test("law: dropNone(maskArr(xs, m)) == filter by m") {
     forAll(Gen.listOfN(6, smallList)) { rows =>
       val m = transform(col("xs"), x => x > 0)
