@@ -39,4 +39,13 @@ object Behaviors {
       .putString("graft.record_name", name).build()
     c.as("value", meta)
   }
+
+  /** `with_parameter` (structure.py:1187-1231): arbitrary layout parameters
+    * carried as column metadata under a namespaced key. */
+  def withParameter(c: Column, key: String, value: String,
+      as: String = "value"): Column = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(s"graft.param.$key", value).build()
+    c.as(as, meta)
+  }
 }

@@ -58,4 +58,9 @@ object NestedOps {
     * (structure.py:479-505, 1234-1252, 672-690). */
   def fullLike(c: Column, dt: DataType, v: Column): Column =
     mapLeaves(c, dt)((_, _) => v)
+
+  /** Coerce a nested column to a target schema — reference `enforce_type`
+    * (structure.py:1349-1368). Spark's cast handles arbitrary nested
+    * retyping (array/struct recursion included). */
+  def enforceType(c: Column, to: DataType): Column = c.cast(to)
 }

@@ -45,8 +45,15 @@ object StrOps {
     * absent (Arrow semantics). */
   def findSubstring(c: Column, sub: String): Column = instr(c, sub) - 1
 
-  /** str.py:181 index_in / str.py:281 is_in — membership in a value set. */
+  /** str.py:281 is_in — membership in a value set. */
   def isIn(c: Column, values: Seq[String]): Column = c.isin(values: _*)
+
+  /** str.py:181 index_in — 0-based index of the value in the set, null if
+    * absent (Arrow semantics). */
+  def indexIn(c: Column, values: Seq[String]): Column = {
+    val pos = array_position(array(values.map(lit): _*), c)
+    when(pos > 0, pos - 1)
+  }
 
   /** char-class predicates str.py:201-381 (is_alnum, is_alpha, is_ascii,
     * is_decimal, is_digit, is_lower, is_numeric, is_printable, is_space,

@@ -31,6 +31,18 @@ class BehaviorsSpec extends SparkSpec {
       == "Point")
   }
 
+  test("withParameter / enforceType / indexIn completeness ops") {
+    import org.apache.spark.sql.types._
+    val df = Seq((0L, Seq(1, 2), "b"), (1L, Seq(3), "z")).toDF("row_id", "xs", "s")
+    val withP = df.select(graft.functions.Behaviors.withParameter(
+      col("xs"), "units", "GeV"))
+    assert(withP.schema.fields.head.metadata.getString("graft.param.units") == "GeV")
+    assert(eval1(df, graft.functions.NestedOps.enforceType(col("xs"),
+      ArrayType(DoubleType))).map(seqOf) == Seq(Seq(1.0, 2.0), Seq(3.0)))
+    assert(eval1(df, graft.functions.StrOps.indexIn(col("s"), Seq("a", "b", "c")))
+      == Seq(1L, null))
+  }
+
   test("gather: positive, negative, out-of-range indices") {
     val df = Seq((0L, Seq(10, 20, 30), Seq(2, 0, -1, 5))).toDF("row_id", "xs", "is")
     assert(eval1(df, ArrayOps.gather(col("xs"), col("is"))).map(seqOf) ==
