@@ -373,6 +373,40 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // The full window-function family: rank/dense_rank/ntile/lead/lag/
+    // running sum over frames (nothing in the reference crosses row
+    // boundaries — SURVEY §2.7).
+    Q(
+      "q85_window_family",
+      """SELECT o_orderkey, o_orderpriority,
+        |  rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(coalesce(lead(o_totalprice) OVER w, 0.0), 2) AS next_price,
+        |  round(sum(o_totalprice) OVER (PARTITION BY o_orderpriority
+        |    ORDER BY o_totalprice DESC, o_orderkey
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS run_sum
+        |FROM orders
+        |WHERE o_orderkey < 200
+        |WINDOW w AS (PARTITION BY o_orderpriority
+        |             ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, rnk, o_orderkey""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val framed = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.orders(s, d).filter(col("o_orderkey") < 200)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          ntile(4).over(w).as("quartile"),
+          round(coalesce(lead(col("o_totalprice"), 1).over(w), lit(0.0)), 2)
+            .as("next_price"),
+          round(sum("o_totalprice").over(framed), 2).as("run_sum"))
+        .orderBy("o_orderpriority", "rnk", "o_orderkey")
+    },
+
     // The statistical aggregates the reference stubs out (reducers.py TODOs)
     // — native single-pass partial+final aggregates in Spark.
     Q(

@@ -34,6 +34,34 @@ object EventStreams {
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
 
+  final case class Doc(doc_id: Long, bucket: Long)
+  final case class DedupDecision(doc_id: Long, bucket: Long, kept: Boolean)
+
+  /** Streaming near-duplicate suppression: documents arrive as a stream,
+    * each already tagged with its MinHash/LSH bucket (a per-row expression
+    * — see DedupQueries q52); keyed state keeps the first document per
+    * bucket and flags later arrivals as near-duplicates. State is one long
+    * per distinct bucket — bounded by the LSH band space, not the stream
+    * length. Batch twin: q52_lsh_pairs.
+    */
+  def dedupNearStream(docs: Dataset[Doc])(
+      implicit e1: org.apache.spark.sql.Encoder[Long],
+      e2: org.apache.spark.sql.Encoder[DedupDecision]): Dataset[DedupDecision] =
+    docs.groupByKey(_.bucket)
+      .flatMapGroupsWithState[Long, DedupDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (bucket: Long, ds: Iterator[Doc], state: GroupState[Long]) =>
+          val sorted = ds.toSeq.sortBy(_.doc_id)
+          var keeper = state.getOption
+          val out = sorted.map { d =>
+            val kept = keeper.isEmpty
+            if (kept) keeper = Some(d.doc_id)
+            DedupDecision(d.doc_id, bucket, kept)
+          }
+          keeper.foreach(state.update)
+          out.iterator
+      }
+
   final case class Ev(user_id: Long, event_id: Long, tsSec: Double)
   final case class SessionState(start: Double, last: Double, n: Long)
   final case class Session(user_id: Long, startSec: Double, endSec: Double,

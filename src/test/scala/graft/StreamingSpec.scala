@@ -63,6 +63,25 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup: first doc per LSH bucket kept, later flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    val mem = MemoryStream[Doc]
+    val decisions = EventStreams.dedupNearStream(mem.toDS())
+    val q = decisions.writeStream.format("memory").queryName("near_dup")
+      .outputMode("append").start()
+    try {
+      mem.addData(Doc(1, 100), Doc(2, 200), Doc(3, 100))
+      q.processAllAvailable()
+      mem.addData(Doc(4, 200), Doc(5, 300))   // 4 dups bucket 200 across batches
+      q.processAllAvailable()
+      val got = spark.table("near_dup").as[DedupDecision].collect()
+        .map(d => d.doc_id -> d.kept).toMap
+      assert(got == Map(1L -> true, 2L -> true, 3L -> false,
+        4L -> false, 5L -> true))
+    } finally q.stop()
+  }
+
   test("sessionize: keyed state splits sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams._
