@@ -90,6 +90,17 @@ object Reducers {
       size(arr)
   }
 
+  /** The reference's `mask_identity` / `keepdims` reducer flags (threaded
+    * through all reducers, e.g. reducers.py:521-524): mask_identity=true
+    * makes the empty-list reduction null instead of the monoid identity;
+    * keepdims wraps the result in a length-1 list. */
+  def withFlags(arr: Column, reduced: Column, maskIdentity: Boolean = false,
+      keepdims: Boolean = false): Column = {
+    val masked =
+      if (maskIdentity) when(size(arr) > 0, reduced) else reduced
+    if (keepdims) array(masked) else masked
+  }
+
   // ---- global (axis=0) — native Spark partial+final aggregates ---------
 
   /** reference global TODOs made real: corr (reducers.py:173-184),

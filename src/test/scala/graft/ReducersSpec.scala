@@ -63,6 +63,18 @@ class ReducersSpec extends SparkSpec {
     assert(math.abs(got(0)) < 1e-12)
   }
 
+  test("mask_identity and keepdims flags") {
+    val d = Seq((0L, Seq(1.0, 2.0)), (1L, Seq[Double]())).toDF("row_id", "xs")
+    // default: empty list reduces to the identity (0.0)
+    assert(eval1(d, sumArr(col("xs"))) == Seq(3.0, 0.0))
+    // mask_identity: empty -> null
+    assert(eval1(d, withFlags(col("xs"), sumArr(col("xs")),
+      maskIdentity = true)) == Seq(3.0, null))
+    // keepdims: wrap in length-1 list
+    assert(eval1(d, withFlags(col("xs"), sumArr(col("xs")),
+      keepdims = true)).map(seqOf) == Seq(Seq(3.0), Seq(0.0)))
+  }
+
   test("global stats are native aggregates") {
     val flat = df.select(explode(col("xs")).as("x"))
       .withColumn("y", col("x") * 2 + 1)
