@@ -35,6 +35,23 @@ object EventQueries {
         .orderBy("media_id")
     })
 
+  /** Sketch aggregates (HLL++ count-distinct, quantile sketch) — the
+    * scale path where exact distinct/percentile shuffles too much; no
+    * DuckDB oracle (different sketch algorithms give different estimates)
+    * so the driver records a rows-only check. Accuracy is asserted against
+    * exact values in SketchSpec instead. */
+  val sketches: Seq[Q] = Seq(
+    Q.noOracle("q91_sketches") { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_suppkey")).as("approx_supps"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
+            .as("approx_median_price"))
+        .orderBy("l_returnflag")
+    })
+
   val queries: Seq[Q] = Seq(
     // Tumbling 1-hour windows (batch form of streaming window agg).
     Q(
