@@ -99,6 +99,26 @@ object EventQueries {
         .orderBy("kmod")
     },
 
+    // Typed JSON parsing: from_json with an explicit schema (the
+    // reference's JSONSchema pushdown analogue at column level) — distinct
+    // from the path-string get_json_object in q62.
+    Q(
+      "q66_json_typed",
+      """SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 7 AS kmod7,
+        |       count(*) AS n,
+        |       CAST(min(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS kmin
+        |FROM events GROUP BY kmod7 ORDER BY kmod7""".stripMargin
+    ) { (s, d) =>
+      val parsed = from_json(col("props"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("k",
+            org.apache.spark.sql.types.LongType))))
+      ev(s, d).withColumn("p", parsed)
+        .groupBy((col("p.k") % 7).as("kmod7"))
+        .agg(count(lit(1)).as("n"), min(col("p.k")).as("kmin"))
+        .orderBy("kmod7")
+    },
+
     // Ordered window: gap to previous event per user (lag), average gap.
     Q(
       "q63_user_gaps",

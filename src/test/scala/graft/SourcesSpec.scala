@@ -48,6 +48,21 @@ class SourcesSpec extends SparkSpec {
       Seq("alpha", "beta", "gamma"))
   }
 
+  test("ORC and CSV round-trips (format breadth beyond the reference)") {
+    val data = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
+    val orcDir = tmp("orc")
+    data.write.mode("overwrite").orc(orcDir)
+    val orcBack = spark.read.orc(orcDir).orderBy("id")
+    assert(orcBack.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    val csvDir = tmp("csv")
+    data.write.mode("overwrite").option("header", true).csv(csvDir)
+    val csvBack = spark.read.option("header", true).option("inferSchema", true)
+      .csv(csvDir).orderBy("id")
+    assert(csvBack.collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1, "a", 1.5), (2, "b", 2.5)))
+  }
+
   test("permissive JSON: corrupt lines land in _corrupt_record") {
     import org.apache.spark.sql.types._
     val dir = tmp("badjson")
