@@ -373,6 +373,25 @@ object Relational {
         .orderBy("l_returnflag")
     },
 
+    // Grouped top-k WITHOUT a window: collect -> sort -> slice per group
+    // (for true 100 TB scale, Aggregators.MinKAgg keeps state bounded at k
+    // instead of the full group — same result shape).
+    Q(
+      "q86_group_topk",
+      """SELECT l_returnflag,
+        |  (list_sort(list(l_extendedprice)))[1:3] AS low3,
+        |  round((list_sort(list(l_extendedprice)))[1], 2) AS lowest
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    ) { (s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(slice(sort_array(collect_list(col("l_extendedprice"))), 1, 3)
+          .as("low3"))
+        .select(col("l_returnflag"), col("low3"),
+          round(element_at(col("low3"), 1), 2).as("lowest"))
+        .orderBy("l_returnflag")
+    },
+
     // The full window-function family: rank/dense_rank/ntile/lead/lag/
     // running sum over frames (nothing in the reference crosses row
     // boundaries — SURVEY §2.7).
