@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: graft.Bench must end stdout with ONE parseable JSON
+// line. Two sbt behaviors break that — the logger's "[info] " prefix on
+// forked-process output, and the trailing "[success] Total time: ..."
+// line. Pass forked stdout through raw and drop the success banner.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
