@@ -10,10 +10,24 @@ object Verify {
     val spark = GraftSession.local(cpus)
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    var complexCols = List.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
       try {
-        fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-          .parquet(s"$outDir/$name")
+        val df = fn(spark, sfDir)
+        // The driver's checker pandas-sorts result rows over ALL columns;
+        // an array/struct/map cell crashes that sort (unhashable
+        // numpy.ndarray) and voids the query's correctness row. Gate
+        // outputs must be scalar — serialize lists via graft.queries.Ser.
+        df.schema.fields.foreach { f =>
+          f.dataType match {
+            case _: org.apache.spark.sql.types.ArrayType |
+                 _: org.apache.spark.sql.types.StructType |
+                 _: org.apache.spark.sql.types.MapType =>
+              complexCols ::= s"$name.${f.name}: ${f.dataType.simpleString}"
+            case _ =>
+          }
+        }
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
         spark.catalog.clearCache()
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
@@ -35,5 +49,10 @@ object Verify {
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    if (complexCols.nonEmpty) {
+      complexCols.foreach(c =>
+        System.err.println(s"[verify] NON-SCALAR OUTPUT (driver-uncheckable): $c"))
+      sys.exit(2)
+    }
   }
 }

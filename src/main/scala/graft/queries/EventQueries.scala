@@ -23,7 +23,11 @@ object EventQueries {
     Q.noOracle("q70_media_features") { (s, d) =>
       val media = graft.multimodal.Multimodal.fakeMediaTable(
         Tables.documents(s, d), "doc_id", "text")
+      // features serialized: the driver's rows-only check still pandas-sorts
+      // output columns, and an array cell crashes that sort
       graft.multimodal.Multimodal.decodeAndFeaturize(media)
+        .select(col("media_id"), col("n_bytes"),
+          Ser.js(col("features")).as("features_json"))
         .orderBy("media_id")
     },
     Q.noOracle("q71_frame_sample") { (s, d) =>

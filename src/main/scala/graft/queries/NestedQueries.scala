@@ -68,30 +68,31 @@ object NestedQueries {
     // (core.py:1545-1583).
     Q(
       "q22_arr_sort",
-      """SELECT vec_id, list_sort(embedding[1:8]) AS sorted8,
-        |       embedding[1] AS first_val, embedding[3:5] AS mid
+      s"""SELECT vec_id, ${Ser.sqlJsFp("list_sort(embedding[1:8])")} AS sorted8,
+        |       embedding[1] AS first_val,
+        |       ${Ser.sqlJsFp("embedding[3:5]")} AS mid
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       emb(s, d).filter(col("vec_id") < 100).select(
         col("vec_id"),
-        array_sort(slice(col("embedding"), 1, 8)).as("sorted8"),
+        Ser.jsfp(array_sort(slice(col("embedding"), 1, 8))).as("sorted8"),
         ArrayOps.firsts(col("embedding")).as("first_val"),
-        slice(col("embedding"), 3, 3).as("mid"))
+        Ser.jsfp(slice(col("embedding"), 3, 3)).as("mid"))
         .orderBy("vec_id")
     },
 
     // argsort — reference argsort(axis=-1) (structure.py:187-204).
     Q(
       "q23_argsort",
-      """SELECT vec_id,
-        |  list_transform(list_sort(list_zip(embedding[1:8], range(0, 8))),
-        |                 p -> p[2]) AS idx
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJs("list_transform(list_sort(list_zip(embedding[1:8], " +
+             "range(0, 8))), p -> p[2])")} AS idx
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       emb(s, d).filter(col("vec_id") < 100).select(
         col("vec_id"),
-        transform(ArrayOps.argsort(slice(col("embedding"), 1, 8)),
-          i => i.cast("long")).as("idx"))
+        Ser.js(transform(ArrayOps.argsort(slice(col("embedding"), 1, 8)),
+          i => i.cast("long"))).as("idx"))
         .orderBy("vec_id")
     },
 
@@ -143,14 +144,14 @@ object NestedQueries {
     // run_lengths — reference structure.py:775-798 (runs of the sign bit).
     Q(
       "q26_run_lengths",
-      """SELECT vec_id,
-        |  list_transform(
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJs("""list_transform(
         |    list_zip(
         |      list_filter(range(1, len(sgn)+1), i -> i = 1 OR sgn[i] != sgn[i-1]),
         |      list_concat(
         |        list_filter(range(1, len(sgn)+1), i -> i = 1 OR sgn[i] != sgn[i-1])[2:],
         |        [len(sgn)+1])),
-        |    p -> p[2] - p[1]) AS runs
+        |    p -> p[2] - p[1])""")} AS runs
         |FROM (SELECT vec_id, list_transform(embedding, x -> x > 0) AS sgn
         |      FROM embeddings) t
         |ORDER BY vec_id""".stripMargin
@@ -160,7 +161,7 @@ object NestedQueries {
       // transform(), turning O(n) into O(n^2) per row
       emb(s, d)
         .select(col("vec_id"), transform(col("embedding"), x => x > 0).as("sgn"))
-        .select(col("vec_id"), ArrayOps.runLengths(col("sgn")).as("runs"))
+        .select(col("vec_id"), Ser.js(ArrayOps.runLengths(col("sgn"))).as("runs"))
         .orderBy("vec_id")
     },
 
@@ -168,22 +169,22 @@ object NestedQueries {
     // structure.py:715-750, 350-374, 377-397, 540-557.
     Q(
       "q27_pad_fill",
-      """SELECT vec_id,
-        |  list_resize(embedding[1:3], 5) AS padded,
-        |  list_transform(list_resize(embedding[1:3], 5),
-        |                 x -> coalesce(CAST(x AS DOUBLE), CAST(0 AS DOUBLE))) AS filled,
-        |  list_transform(list_resize(embedding[1:3], 5), x -> x IS NULL) AS isnone,
-        |  list_filter(list_resize(embedding[1:3], 5), x -> x IS NOT NULL) AS dropped
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJsFp("list_resize(embedding[1:3], 5)")} AS padded,
+        |  ${Ser.sqlJsFp("""list_transform(list_resize(embedding[1:3], 5),
+        |                 x -> coalesce(CAST(x AS DOUBLE), CAST(0 AS DOUBLE)))""")} AS filled,
+        |  ${Ser.sqlJs("list_transform(list_resize(embedding[1:3], 5), x -> x IS NULL)")} AS isnone,
+        |  ${Ser.sqlJsFp("list_filter(list_resize(embedding[1:3], 5), x -> x IS NOT NULL)")} AS dropped
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       val arr3 = slice(col("embedding"), 1, 3)
       val padded = ArrayOps.padNone(arr3, 5)
       emb(s, d).filter(col("vec_id") < 100).select(
         col("vec_id"),
-        padded.as("padded"),
-        transform(padded, x => coalesce(dbl(x), lit(0.0))).as("filled"),
-        ArrayOps.isNone(padded).as("isnone"),
-        ArrayOps.dropNone(padded).as("dropped"))
+        Ser.jsfp(padded).as("padded"),
+        Ser.jsfp(transform(padded, x => coalesce(dbl(x), lit(0.0)))).as("filled"),
+        Ser.js(ArrayOps.isNone(padded)).as("isnone"),
+        Ser.jsfp(ArrayOps.dropNone(padded)).as("dropped"))
         .orderBy("vec_id")
     },
 
@@ -191,9 +192,9 @@ object NestedQueries {
     // (structure.py:898-922) and to_regular-style regrouping.
     Q(
       "q28_chunk_roundtrip",
-      """SELECT vec_id,
+      s"""SELECT vec_id,
         |  CAST(len(chunks) AS BIGINT) AS n_chunks,
-        |  list_transform(chunks, c -> CAST(len(c) AS BIGINT)) AS sizes,
+        |  ${Ser.sqlJs("list_transform(chunks, c -> CAST(len(c) AS BIGINT))")} AS sizes,
         |  flatten(chunks) = embedding AS ok
         |FROM (SELECT vec_id, embedding,
         |        list_transform(range(0, CAST(ceil(len(embedding)/16.0) AS BIGINT)),
@@ -205,7 +206,7 @@ object NestedQueries {
       emb(s, d).select(
         col("vec_id"),
         size(chunks).cast("long").as("n_chunks"),
-        transform(chunks, c => size(c).cast("long")).as("sizes"),
+        Ser.js(transform(chunks, c => size(c).cast("long"))).as("sizes"),
         (flatten(chunks) === col("embedding")).as("ok"))
         .orderBy("vec_id")
     },
@@ -215,17 +216,17 @@ object NestedQueries {
     // (core.py:1545-1583, `arr[:, ::2]`).
     Q(
       "q29_stride_slice",
-      """SELECT vec_id,
-        |  list_transform(range(0, (len(embedding)+1)//2),
-        |                 k -> embedding[2*k+1]) AS evens
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJsFp("""list_transform(range(0, (len(embedding)+1)//2),
+        |                 k -> embedding[2*k+1])""")} AS evens
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       val zipped = transform(col("embedding"),
         (x, i) => struct(x.as("v"), i.as("i")))
       emb(s, d).filter(col("vec_id") < 100).select(
         col("vec_id"),
-        transform(filter(zipped, p => p.getField("i") % 2 === 0),
-          p => p.getField("v")).as("evens"))
+        Ser.jsfp(transform(filter(zipped, p => p.getField("i") % 2 === 0),
+          p => p.getField("v"))).as("evens"))
         .orderBy("vec_id")
     },
 
@@ -233,12 +234,12 @@ object NestedQueries {
     // structure.py:979-1034, 582-597, 400-425, 801-825.
     Q(
       "q30_where_mask",
-      """SELECT vec_id,
-        |  list_transform(w, v -> CASE WHEN v > 0 THEN v ELSE -v END) AS absx,
-        |  list_transform(w, v -> CASE WHEN v > 0 THEN v END) AS masked,
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJsFp("list_transform(w, v -> CASE WHEN v > 0 THEN v ELSE -v END)")} AS absx,
+        |  ${Ser.sqlJsFp("list_transform(w, v -> CASE WHEN v > 0 THEN v END)")} AS masked,
         |  list_filter(w, v -> v > 0)[1] AS first_pos,
-        |  CASE WHEN list_filter(w, v -> v > 0)[1] IS NULL THEN []
-        |       ELSE [list_filter(w, v -> v > 0)[1]] END AS single
+        |  ${Ser.sqlJsFp("""CASE WHEN list_filter(w, v -> v > 0)[1] IS NULL THEN []
+        |       ELSE [list_filter(w, v -> v > 0)[1]] END""")} AS single
         |FROM (SELECT vec_id, embedding[1:4] AS w FROM embeddings) t
         |ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
@@ -247,10 +248,10 @@ object NestedQueries {
       val firstPos = ArrayOps.firsts(ArrayOps.dropNone(ArrayOps.maskArr(w, cond)))
       emb(s, d).select(
         col("vec_id"),
-        ArrayOps.whereArr(cond, w, transform(w, v => -v)).as("absx"),
-        ArrayOps.maskArr(w, cond).as("masked"),
+        Ser.jsfp(ArrayOps.whereArr(cond, w, transform(w, v => -v))).as("absx"),
+        Ser.jsfp(ArrayOps.maskArr(w, cond)).as("masked"),
         firstPos.as("first_pos"),
-        ArrayOps.singletons(firstPos).as("single"))
+        Ser.jsfp(ArrayOps.singletons(firstPos)).as("single"))
         .orderBy("vec_id")
     },
 
@@ -281,8 +282,8 @@ object NestedQueries {
     // (reducers.py:464-473, 559-589, 484-514, 404-415) made real.
     Q(
       "q32_softmax_moments",
-      """SELECT vec_id,
-        |  list_transform(w, x -> round(exp(CAST(x AS DOUBLE)) / d, 6)) AS soft,
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJs("list_transform(w, x -> CAST(round(exp(CAST(x AS DOUBLE)) / d * 1000000) AS BIGINT))")} AS soft,
         |  round(v * 8 / 7, 6) AS var1,
         |  round(sqrt(v), 6) AS sd0,
         |  round(m3, 6) + 0 AS mom3
@@ -299,7 +300,7 @@ object NestedQueries {
       val w = slice(col("embedding"), 1, 8)
       emb(s, d).select(
         col("vec_id"),
-        transform(Reducers.softmaxArr(w), x => round(x, 6)).as("soft"),
+        Ser.jsfp(Reducers.softmaxArr(w)).as("soft"),
         round(Reducers.varArr(w, ddof = 1), 6).as("var1"),
         round(Reducers.stdArr(w), 6).as("sd0"),
         (round(Reducers.momentArr(w, 3), 6) + lit(0.0)).as("mom3"))
@@ -341,13 +342,13 @@ object NestedQueries {
     // (reducers.py:71-102/37-68) + int-array gather (core.py:1368-1383).
     Q(
       "q36_ufunc_math",
-      """SELECT vec_id,
-        |  list_transform(w, x -> round(sin(CAST(x AS DOUBLE)), 6)) AS sins,
-        |  list_transform(w, x -> round(exp(CAST(x AS DOUBLE)), 6)) AS exps,
-        |  list_transform(w, x -> round(sqrt(abs(CAST(x AS DOUBLE))), 6)) AS roots,
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJsFp("list_transform(w, x -> sin(CAST(x AS DOUBLE)))")} AS sins,
+        |  ${Ser.sqlJsFp("list_transform(w, x -> exp(CAST(x AS DOUBLE)))")} AS exps,
+        |  ${Ser.sqlJsFp("list_transform(w, x -> sqrt(abs(CAST(x AS DOUBLE))))")} AS roots,
         |  len(list_filter(w, x -> x > 0)) > 0 AS any_pos,
         |  len(list_filter(w, x -> x <= 0)) = 0 AS all_pos,
-        |  [w[2], w[4], w[len(w)]] AS gathered
+        |  ${Ser.sqlJsFp("[w[2], w[4], w[len(w)]]")} AS gathered
         |FROM (SELECT vec_id, embedding[1:6] AS w FROM embeddings) t
         |ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
@@ -355,12 +356,12 @@ object NestedQueries {
       val w = slice(col("embedding"), 1, 6)
       emb(s, d).select(
         col("vec_id"),
-        transform(w, x => round(sin(dbl(x)), 6)).as("sins"),
-        transform(w, x => round(exp(dbl(x)), 6)).as("exps"),
-        transform(w, x => round(sqrt(abs(dbl(x))), 6)).as("roots"),
+        Ser.jsfp(transform(w, x => sin(dbl(x)))).as("sins"),
+        Ser.jsfp(transform(w, x => exp(dbl(x)))).as("exps"),
+        Ser.jsfp(transform(w, x => sqrt(abs(dbl(x))))).as("roots"),
         exists(w, x => x > 0).as("any_pos"),
         forall(w, x => x > 0).as("all_pos"),
-        ArrayOps.gather(w, array(lit(1), lit(3), lit(-1))).as("gathered"))
+        Ser.jsfp(ArrayOps.gather(w, array(lit(1), lit(3), lit(-1)))).as("gathered"))
         .orderBy("vec_id")
     },
 
@@ -368,24 +369,24 @@ object NestedQueries {
     // operations.py:132-137, structure.py:83-122, 560-579.
     Q(
       "q37_concat_argcart",
-      """SELECT vec_id,
-        |  list_concat(embedding[1:2], embedding[3:4]) AS joined,
-        |  flatten(list_transform(range(0, 2),
-        |    i -> list_transform(range(0, 2), j -> {'c0': i, 'c1': j}))) AS argcart,
-        |  range(0, len(embedding[1:3])) AS lidx
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJsFp("list_concat(embedding[1:2], embedding[3:4])")} AS joined,
+        |  ${Ser.sqlJs("""flatten(list_transform(range(0, 2),
+        |    i -> list_transform(range(0, 2), j -> {'c0': i, 'c1': j})))""")} AS argcart,
+        |  ${Ser.sqlJs("range(0, len(embedding[1:3]))")} AS lidx
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       import graft.functions.ArrayOps
       emb(s, d).filter(col("vec_id") < 100).select(
         col("vec_id"),
-        ArrayOps.concatInner(slice(col("embedding"), 1, 2),
-          slice(col("embedding"), 3, 2)).as("joined"),
-        transform(ArrayOps.argcartesian(slice(col("embedding"), 1, 2),
+        Ser.jsfp(ArrayOps.concatInner(slice(col("embedding"), 1, 2),
+          slice(col("embedding"), 3, 2))).as("joined"),
+        Ser.js(transform(ArrayOps.argcartesian(slice(col("embedding"), 1, 2),
           slice(col("embedding"), 3, 2)),
           p => struct(p.getField("c0").cast("long").as("c0"),
-            p.getField("c1").cast("long").as("c1"))).as("argcart"),
-        transform(ArrayOps.localIndex(slice(col("embedding"), 1, 3)),
-          i => i.cast("long")).as("lidx"))
+            p.getField("c1").cast("long").as("c1")))).as("argcart"),
+        Ser.js(transform(ArrayOps.localIndex(slice(col("embedding"), 1, 3)),
+          i => i.cast("long"))).as("lidx"))
         .orderBy("vec_id")
     },
 
@@ -414,9 +415,9 @@ object NestedQueries {
     // 1349-1368.
     Q(
       "q39_casts",
-      """SELECT vec_id,
-        |  list_transform(embedding[1:3], x -> CAST(x AS DOUBLE)) AS as_double,
-        |  list_transform(embedding[1:3], x -> CAST(round(x * 100, 0) AS BIGINT))
+      s"""SELECT vec_id,
+        |  ${Ser.sqlJsFp("embedding[1:3]")} AS as_double,
+        |  ${Ser.sqlJs("list_transform(embedding[1:3], x -> CAST(round(x * 100, 0) AS BIGINT))")}
         |    AS as_long,
         |  CAST(substr(CAST(vec_id AS VARCHAR) || '7', 1, 10) AS BIGINT) AS parsed
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
@@ -424,8 +425,8 @@ object NestedQueries {
       val w = slice(col("embedding"), 1, 3)
       emb(s, d).filter(col("vec_id") < 100).select(
         col("vec_id"),
-        transform(w, x => x.cast("double")).as("as_double"),
-        transform(w, x => round(x * 100, 0).cast("long")).as("as_long"),
+        Ser.jsfp(transform(w, x => x.cast("double"))).as("as_double"),
+        Ser.js(transform(w, x => round(x * 100, 0).cast("long"))).as("as_long"),
         concat(col("vec_id").cast("string"), lit("7")).substr(1, 10)
           .cast("long").as("parsed"))
         .orderBy("vec_id")
@@ -438,7 +439,7 @@ object NestedQueries {
     // one shuffle (the groupBy) and then a shuffle-free nested pipeline.
     Q(
       "q80_nested_roundtrip",
-      """WITH nested AS (
+      s"""WITH nested AS (
         |  SELECT l_orderkey,
         |    list({'ln': l_linenumber, 'qty': l_quantity, 'price': l_extendedprice}
         |         ORDER BY l_linenumber, l_quantity, l_extendedprice) AS items
@@ -447,7 +448,7 @@ object NestedQueries {
         |  CAST(len(items) AS BIGINT) AS n_items,
         |  items[1].qty AS first_qty,
         |  round(list_sum(list_transform(items, x -> x.price)), 2) AS sum_price,
-        |  list_sort(list_transform(items, x -> x.qty)) AS qty_sorted,
+        |  ${Ser.sqlJsFp("list_sort(list_transform(items, x -> x.qty))", 100L)} AS qty_sorted,
         |  CAST(len(items) * (len(items) - 1) // 2 AS BIGINT) AS n_pairs
         |FROM nested ORDER BY l_orderkey""".stripMargin
     ) { (s, d) =>
@@ -464,7 +465,8 @@ object NestedQueries {
         ArrayOps.firsts(col("items")).getField("qty").as("first_qty"),
         round(Reducers.sumArr(transform(col("items"), _.getField("price"))), 2)
           .as("sum_price"),
-        array_sort(transform(col("items"), _.getField("qty"))).as("qty_sorted"),
+        Ser.jsfp(array_sort(transform(col("items"), _.getField("qty"))), 100L)
+          .as("qty_sorted"),
         size(ArrayOps.combinations2(col("items"))).cast("long").as("n_pairs"))
         .orderBy("l_orderkey")
     },

@@ -359,9 +359,9 @@ object Relational {
     // determinism).
     Q(
       "q19_collect",
-      """SELECT l_returnflag,
+      s"""SELECT l_returnflag,
         |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
-        |  list_sort(list(DISTINCT l_linestatus)) AS status_arr
+        |  ${Ser.sqlJs("list_sort(list(DISTINCT l_linestatus))")} AS status_arr
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
       Tables.lineitem(s, d)
@@ -369,26 +369,31 @@ object Relational {
         .agg(
           array_join(sort_array(collect_set(col("l_linestatus"))), ",")
             .as("statuses"),
-          sort_array(collect_set(col("l_linestatus"))).as("status_arr"))
+          Ser.js(sort_array(collect_set(col("l_linestatus")))).as("status_arr"))
         .orderBy("l_returnflag")
     },
 
-    // Grouped top-k WITHOUT a window: collect -> sort -> slice per group
-    // (for true 100 TB scale, Aggregators.MinKAgg keeps state bounded at k
-    // instead of the full group — same result shape).
+    // Grouped top-k on BOUNDED state: Aggregators.MinKAgg keeps k values
+    // per aggregation buffer (never the whole group), so a skewed key at
+    // 100 TB costs O(k) executor memory instead of the OOM the
+    // collect_list->sort->slice form risks. Prices are quantized to cents
+    // (exact for 2-decimal money) so the bounded state is integer.
     Q(
       "q86_group_topk",
-      """SELECT l_returnflag,
-        |  (list_sort(list(l_extendedprice)))[1:3] AS low3,
-        |  round((list_sort(list(l_extendedprice)))[1], 2) AS lowest
+      s"""SELECT l_returnflag,
+        |  ${Ser.sqlJs("list_transform((list_sort(list(l_extendedprice)))[1:3], " +
+             "x -> CAST(round(x * 100) AS BIGINT))")} AS low3,
+        |  round(min(l_extendedprice), 2) AS lowest
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
+      val min3 = udaf(new graft.functions.Aggregators.MinKAgg(3),
+        org.apache.spark.sql.Encoders.scalaLong)
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(slice(sort_array(collect_list(col("l_extendedprice"))), 1, 3)
-          .as("low3"))
-        .select(col("l_returnflag"), col("low3"),
-          round(element_at(col("low3"), 1), 2).as("lowest"))
+        .agg(
+          Ser.js(min3(round(col("l_extendedprice") * 100).cast("long")))
+            .as("low3"),
+          round(min(col("l_extendedprice")), 2).as("lowest"))
         .orderBy("l_returnflag")
     },
 
