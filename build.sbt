@@ -36,4 +36,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+  // Whole-stage codegen emits fresh classes per query; a 70+-query run in
+  // one JVM overflows the default 240 MB JIT code cache, after which the
+  // compiler shuts off and later queries run interpreted (10-70x slower,
+  // and WHICH queries degrade depends on run order — the round-1 bench
+  // variance). Size it so the full suite stays JIT-compiled.
+  "-XX:ReservedCodeCacheSize=1g",
+) ++ sys.env.get("GRAFT_JAVA_OPTS").map(_.split(" ").toSeq).getOrElse(Nil)

@@ -130,6 +130,12 @@ object DedupQueries {
         posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
           .as(Seq("band", "key")))
         .persist()
+      // Materialize the cache EAGERLY: AQE submits the self-join's two
+      // map stages concurrently, and on a lazy persist both race to find
+      // the cache empty and each computes the full signature subtree —
+      // double work plus block-manager contention. One count() up front
+      // means one compute, then two cache reads.
+      bands.count()
       val a = bands.as("a")
       val b = bands.as("b")
       a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
@@ -210,9 +216,11 @@ object DedupQueries {
         |ORDER BY id_a""".stripMargin
     ) { (s, d) =>
       val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
-      // persist: both join sides reuse one computed shingle table instead of
-      // re-splitting + re-hashing the whole corpus twice
-      val withSh = docs(s, d).select(col("doc_id"), sh.as("sh")).persist()
+      // No persist: the shingle build is split+concat only (no hashing), so
+      // recomputing it per join side is cheaper and far lower-variance than
+      // the cache machinery (a lazily-persisted self-join races both AQE
+      // map stages into computing the cache anyway).
+      val withSh = docs(s, d).select(col("doc_id"), sh.as("sh"))
       val a = withSh.as("a")
       // shuffle_hash: Spark's size estimate (from the parquet file) would
       // broadcast the computed shingle table, which is orders of magnitude
@@ -394,8 +402,10 @@ object DedupQueries {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
+      // No persist: signBucket is a handful of element_at's per row —
+      // recomputing per join side beats cache traffic (see q54 note).
       val withB = emb(s, d).select(col("vec_id"), col("embedding"),
-        TextOps.signBucket(col("embedding"), 6).as("bucket")).persist()
+        TextOps.signBucket(col("embedding"), 6).as("bucket"))
       val a = withB.as("a")
       val b = withB.as("b").hint("shuffle_hash")
       val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +

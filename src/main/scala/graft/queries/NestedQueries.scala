@@ -467,7 +467,11 @@ object NestedQueries {
           .as("sum_price"),
         Ser.jsfp(array_sort(transform(col("items"), _.getField("qty"))), 100L)
           .as("qty_sorted"),
-        size(ArrayOps.combinations2(col("items"))).cast("long").as("n_pairs"))
+        // n-choose-2 COUNT as arithmetic — materializing the pair structs
+        // (combinations2) just to size() them is O(n^2) allocation per row;
+        // the pair values themselves are exercised by q24.
+        (size(col("items")) * (size(col("items")) - 1) / 2).cast("long")
+          .as("n_pairs"))
         .orderBy("l_orderkey")
     },
 

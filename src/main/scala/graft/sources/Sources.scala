@@ -50,6 +50,61 @@ object Sources {
   def fromParquetTolerant(spark: SparkSession, path: String): DataFrame =
     spark.read.option("ignoreCorruptFiles", "true").parquet(path)
 
+  /** Tolerant read WITH a queryable per-file report — the reference's
+    * (data, report) pair (report_success/report_failure fields at
+    * parquet.py:36-61, wiring at io/io.py:651-696; test
+    * tests/test_parquet.py:207). Failed files yield empty partitions in
+    * `data` (ignoreCorruptFiles) and a report row carrying the exception
+    * type + message, so 100 TB ingest can quarantine bad files from SQL
+    * instead of silently skipping them.
+    *
+    * Report schema mirrors the reference's record: (path, columns,
+    * exception, message); exception/message are null on success. The
+    * footer probes run as a distributed job over the file list, not a
+    * driver loop.
+    */
+  def fromParquetWithReport(spark: SparkSession, path: String)
+      : (DataFrame, DataFrame) = {
+    import org.apache.hadoop.fs.Path
+    val data = fromParquetTolerant(spark, path)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration)
+    val root = new Path(path)
+    val fs = root.getFileSystem(hconf.value)
+    val files: Seq[String] = {
+      val it = fs.listFiles(root, /*recursive=*/ true)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val f = it.next()
+        val n = f.getPath.getName
+        if (!n.startsWith("_") && !n.startsWith(".")) buf += f.getPath.toString
+      }
+      buf.toSeq
+    }
+    val rows = spark.sparkContext
+      .parallelize(files, math.max(1, math.min(files.size, 64)))
+      .map { p =>
+        try {
+          val in = org.apache.parquet.hadoop.util.HadoopInputFile
+            .fromPath(new Path(p), hconf.value)
+          val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+          val cols = try {
+            import scala.jdk.CollectionConverters._
+            r.getFooter.getFileMetaData.getSchema.getFields.asScala
+              .map(_.getName).toSeq
+          } finally r.close()
+          (p, cols, null: String, null: String)
+        } catch {
+          case e: Exception =>
+            (p, Seq.empty[String], e.getClass.getSimpleName,
+              String.valueOf(e.getMessage))
+        }
+      }
+    val report = spark.createDataFrame(rows)
+      .toDF("path", "columns", "exception", "message")
+    (data, report)
+  }
+
   /** to_parquet: one file per partition + commit protocol are native. */
   def toParquet(df: DataFrame, dest: String, overwrite: Boolean = true): Unit =
     df.write.mode(if (overwrite) "overwrite" else "error").parquet(dest)

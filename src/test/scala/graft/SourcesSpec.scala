@@ -89,4 +89,22 @@ class SourcesSpec extends SparkSpec {
     val back = Sources.fromParquetTolerant(spark, dir)
     assert(back.count() == 1)
   }
+
+  test("read-report: tolerant read plus per-file status DF " +
+    "(reference parquet.py:36-61, io/io.py:651-696, test_parquet.py:207)") {
+    val dir = tmp("report")
+    Seq((1L, "x"), (2L, "y")).toDF("id", "s")
+      .repartition(2).write.mode("overwrite").parquet(dir)
+    Files.write(java.nio.file.Paths.get(dir, "part-junk.parquet"),
+      "not a parquet file".getBytes)
+    val (data, report) = Sources.fromParquetWithReport(spark, dir)
+    assert(data.count() == 2) // bad file skipped, good rows intact
+    val rows = report.collect()
+    assert(rows.length == 3) // one report row per data file, junk included
+    val (bad, ok) = rows.partition(r => !r.isNullAt(2))
+    assert(bad.length == 1 && bad.head.getString(0).endsWith("part-junk.parquet"))
+    assert(ok.length == 2 && ok.forall(_.getSeq[String](1) == Seq("id", "s")))
+    // report is queryable SQL, the reference's whole point
+    assert(report.where(col("exception").isNotNull).count() == 1)
+  }
 }
