@@ -79,12 +79,15 @@ object ArrayOps {
   }
 
   /** Regroup a flat list into sublists by `counts` — reference `unflatten`
-    * (structure.py:898-922). Offsets come from a running sum over counts. */
+    * (structure.py:898-922). Offsets come from one O(n) prefix-sum pass
+    * ([[graft.plans.PrefixOffsets]]); the previous `aggregate`+`concat`
+    * running sum reallocated the offsets array per element (O(n²)). */
   def unflatten(arr: Column, counts: Column): Column = {
-    val offsets = aggregate(counts, array(lit(0)),
-      (acc, c) => concat(acc, array(element_at(acc, -1) + c)))
+    import org.apache.spark.sql.GraftColumnBridge
+    val offsets = GraftColumnBridge.column(
+      graft.plans.PrefixOffsets(GraftColumnBridge.expression(counts)))
     zip_with(slice(offsets, lit(1), size(counts)), counts,
-      (off, c) => slice(arr, off + 1, c))
+      (off, c) => slice(arr, (off + 1).cast("int"), c))
   }
 
   /** Split a list into fixed-size chunks (unflatten with uniform counts). */
@@ -168,4 +171,13 @@ object ArrayOps {
             rest => concat(array(x), rest))))
     rec(lit(0), n)
   }
+
+  /** Per-row combinations of local indices instead of values — reference
+    * `argcombinations` (structure.py:125-176). Exactly the reference's own
+    * definition: `combinations(local_index(arr), n)`. The n=2 form mirrors
+    * [[combinations2]]'s struct-pair output; the general form mirrors
+    * [[combinationsN]]'s array-of-arrays output. */
+  def argcombinations2(arr: Column): Column = combinations2(localIndex(arr))
+  def argcombinationsN(arr: Column, n: Int): Column =
+    combinationsN(localIndex(arr), n)
 }

@@ -45,6 +45,15 @@ object StrOps {
     * absent (Arrow semantics). */
   def findSubstring(c: Column, sub: String): Column = instr(c, sub) - 1
 
+  /** str.py:161 find_substring_regex — 0-based index of the first regex
+    * match, -1 if absent (Arrow semantics; `regexp_instr` is 1-based with
+    * 0 for no match, so shifting by one gives exactly that). */
+  def findSubstringRegex(c: Column, pattern: String,
+      ignoreCase: Boolean = false): Column = {
+    val p = if (ignoreCase) s"(?i)$pattern" else pattern
+    regexp_instr(c, lit(p)) - 1
+  }
+
   /** str.py:281 is_in — membership in a value set. */
   def isIn(c: Column, values: Seq[String]): Column = c.isin(values: _*)
 
@@ -57,17 +66,36 @@ object StrOps {
 
   /** char-class predicates str.py:201-381 (is_alnum, is_alpha, is_ascii,
     * is_decimal, is_digit, is_lower, is_numeric, is_printable, is_space,
-    * is_title, is_upper) — regex-based, ASCII interpretation. */
+    * is_title, is_upper) — regex-based. The three digit-family predicates
+    * follow Arrow/Python's Unicode distinction: `is_decimal` = Nd only;
+    * `is_digit` = Nd plus Numeric_Type=Digit codepoints (super/subscripts);
+    * `is_numeric` = any N category (adds vulgar fractions, roman numerals).
+    * (Approximation: Python's isnumeric also admits a handful of Lo
+    * ideographic numerals — out of scope here, documented divergence.) */
   def isAlnum(c: Column): Column = c.rlike("^[a-zA-Z0-9]+$")
   def isAlpha(c: Column): Column = c.rlike("^[a-zA-Z]+$")
   def isAscii(c: Column): Column = c.rlike("^[\\x00-\\x7F]*$")
-  def isDecimal(c: Column): Column = c.rlike("^[0-9]+$")
-  def isDigit(c: Column): Column = c.rlike("^[0-9]+$")
+  def isDecimal(c: Column): Column = c.rlike("^\\p{Nd}+$")
+  def isDigit(c: Column): Column =
+    c.rlike("^[\\p{Nd}\\u00B2\\u00B3\\u00B9\\u2070\\u2074-\\u2079\\u2080-\\u2089]+$")
   def isLower(c: Column): Column = c.rlike("^[^A-Z]*[a-z][^A-Z]*$")
-  def isNumeric(c: Column): Column = c.rlike("^[0-9]+$")
+  def isNumeric(c: Column): Column = c.rlike("^\\p{N}+$")
   def isSpace(c: Column): Column = c.rlike("^\\s+$")
   def isUpper(c: Column): Column = c.rlike("^[^a-z]*[A-Z][^a-z]*$")
-  def isTitle(c: Column): Column = c === initcap(lower(c))
+
+  /** str.py:333 is_printable — no control/format/separator chars except
+    * the plain space; empty string is printable (Python semantics). */
+  def isPrintable(c: Column): Column =
+    c.rlike("^(?:[^\\p{C}\\p{Zl}\\p{Zp}\\p{Zs}]|\\x20)*$")
+
+  /** str.py:365 is_title — Python `str.istitle`: at least one cased char,
+    * no uppercase directly after a letter, no lowercase starting a letter
+    * run. (Matches Python on bicameral scripts; `"ABc Def"` -> false,
+    * `"Foo-Bar"` -> true — where the old initcap round-trip diverged.) */
+  def isTitle(c: Column): Column =
+    c.rlike("[\\p{Lu}\\p{Ll}]") &&
+      !c.rlike("\\p{L}\\p{Lu}") &&
+      !c.rlike("(^|\\P{L})\\p{Ll}")
 
   /** str.py:397 join — list of strings -> string with separator (a per-row
     * reduction in the reference). */
@@ -89,11 +117,15 @@ object StrOps {
   def lpadStr(c: Column, w: Int, p: String): Column = lpad(c, w, p)
   def rpadStr(c: Column, w: Int, p: String): Column = rpad(c, w, p)
 
-  /** str.py:482-714 trims. */
+  /** str.py:482-714 trims — whitespace forms plus the char-set forms
+    * (str.py:482 ltrim / str.py:696 rtrim take an explicit character set,
+    * one-sided; str.py:883 trim is the both-sides form). */
   def ltrimWhitespace(c: Column): Column = ltrim(c)
   def rtrimWhitespace(c: Column): Column = rtrim(c)
   def trimWhitespace(c: Column): Column = trim(c)
   def trimChars(c: Column, chars: String): Column = trim(c, chars)
+  def ltrimChars(c: Column, chars: String): Column = ltrim(c, chars)
+  def rtrimChars(c: Column, chars: String): Column = rtrim(c, chars)
 
   /** str.py:516 match_like (SQL LIKE) / str.py:536-556 match_substring(_regex). */
   def matchLike(c: Column, pattern: String): Column = c.like(pattern)
@@ -136,4 +168,26 @@ object StrOps {
       struct(groups.zipWithIndex.map { case (g, i) =>
         regexp_extract(c, pattern, i + 1).as(g)
       }: _*))
+
+  /** str.py:123 extract_regex, Arrow named-group form — field names come
+    * from `(?<name>...)` groups in the pattern itself (Arrow's
+    * `extract_regex` derives the struct fields the same way). Group order
+    * in the pattern is the positional group order, so the i-th named group
+    * maps to capture index i+1. */
+  def extractRegexNamed(c: Column, pattern: String): Column = {
+    val names = "\\(\\?P?<([A-Za-z][A-Za-z0-9]*)>".r
+      .findAllMatchIn(pattern).map(_.group(1)).toSeq
+    require(names.nonEmpty, s"extractRegexNamed: no named groups in $pattern")
+    // Java regex rejects Python's (?P<name>...) spelling — normalize it.
+    val javaPattern = pattern.replace("(?P<", "(?<")
+    extractRegex(c, javaPattern, names)
+  }
+
+  /** str.py:867 to_categorical — dictionary-encode in the reference; in
+    * Spark, dictionary encoding is a parquet/Tungsten storage concern, so
+    * this is a documented metadata no-op: the column is tagged
+    * `graft.param.__array__ = categorical` (the reference likewise sets the
+    * `__array__: categorical` layout parameter). */
+  def toCategorical(c: Column, as: String = "value"): Column =
+    Behaviors.withParameter(c, "__array__", "categorical", as)
 }

@@ -365,14 +365,16 @@ object NestedQueries {
         .orderBy("vec_id")
     },
 
-    // concatenate(axis=1) + argcartesian + local_index — reference
-    // operations.py:132-137, structure.py:83-122, 560-579.
+    // concatenate(axis=1) + argcartesian + argcombinations + local_index —
+    // reference operations.py:132-137, structure.py:83-122, 125-176, 560-579.
     Q(
       "q37_concat_argcart",
       s"""SELECT vec_id,
         |  ${Ser.sqlJsFp("list_concat(embedding[1:2], embedding[3:4])")} AS joined,
         |  ${Ser.sqlJs("""flatten(list_transform(range(0, 2),
         |    i -> list_transform(range(0, 2), j -> {'c0': i, 'c1': j})))""")} AS argcart,
+        |  ${Ser.sqlJs("""flatten(list_transform(range(0, 3),
+        |    i -> list_transform(range(i + 1, 4), j -> {'c0': i, 'c1': j})))""")} AS argcomb,
         |  ${Ser.sqlJs("range(0, len(embedding[1:3]))")} AS lidx
         |FROM embeddings WHERE vec_id < 100 ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
@@ -385,6 +387,9 @@ object NestedQueries {
           slice(col("embedding"), 3, 2)),
           p => struct(p.getField("c0").cast("long").as("c0"),
             p.getField("c1").cast("long").as("c1")))).as("argcart"),
+        Ser.js(transform(ArrayOps.argcombinations2(slice(col("embedding"), 1, 4)),
+          p => struct(p.getField("c0").cast("long").as("c0"),
+            p.getField("c1").cast("long").as("c1")))).as("argcomb"),
         Ser.js(transform(ArrayOps.localIndex(slice(col("embedding"), 1, 3)),
           i => i.cast("long"))).as("lidx"))
         .orderBy("vec_id")
@@ -483,6 +488,23 @@ object NestedQueries {
         |WHERE doc_id % 7 = 0 ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       Tables.documents(s, d).filter(col("doc_id") % 7 === 0)
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // sample(probability=...) — reference inspect.py:241-273's Bernoulli
+    // mode. `df.sample(p, seed)` is RNG-partition-dependent, so the gated
+    // form uses the hash-mod determinism trick: keep rows whose md5(key)
+    // prefix falls below the probability threshold (0x1a/0x100 ~ 10.2%).
+    // Same keep-decision on any engine and any partitioning — which is
+    // also the property you want at 100 TB (resumable, repartition-proof).
+    Q(
+      "q87_sample_bernoulli",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) < "1a")
         .select("doc_id", "lang").orderBy("doc_id")
     }
   )

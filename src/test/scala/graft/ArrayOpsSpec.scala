@@ -75,6 +75,21 @@ class ArrayOpsSpec extends SparkSpec {
       _.map(seqOf)) == Seq(Seq(Seq(1, 2), Seq(3), Seq(4, 5, 6))))
   }
 
+  test("unflatten stays linear on long lists (10k sublists)") {
+    // The old aggregate+concat offsets build was O(n²) allocation; on 10k
+    // counts it took minutes. The PrefixOffsets form must do this in <~sec.
+    val n = 10000
+    val df = Seq((0L, List.range(1, 2 * n + 1), List.fill(n)(2)))
+      .toDF("row_id", "xs", "counts")
+    val start = System.nanoTime()
+    val got = eval1(df, unflatten(col("xs"), col("counts"))).map(seqOf).head
+    val elapsedSec = (System.nanoTime() - start) / 1e9
+    assert(got.size == n)
+    assert(seqOf(got.head) == Seq(1, 2))
+    assert(seqOf(got.last) == Seq(2 * n - 1, 2 * n))
+    assert(elapsedSec < 30.0, s"unflatten took ${elapsedSec}s — quadratic?")
+  }
+
   test("chunk splits into fixed-size groups") {
     val df = Seq((0L, Seq(1, 2, 3, 4, 5))).toDF("row_id", "xs")
     assert(eval1(df, chunk(col("xs"), 2)).map(seqOf).map(_.map(seqOf)) ==
@@ -90,6 +105,20 @@ class ArrayOpsSpec extends SparkSpec {
     assert(pairs0 == Seq(("a", "b"), ("a", "c"), ("b", "c")))
     assert(got(1) == Seq())
     assert(got(2) == Seq())
+  }
+
+  test("argcombinations: index pairs / index triples (structure.py:125-176)") {
+    val df = Seq((0L, Seq("a", "b", "c", "d")), (1L, Seq[String]()))
+      .toDF("row_id", "xs")
+    val pairs = eval1(df, argcombinations2(col("xs"))).map(seqOf)
+    val idx0 = pairs(0).map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+      (row.getInt(0), row.getInt(1)) })
+    assert(idx0 == Seq((0, 1), (0, 2), (0, 3), (1, 2), (1, 3), (2, 3)))
+    assert(pairs(1) == Seq())
+    val triples = eval1(df, argcombinationsN(col("xs"), 3)).map(seqOf)
+    assert(triples(0).map(seqOf) ==
+      Seq(Seq(0, 1, 2), Seq(0, 1, 3), Seq(0, 2, 3), Seq(1, 2, 3)))
+    assert(triples(1) == Seq())
   }
 
   test("cartesian and argcartesian") {

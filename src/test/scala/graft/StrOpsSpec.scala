@@ -43,6 +43,71 @@ class StrOpsSpec extends SparkSpec {
       Seq(false, false, false, true, false, false))
   }
 
+  test("digit-family Unicode classes: is_decimal vs is_digit vs is_numeric") {
+    // "42" all three; superscript "4²" digit+numeric, not decimal;
+    // vulgar fraction "½" numeric only; roman numeral "Ⅻ" numeric only.
+    val df = strs("42", "4²", "½", "Ⅻ", "x1")
+    assert(eval1(df, StrOps.isDecimal(col("s"))) ==
+      Seq(true, false, false, false, false))
+    assert(eval1(df, StrOps.isDigit(col("s"))) ==
+      Seq(true, true, false, false, false))
+    assert(eval1(df, StrOps.isNumeric(col("s"))) ==
+      Seq(true, true, true, true, false))
+  }
+
+  test("is_printable (str.py:333): control/format chars break it, space ok") {
+    val df = strs("abc def", "", "tab\there", "nl\nhere", "unicode-ok: é")
+    assert(eval1(df, StrOps.isPrintable(col("s"))) ==
+      Seq(true, true, false, false, true))
+  }
+
+  test("is_title (str.py:365) follows Python str.istitle") {
+    // Python goldens: "ABc Def" false (upper after cased), "Foo-Bar" true
+    // (non-letter delimits runs), "A1b" false (lower starts a run),
+    // "abc" false, "A" true, "123" false (no cased char).
+    val df = strs("Title Case", "ABc Def", "Foo-Bar", "A1b", "abc", "A", "123")
+    assert(eval1(df, StrOps.isTitle(col("s"))) ==
+      Seq(true, false, true, false, false, true, false))
+  }
+
+  test("find_substring_regex (str.py:161): 0-based, -1 absent, ignore_case") {
+    val df = strs("abc123xyz", "no digits", "ABCdef")
+    assert(eval1(df, StrOps.findSubstringRegex(col("s"), "[0-9]+")) ==
+      Seq(3, -1, -1))
+    assert(eval1(df, StrOps.findSubstringRegex(col("s"), "abc",
+      ignoreCase = true)) == Seq(0, -1, 0))
+  }
+
+  test("one-sided char-set trims (str.py:482/696)") {
+    val df = strs("xxhixx", "xyhixy")
+    assert(eval1(df, StrOps.ltrimChars(col("s"), "xy")) == Seq("hixx", "hixy"))
+    assert(eval1(df, StrOps.rtrimChars(col("s"), "xy")) == Seq("xxhi", "xyhi"))
+    assert(eval1(df, StrOps.trimChars(col("s"), "xy")) == Seq("hi", "hi"))
+  }
+
+  test("extract_regex named-group form (str.py:123, Arrow semantics)") {
+    val df = strs("k=v", "a=1", "nomatch")
+    val got = eval1(df,
+      StrOps.extractRegexNamed(col("s"), "(?<key>[a-z]+)=(?<value>\\w+)"))
+    val r0 = got(0).asInstanceOf[org.apache.spark.sql.Row]
+    assert(r0.getString(0) == "k" && r0.getString(1) == "v")
+    val r1 = got(1).asInstanceOf[org.apache.spark.sql.Row]
+    assert(r1.getString(0) == "a" && r1.getString(1) == "1")
+    assert(got(2) == null)
+    // Python (?P<name>...) spelling is normalized to Java's (?<name>...)
+    val gotP = eval1(df,
+      StrOps.extractRegexNamed(col("s"), "(?P<key>[a-z]+)=(?P<value>\\w+)"))
+    assert(gotP(0).asInstanceOf[org.apache.spark.sql.Row].getString(0) == "k")
+  }
+
+  test("to_categorical (str.py:867) tags categorical layout metadata") {
+    val df = strs("a", "b", "a").select(
+      StrOps.toCategorical(col("s"), as = "s"))
+    val meta = df.schema("s").metadata
+    assert(meta.getString("graft.param.__array__") == "categorical")
+    assert(df.collect().map(_.getString(0)).toSeq == Seq("a", "b", "a"))
+  }
+
   test("pad / trim / repeat / reverse") {
     val df = strs("ab", "  c  ")
     assert(eval1(df, StrOps.lpadStr(col("s"), 4, "_")) == Seq("__ab", "  c "))
