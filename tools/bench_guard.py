@@ -1,0 +1,60 @@
+#!/usr/bin/env python3
+"""Bench regression guard (VERDICT r1 item 10).
+
+Compares a fresh `graft.Bench` metric line against the committed per-query
+baseline so builder-recorded and driver-observed perf can't silently
+diverge again (round 1 shipped a 70x q54 regression that local notes
+missed). Fail = any query slower than max(3x baseline, baseline + 1 s) —
+the additive floor absorbs scheduler jitter on sub-second queries.
+
+Usage:
+    SPARK_GRAFT_SF_DIR=/root/testdata/sf0.01 SPARK_GRAFT_CPUS=32 \
+      sbt -batch "runMain graft.Bench" 2>/dev/null | grep '"metric"' \
+      | python3 tools/bench_guard.py
+    python3 tools/bench_guard.py bench_output.json   # or from a file
+
+Baseline: tools/bench_baseline_sf0.01.json (re-derive with the same Bench
+invocation whenever a deliberate perf change lands).
+"""
+import json
+import os
+import sys
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+BASELINE = os.path.join(HERE, "bench_baseline_sf0.01.json")
+
+
+def main() -> int:
+    src = open(sys.argv[1]) if len(sys.argv) > 1 else sys.stdin
+    # tolerate sbt's "[info] " prefix and surrounding log lines
+    line = next(l for l in src if '"metric"' in l)
+    bench = json.loads(line[line.index("{"):])
+    base = json.load(open(BASELINE))
+
+    failures, missing = [], []
+    for q, b in sorted(base["queries"].items()):
+        t = bench["queries"].get(q)
+        if t is None:
+            missing.append(q)
+            continue
+        limit = max(3.0 * b, b + 1.0)
+        if t > limit:
+            failures.append((q, b, t, limit))
+
+    for q, b, t, limit in failures:
+        print(f"FAIL {q}: {t:.2f}s vs baseline {b:.2f}s (limit {limit:.2f}s)")
+    for q in missing:
+        print(f"MISSING {q}: in baseline but not in bench output")
+    new = sorted(set(bench["queries"]) - set(base["queries"]))
+    if new:
+        print(f"note: {len(new)} queries lack a baseline: {', '.join(new)}")
+    ok = not failures and not missing
+    print(f"== bench guard {'PASS' if ok else 'FAIL'}: "
+          f"{len(base['queries']) - len(failures) - len(missing)}"
+          f"/{len(base['queries'])} within limits, total {bench['value']:.1f}s"
+          f" (baseline {base['total']:.1f}s)")
+    return 0 if ok else 1
+
+
+if __name__ == "__main__":
+    sys.exit(main())
