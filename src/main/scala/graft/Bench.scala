@@ -30,7 +30,15 @@ object Bench {
     run(SparkEntry.entry(spark))
     run(Tables.lineitem(spark, sfDir).groupBy("l_returnflag").count())
 
-    val results = SparkEntry.all.sortBy(_.name).map { q =>
+    // Dev loop: SPARK_GRAFT_ONLY=q52_lsh_pairs,q54_jaccard benches a
+    // subset. Unset (the driver's invocation) = the full suite.
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.all.filter(q => names(q.name))
+      case None => SparkEntry.all
+    }
+    val results = selected.sortBy(_.name).map { q =>
       val t0 = System.nanoTime()
       try run(q.fn(spark, sfDir))
       catch { case e: Throwable =>

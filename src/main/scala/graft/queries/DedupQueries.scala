@@ -129,18 +129,18 @@ object DedupQueries {
       val bands = sig.select(col("doc_id"),
         posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
           .as(Seq("band", "key")))
-        .persist()
-      // Materialize the cache EAGERLY: AQE submits the self-join's two
-      // map stages concurrently, and on a lazy persist both race to find
-      // the cache empty and each computes the full signature subtree —
-      // double work plus block-manager contention. One count() up front
-      // means one compute, then two cache reads.
-      bands.count()
-      val a = bands.as("a")
-      val b = bands.as("b")
-      a.join(b, col("a.band") === col("b.band") && col("a.key") === col("b.key")
-        && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      // Candidate pairs via bucket-collect + per-bucket combinations
+      // instead of a self-join: one linear pipeline (agg -> explode) with
+      // no persist, no extra materialization job, and one shuffle of the
+      // tiny (band, key, doc_id) rows instead of two join-side exchanges.
+      // Per-bucket state is the same bound as the join's per-key hash
+      // group: LSH banding keeps buckets small by construction (256 keys
+      // x 4 bands here; at 100 TB widen keys, not buckets). A skewed
+      // bucket degrades this exactly as it would the self-join build side.
+      bands.groupBy("band", "key")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+        .select(explode(graft.functions.ArrayOps.combinations2(col("ids"))).as("p"))
+        .select(col("p.c0").as("id_a"), col("p.c1").as("id_b"))
         .distinct()
         .orderBy("id_a", "id_b")
     },
