@@ -28,6 +28,11 @@ object awk {
     graft.sources.Sources.toJson(df, dest)
   def from_text(spark: SparkSession, path: String): DataFrame =
     graft.sources.Sources.fromText(spark, path)
+  /** Tolerant read + per-file status report — the reference's
+    * (data, report) pair (io/io.py:651-696, parquet.py:36-61). */
+  def from_parquet_with_report(spark: SparkSession,
+      path: String): (DataFrame, DataFrame) =
+    graft.sources.Sources.fromParquetWithReport(spark, path)
 
   // ---- structure (§2.6) --------------------------------------------------
   def num(arr: Column): Column = ArrayOps.num(arr)
@@ -77,6 +82,9 @@ object awk {
   def argcartesian(a: Column, b: Column): Column = ArrayOps.argcartesian(a, b)
   def combinations(arr: Column, n: Int): Column =
     if (n == 2) ArrayOps.combinations2(arr) else ArrayOps.combinationsN(arr, n)
+  def argcombinations(arr: Column, n: Int): Column =
+    if (n == 2) ArrayOps.argcombinations2(arr)
+    else ArrayOps.argcombinationsN(arr, n)
   def broadcast_arrays(a: Column, b: Column,
       dt: org.apache.spark.sql.types.DataType)(
       f: (Column, Column) => Column): Column = NestedOps.zipLeaves(a, b, dt)(f)
@@ -98,6 +106,23 @@ object awk {
   def ptp(arr: Column): Column = Reducers.ptpArr(arr)
   def softmax(arr: Column): Column = Reducers.softmaxArr(arr)
   def moment(arr: Column, n: Int): Column = Reducers.momentArr(arr, n)
+
+  // ---- inspect (§2.2) ----------------------------------------------------
+  /** `sample` — reference inspect.py:241-273. Factor mode keeps every Nth
+    * row by a deterministic key (the reference restarts counting per
+    * partition; a key-modulus is the repartition-proof equivalent).
+    * Probability mode is hash-Bernoulli: keep rows whose md5(key) 32-bit
+    * prefix falls below p — the same rows survive on any engine, any
+    * partitioning, any rerun (what you want for resumable 100 TB jobs). */
+  def sample(df: DataFrame, key: Column, factor: Int = 0,
+      probability: Double = -1.0): DataFrame = {
+    require((factor > 0) ^ (probability >= 0.0),
+      "give exactly one of factor or probability")
+    if (factor > 0) df.filter(key.cast("long") % factor === 0)
+    else df.filter(
+      conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("long")
+        < (probability * 4294967296.0).toLong)
+  }
 
   /** The reference's str namespace. */
   val str: StrOps.type = StrOps

@@ -26,5 +26,22 @@ class AwkFacadeSpec extends SparkSpec {
     assert(eval1(df, awk.num(awk.combinations(col("xs"), 2))) == Seq(3))
     assert(eval1(df, awk.firsts(awk.run_lengths(col("xs")))) == Seq(1L))
     assert(eval1(df, awk.str.upperStr(lit("ab"))) == Seq("AB"))
+    assert(eval1(df, awk.num(awk.argcombinations(col("xs"), 2))) == Seq(3))
+  }
+
+  test("sample: factor and probability modes (inspect.py:241-273)") {
+    val df = (0L until 1000L).map(i => (i, s"doc$i")).toDF("id", "t")
+    val byFactor = awk.sample(df, col("id"), factor = 10)
+    assert(byFactor.count() == 100)
+    val byProb = awk.sample(df, col("id"), probability = 0.2)
+    val n = byProb.count()
+    assert(n > 120 && n < 280, s"p=0.2 of 1000 kept $n")
+    // determinism: same rows survive on a repartitioned input
+    val again = awk.sample(df.repartition(7), col("id"), probability = 0.2)
+    assert(again.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      byProb.select("id").collect().map(_.getLong(0)).sorted.toSeq)
+    intercept[IllegalArgumentException] {
+      awk.sample(df, col("id"), factor = 2, probability = 0.5)
+    }
   }
 }
