@@ -84,6 +84,27 @@ object TextOps {
           pow(lit(2.0), i.cast("double")).cast("long")).otherwise(lit(0L))),
       lit(0L), (acc, x) => acc + x)
 
+  /** Deterministic hyperplane coefficient for (plane j, dimension i): one
+    * LCG step over the flattened index — pure integer arithmetic, so ANY
+    * engine derives bit-identical planes (the cross-engine analogue of a
+    * seeded RNG). Range [-50001, 50001], mean ~0. */
+  def rpCoef(plane: Int, i: Int): Long =
+    (1103515245L * (plane * 64L + i) + 12345L) % 100003L - 50001L
+
+  /** True random-projection LSH bucket (Charikar SimHash for vectors):
+    * bit j = sign of dot(vec, plane_j) with planes in general position —
+    * P(bit differs) = angle(a,b)/pi, unlike [[signBucket]]'s axis-aligned
+    * cuts which only test individual component signs. Sign decisions are
+    * engine-exact: integer coefficients, double products, left-to-right
+    * summation on both Spark and the DuckDB oracle. */
+  def rpBucket(vec: Column, planes: Int, dim: Int): Column =
+    (0 until planes).map { j =>
+      val w = array((0 until dim).map(i => lit(rpCoef(j, i))): _*)
+      val d = aggregate(zip_with(vec, w, (x, c) => dbl(x) * c),
+        lit(0.0), (acc, x) => acc + x)
+      when(d > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
   /** Jaccard similarity of the distinct-element sets of two arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -418,6 +418,45 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     },
 
+    // Random-projection LSH near-dup pairs — the general-position upgrade
+    // of q59's axis-aligned buckets (Charikar SimHash for vectors:
+    // P(bit flip) = angle/pi). Hyperplane coefficients come from one
+    // integer LCG step per (plane, dim) — see TextOps.rpCoef — so Spark
+    // and the oracle derive bit-identical planes with no RNG seed to
+    // share. Same scale shape as q59: bucket-equi-join, never all-pairs.
+    Q(
+      "q88_rp_neardup",
+      """WITH b AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum(list_transform(range(0, 8), j ->
+        |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+        |        CAST(embedding[i + 1] AS DOUBLE) *
+        |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
+        |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
+        |  FROM embeddings)
+        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
+        |    AS rdot
+        |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15
+        |ORDER BY id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val withB = emb(s, d).select(col("vec_id"), col("embedding"),
+        TextOps.rpBucket(col("embedding"), 8, 64).as("bucket"))
+      val a = withB.as("a")
+      val b = withB.as("b").hint("shuffle_hash")
+      val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +
+        lit(0.0)
+      a.join(b, col("a.bucket") === col("b.bucket")
+        && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          rdot.as("rdot"))
+        .filter(col("rdot") > 0.15)
+        .orderBy("id_a", "id_b")
+    },
+
     // Capstone pipeline: the composed training-data flow — quality filter
     // -> MinHash bucket dedup (keep min doc per bucket) -> join embeddings
     // -> per-language corpus stats. One shuffle per stage boundary; every

@@ -61,6 +61,23 @@ class TextOpsSpec extends SparkSpec {
     assert(eval1(df, TextOps.signBucket(col("v"), 4)) == Seq(5L))
   }
 
+  test("rpBucket: scale-invariant signs, nearby vectors collide, far don't") {
+    val base = Seq.tabulate(64)(i => math.sin(i * 1.7).toFloat)
+    val scaled = base.map(_ * 7.5f)          // same direction
+    val nudged = base.updated(0, base(0) + 1e-4f) // tiny angle
+    val flipped = base.map(-_)               // opposite direction
+    val df = Seq((0L, base), (1L, scaled), (2L, nudged), (3L, flipped))
+      .toDF("row_id", "v")
+    val got = eval1(df, TextOps.rpBucket(col("v"), 8, 64))
+      .map(_.asInstanceOf[Long])
+    assert(got(0) == got(1), "positive scaling must not change any sign bit")
+    assert(got(0) == got(2), "1e-4 nudge should keep all 8 sign bits")
+    assert(got(0) == 255L - got(3), "negation flips every sign bit")
+    // planes are data-independent constants: same vector, same bucket, any
+    // partitioning (rpCoef is pure integer arithmetic)
+    assert(TextOps.rpCoef(0, 0) == 12345L - 50001L)
+  }
+
   test("jaccard on distinct sets") {
     val df = Seq((0L, Seq("a", "b", "c"), Seq("b", "c", "d")))
       .toDF("row_id", "x", "y")
