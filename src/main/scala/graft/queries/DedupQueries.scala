@@ -216,19 +216,29 @@ object DedupQueries {
         |ORDER BY id_a""".stripMargin
     ) { (s, d) =>
       val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
-      // No persist: the shingle build is split+concat only (no hashing), so
-      // recomputing it per join side is cheaper and far lower-variance than
-      // the cache machinery (a lazily-persisted self-join races both AQE
-      // map stages into computing the cache anyway).
+      // Pair-reduce instead of a self-join: each doc emits its shingle set
+      // into both pairs it belongs to ((doc-1, doc) as role b, (doc, doc+1)
+      // as role a), then one groupBy(pair) recombines the two sides. One
+      // scan, ONE shingle computation, one shuffle — the self-join form
+      // scans and computes shingles twice and shuffles both sides (and a
+      // lazily-persisted variant races AQE's concurrent map stages into
+      // computing the cache twice). Per-group state is exactly two rows.
+      // The same co-group shape serves arbitrary LSH candidate pairs at
+      // 100 TB: emit (pair_key, role) per membership, never broadcast
+      // computed shingle tables (their size estimate comes from source
+      // parquet bytes and is off by orders of magnitude).
       val withSh = docs(s, d).select(col("doc_id"), sh.as("sh"))
-      val a = withSh.as("a")
-      // shuffle_hash: Spark's size estimate (from the parquet file) would
-      // broadcast the computed shingle table, which is orders of magnitude
-      // bigger than its source bytes — at 100 TB that broadcast is fatal.
-      val b = withSh.as("b").hint("shuffle_hash")
-      a.join(b, col("b.doc_id") === col("a.doc_id") + 1)
-        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
-          round(TextOps.jaccard(col("a.sh"), col("b.sh")), 4).as("jac"))
+      val sides = withSh.select(explode(array(
+        struct(col("doc_id").as("pair"), lit(0).as("role"), col("sh")),
+        struct((col("doc_id") - 1).as("pair"), lit(1).as("role"), col("sh"))
+      )).as("e")).select(col("e.pair"), col("e.role"), col("e.sh"))
+      sides.groupBy("pair")
+        .agg(
+          first(when(col("role") === 0, col("sh")), ignoreNulls = true).as("sha"),
+          first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("shb"))
+        .filter(col("sha").isNotNull && col("shb").isNotNull)
+        .select(col("pair").as("id_a"), (col("pair") + 1).as("id_b"),
+          round(TextOps.jaccard(col("sha"), col("shb")), 4).as("jac"))
         .orderBy("id_a")
     },
 
