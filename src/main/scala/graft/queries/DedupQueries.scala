@@ -232,13 +232,17 @@ object DedupQueries {
         struct(col("doc_id").as("pair"), lit(0).as("role"), col("sh")),
         struct((col("doc_id") - 1).as("pair"), lit(1).as("role"), col("sh"))
       )).as("e")).select(col("e.pair"), col("e.role"), col("e.sh"))
+      // collect_list (an ObjectHashAggregate) rather than first(when(...)):
+      // array-typed `first` buffers force SortAggregate, which inserts a
+      // per-partition sort on both sides of the exchange. Group state is
+      // still bounded: exactly the pair's two (role, sh) rows.
       sides.groupBy("pair")
-        .agg(
-          first(when(col("role") === 0, col("sh")), ignoreNulls = true).as("sha"),
-          first(when(col("role") === 1, col("sh")), ignoreNulls = true).as("shb"))
-        .filter(col("sha").isNotNull && col("shb").isNotNull)
+        .agg(sort_array(collect_list(struct(col("role"), col("sh")))).as("rs"))
+        .filter(size(col("rs")) === 2)
         .select(col("pair").as("id_a"), (col("pair") + 1).as("id_b"),
-          round(TextOps.jaccard(col("sha"), col("shb")), 4).as("jac"))
+          round(TextOps.jaccard(
+            col("rs").getItem(0).getField("sh"),
+            col("rs").getItem(1).getField("sh")), 4).as("jac"))
         .orderBy("id_a")
     },
 

@@ -458,6 +458,10 @@ object NestedQueries {
         |FROM nested ORDER BY l_orderkey""".stripMargin
     ) { (s, d) =>
       import graft.functions.{ArrayOps, Reducers}
+      // collect_list per orderkey is BOUNDED state: TPC-H caps lineitems
+      // at 7 per order at every SF, so the per-group buffer is ≤7 structs —
+      // safe at 100 TB (contrast q86, which uses MinKAgg because a
+      // per-supplier price list is NOT bounded).
       val nested = Tables.lineitem(s, d)
         .groupBy("l_orderkey")
         .agg(sort_array(collect_list(struct(
