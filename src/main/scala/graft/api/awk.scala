@@ -64,6 +64,23 @@ object awk {
   def without_field(rec: Column, name: String): Column = rec.dropFields(name)
   def with_name(c: Column, name: String): Column =
     graft.functions.Behaviors.withName(c, name)
+  def with_parameter(c: Column, key: String, value: String): Column =
+    graft.functions.Behaviors.withParameter(c, key, value)
+  def without_parameters(c: Column): Column =
+    graft.functions.Behaviors.withoutParameters(c)
+
+  // ---- describe (lib/describe.py) ----------------------------------------
+  /** `fields` (describe.py:9-24): top-level field names of a DataFrame or
+    * of a struct-typed column's schema. */
+  def fields(df: DataFrame): Seq[String] = df.schema.fieldNames.toSeq
+  def fields(df: DataFrame, structCol: String): Seq[String] =
+    df.schema(structCol).dataType match {
+      case s: org.apache.spark.sql.types.StructType => s.fieldNames.toSeq
+      case _ => Nil
+    }
+  /** `backend` (describe.py:27-41): always "typetracer" in the reference;
+    * here the engine is always Spark/Catalyst. */
+  def backend(df: DataFrame): String = "spark"
   def values_astype(c: Column, dt: org.apache.spark.sql.types.DataType,
       to: org.apache.spark.sql.types.DataType): Column =
     NestedOps.valuesAstype(c, dt, to)

@@ -48,4 +48,10 @@ object Behaviors {
       .putString(s"graft.param.$key", value).build()
     c.as(as, meta)
   }
+
+  /** `without_parameters` (structure.py:1217-1231): strip every layout
+    * parameter — re-alias with empty metadata (the values are untouched,
+    * exactly like the reference's map_partitions no-op on data). */
+  def withoutParameters(c: Column, as: String = "value"): Column =
+    c.as(as, org.apache.spark.sql.types.Metadata.empty)
 }

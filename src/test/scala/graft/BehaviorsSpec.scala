@@ -41,6 +41,18 @@ class BehaviorsSpec extends SparkSpec {
       ArrayType(DoubleType))).map(seqOf) == Seq(Seq(1.0, 2.0), Seq(3.0)))
     assert(eval1(df, graft.functions.StrOps.indexIn(col("s"), Seq("a", "b", "c")))
       == Seq(1L, null))
+    // without_parameters (structure.py:1217-1231) strips every tag, keeps data
+    val stripped = withP.select(graft.functions.Behaviors.withoutParameters(
+      col("value"), as = "xs"))
+    assert(stripped.schema.fields.head.metadata ==
+      org.apache.spark.sql.types.Metadata.empty)
+    assert(eval1(stripped.withColumn("row_id", monotonically_increasing_id()),
+      col("xs")).map(seqOf) == Seq(Seq(1, 2), Seq(3)))
+    // describe.fields (describe.py:9-24)
+    assert(graft.api.awk.fields(df) == Seq("row_id", "xs", "s"))
+    val rec = df.select(struct(col("row_id"), col("s")).as("r"))
+    assert(graft.api.awk.fields(rec, "r") == Seq("row_id", "s"))
+    assert(graft.api.awk.backend(df) == "spark")
   }
 
   test("gather: positive, negative, out-of-range indices") {
