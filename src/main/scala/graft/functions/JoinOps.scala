@@ -1,0 +1,73 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Join shapes Spark has no native operator for — as-of (time-travel) and
+  * range (interval) joins — built as compositions that keep the plan an
+  * equi-shuffle rather than the broadcast-nested-loop Spark falls back to
+  * for pure inequality conditions. Both are everyday operators in a
+  * training-data pipeline (joining each example to the latest feature
+  * snapshot; bucketing metrics into threshold tiers).
+  */
+object JoinOps {
+
+  /** Backward as-of join: each left row picks the right row with the
+    * greatest `ts` <= the left row's `ts` within the same `key` (DuckDB
+    * `ASOF LEFT JOIN` semantics, l.ts >= r.ts).
+    *
+    * Shape: union both sides tagged, one window over (key, ts) with an
+    * ignore-nulls `last` carrying the latest right row forward, keep left
+    * rows. ONE shuffle (hash by key) + per-partition sort — state is one
+    * carried row per partition slot, never a nested loop, and skew only
+    * concentrates on genuinely hot keys (salt upstream if needed). Right
+    * columns (except `key`) come back `suffix`-renamed; unmatched = null.
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, key: String,
+      ts: String, suffix: String = "_r"): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rCols = right.columns.toSeq.filterNot(_ == key)
+    val lStruct = StructType(left.schema.fields)
+    val rStruct = StructType(right.schema.fields.filterNot(_.name == key))
+    val lTag = left.select(col(key), col(ts).as("__ts"), lit(1).as("__side"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(rStruct).as("__r"))
+    val rTag = right.select(col(key), col(ts).as("__ts"), lit(0).as("__side"),
+      lit(null).cast(lStruct).as("__l"),
+      struct(rCols.map(col): _*).as("__r"))
+    // at equal ts the right row sorts first (side 0 < 1), so l.ts == r.ts
+    // matches — exactly ASOF's >= bound
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lTag.unionByName(rTag)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(lCols.map(c => col("__l").getField(c).as(c)) ++
+        rCols.map(c => col("__m").getField(c).as(c + suffix)): _*)
+  }
+
+  /** Bucketed range join: pair each point with every interval where
+    * `lo <= point < hi`. Intervals explode into the fixed-width buckets
+    * they cover, points map to their bucket, equi-join on bucket, then the
+    * exact predicate re-filters. Spark's native plan for a pure inequality
+    * join is BroadcastNestedLoopJoin — O(|points| x |intervals|) and fatal
+    * when neither side broadcasts; this shape is an equi-shuffle of
+    * O(|points| + |intervals| x spread/bucketWidth). Pick bucketWidth near
+    * the median interval width. Duplicate (point, interval) pairs cannot
+    * occur: each point lives in exactly one bucket. */
+  def rangeJoinBucketed(points: DataFrame, pointCol: String,
+      intervals: DataFrame, loCol: String, hiCol: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    val pb = points.withColumn("__bucket",
+      floor(col(pointCol) / bucketWidth).cast("long"))
+    val ib = intervals.withColumn("__bucket",
+      explode(sequence(floor(col(loCol) / bucketWidth).cast("long"),
+        floor(col(hiCol) / bucketWidth).cast("long"))))
+    pb.join(ib, Seq("__bucket"))
+      .filter(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("__bucket")
+  }
+}

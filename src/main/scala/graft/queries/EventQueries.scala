@@ -187,6 +187,61 @@ object EventQueries {
           unix_timestamp(min(col("ts"))).as("first_ts"),
           count(lit(1)).as("n"))
         .orderBy("user_id", "event_type")
+    },
+
+    // Backward as-of join (JoinOps.asofBackward): each purchase picks the
+    // user's latest click at-or-before it — the feature-snapshot join of a
+    // training pipeline. Spark has no ASOF operator; the union+window
+    // carry-forward shape is one hash shuffle on user_id (no nested loop).
+    // Oracle: DuckDB's native ASOF LEFT JOIN.
+    Q(
+      "q89_asof_join",
+      """SELECT l.event_id, l.user_id, round(l.value, 2) AS pvalue,
+        |  round(COALESCE(epoch(l.ts) - epoch(r.ts), -1.0), 2) AS gap_s,
+        |  round(COALESCE(r.value, -1.0), 2) AS cvalue
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.JoinOps
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev(s, d).filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      JoinOps.asofBackward(purchases, clicks, key = "user_id", ts = "ts")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pvalue"),
+          round(coalesce(col("ts").cast("double") - col("ts_r").cast("double"),
+            lit(-1.0)), 2).as("gap_s"),
+          round(coalesce(col("value_r"), lit(-1.0)), 2).as("cvalue"))
+        .orderBy("event_id")
+    },
+
+    // Range (interval) join (JoinOps.rangeJoinBucketed): events bucketed
+    // into value tiers derived from the region table. A pure inequality
+    // join in Spark is a BroadcastNestedLoopJoin — O(n x m); the bucketed
+    // form is an equi-shuffle. Tiers: [key*100, key*100+100).
+    Q(
+      "q90_range_join",
+      """WITH tiers AS (
+        |  SELECT r_regionkey AS tier, r_regionkey * 100.0 AS lo,
+        |         r_regionkey * 100.0 + 100.0 AS hi FROM region)
+        |SELECT t.tier, count(*) AS n, round(sum(e.value), 2) + 0 AS sum_val
+        |FROM events e JOIN tiers t ON e.value >= t.lo AND e.value < t.hi
+        |GROUP BY t.tier ORDER BY t.tier""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.JoinOps
+      val tiers = Tables.region(s, d).select(
+        col("r_regionkey").cast("long").as("tier"),
+        (col("r_regionkey") * 100.0).as("lo"),
+        (col("r_regionkey") * 100.0 + 100.0).as("hi"))
+      JoinOps.rangeJoinBucketed(ev(s, d), "value", tiers, "lo", "hi",
+          bucketWidth = 100.0)
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          (round(sum("value"), 2) + lit(0.0)).as("sum_val"))
+        .orderBy("tier")
     }
   )
 }

@@ -1,0 +1,57 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.JoinOps
+
+/** As-of and range joins — semantics (ties, no-match, bucket edges) and
+  * the plan property that motivates them: no BroadcastNestedLoopJoin. */
+class JoinOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("asofBackward: latest at-or-before match per key, null when none") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "t", "v")
+    val got = JoinOps.asofBackward(left, right, key = "k", ts = "t")
+      .orderBy("k", "t")
+      .select("k", "t", "tag", "t_r", "v_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", 10L, 100.0),  // equal ts matches (>= bound)
+      (1L, 20L, "b", 15L, 150.0),  // latest of the two earlier rights
+      (2L, 5L, "c", -1L, -1.0)))   // right exists only later -> no match
+  }
+
+  test("asofBackward compiles to one hash shuffle, no nested loop") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 9L, 1.0)).toDF("k", "t", "v")
+    val plan = Inspect.explainString(
+      JoinOps.asofBackward(left, right, "k", "t"))
+    assert(!plan.contains("NestedLoop"), plan)
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("rangeJoinBucketed matches the naive inequality join") {
+    val points = (0 until 200).map(i => (i.toLong, i * 3.7 % 97))
+      .toDF("id", "x")
+    val intervals = Seq((0L, 0.0, 10.0), (1L, 5.0, 50.0), (2L, 50.0, 97.0),
+      (3L, 200.0, 300.0)).toDF("tier", "lo", "hi")
+    val naive = points.crossJoin(intervals)
+      .filter(col("x") >= col("lo") && col("x") < col("hi"))
+      .select("id", "tier").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val bucketed = JoinOps
+      .rangeJoinBucketed(points, "x", intervals, "lo", "hi", bucketWidth = 8.0)
+      .select("id", "tier").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(bucketed == naive)
+    assert(bucketed.nonEmpty)
+    // no duplicate pairs: each point is in exactly one bucket
+    val n = JoinOps.rangeJoinBucketed(points, "x", intervals, "lo", "hi", 8.0)
+      .count()
+    assert(n == bucketed.size)
+  }
+}
