@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distributed connected components — the step that turns near-duplicate
+  * PAIRS (LSH / cosine candidates) into duplicate GROUPS, i.e. the tail of
+  * every dedup pipeline: label each doc with its group's canonical (min)
+  * id, keep one representative per group.
+  *
+  * Min-label propagation, Pregel-style: every node starts labeled with its
+  * own id; each round takes the min of its own and its neighbors' labels;
+  * stop when the global label sum stops falling (labels only decrease, so
+  * equal sum == fixpoint — an O(1)-row action per round, no row-level
+  * diff). Rounds needed = max BFS distance from a component's min node —
+  * for LSH graphs (overlapping near-cliques) a handful; a 100 TB variant
+  * would add large-star/small-star contraction for O(log n) rounds, same
+  * per-round join shape. Each round is one shuffle join + partial-agg min;
+  * intermediate labels persist and the previous round unpersists, so
+  * memory stays one label table.
+  */
+object GraphOps {
+
+  /** edges: DataFrame with two integral id columns; returns (id, label)
+    * with label = min id reachable. Isolated nodes (absent from edges) are
+    * absent from the output — union them in upstream if needed. */
+  def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
+      maxIter: Int = 50): DataFrame = {
+    val und = edges.select(col(srcCol).cast("long").as("src"),
+        col(dstCol).cast("long").as("dst"))
+      .union(edges.select(col(dstCol).cast("long").as("src"),
+        col(srcCol).cast("long").as("dst")))
+      .persist()
+    // localCheckpoint (eager), NOT persist: each round's plan references
+    // the previous labels twice (union + join), so lineage doubles per
+    // round — by round ~10 the planner itself OOMs. Checkpointing cuts the
+    // plan to a LogicalRDD of constant size; superseded checkpoint blocks
+    // are reclaimed by the ContextCleaner when the DataFrame is GC'd.
+    var labels = und.select(col("src").as("id")).distinct()
+      .withColumn("lbl", col("id")).localCheckpoint(true)
+    var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl"))
+      .head.getLong(0)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      val nbr = und.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      // pointer jumping: also take the label OF the previous label (every
+      // label is itself a node id, so the inner self-join is total —
+      // self-joining `labels` is safe because it is a checkpointed
+      // LogicalRDD, not a shared live subtree, which would trip Catalyst's
+      // self-join attribute dedup). Distance-to-min roughly halves per
+      // round — O(log d) rounds instead of O(d) — for one extra equi-join.
+      val jump = labels
+        .join(labels.toDF("jid", "jlbl"), col("lbl") === col("jid"))
+        .select(col("id"), col("jlbl").as("lbl"))
+      val updated = labels.union(nbr).union(jump)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint(true)
+      val newSum = updated.agg(org.apache.spark.sql.functions.sum("lbl"))
+        .head.getLong(0)
+      labels = updated
+      converged = newSum == sum
+      sum = newSum
+      i += 1
+    }
+    und.unpersist()
+    labels
+  }
+}

@@ -23,6 +23,47 @@ object DedupQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
+  /** q88/q92 shared candidate-pair builder: random-projection buckets,
+    * bucket-equi self-join, cosine threshold (see q88 notes). */
+  private def rpPairs(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val withB = emb(s, d).select(col("vec_id"), col("embedding"),
+      TextOps.rpBucket(col("embedding"), 8, 64).as("bucket"))
+    val a = withB.as("a")
+    val b = withB.as("b").hint("shuffle_hash")
+    val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +
+      lit(0.0)
+    a.join(b, col("a.bucket") === col("b.bucket")
+      && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+        rdot.as("rdot"))
+      .filter(col("rdot") > 0.15)
+  }
+
+  /** The oracle-SQL twin of [[rpPairs]] (no ORDER BY; composable in CTEs). */
+  private val rpPairsSql: String =
+    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+      |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
+      |    AS rdot
+      |FROM (SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |        CAST(embedding[i + 1] AS DOUBLE) *
+      |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
+      |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings) a
+      |JOIN (SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, 8), j ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |        CAST(embedding[i + 1] AS DOUBLE) *
+      |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
+      |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings) b
+      |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
+      |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15""".stripMargin
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
 
@@ -457,18 +498,31 @@ object DedupQueries {
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
-      val withB = emb(s, d).select(col("vec_id"), col("embedding"),
-        TextOps.rpBucket(col("embedding"), 8, 64).as("bucket"))
-      val a = withB.as("a")
-      val b = withB.as("b").hint("shuffle_hash")
-      val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +
-        lit(0.0)
-      a.join(b, col("a.bucket") === col("b.bucket")
-        && col("a.vec_id") < col("b.vec_id"))
-        .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
-          rdot.as("rdot"))
-        .filter(col("rdot") > 0.15)
-        .orderBy("id_a", "id_b")
+      rpPairs(s, d).orderBy("id_a", "id_b")
+    },
+
+    // Near-dup GROUPS: connected components over the q88 candidate pairs —
+    // the tail of the dedup pipeline (pairs -> groups -> keep the group's
+    // canonical min id). Spark side: Pregel-style min-label propagation
+    // (GraphOps.connectedComponents, one shuffle join per round, converges
+    // at the exact fixpoint); oracle: DuckDB recursive-CTE reachability +
+    // min. Both are exact, so they agree row-for-row.
+    Q(
+      "q92_dedup_groups",
+      s"""WITH RECURSIVE pairs AS ($rpPairsSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst)
+        |SELECT id AS vec_id, min(r) AS group_id FROM reach
+        |GROUP BY id ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      graft.functions.GraphOps
+        .connectedComponents(rpPairs(s, d), "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+        .orderBy("vec_id")
     },
 
     // Capstone pipeline: the composed training-data flow — quality filter

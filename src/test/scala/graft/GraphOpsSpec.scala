@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.GraphOps
+
+/** Connected components (min-label propagation) — known-answer graphs,
+  * including a path graph that needs several propagation rounds. */
+class GraphOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def components(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    GraphOps.connectedComponents(edges.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("two triangles and an isolated edge") {
+    val got = components(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (10L, 11L), (11L, 12L), (20L, 21L)))
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("path graph converges past one round (distance > 1 from min)") {
+    // 0-1-2-...-9: node 9 is 9 hops from the min label's source
+    val got = components((0L until 9L).map(i => (i, i + 1)))
+    assert(got.values.toSet == Set(0L))
+    assert(got.size == 10)
+  }
+
+  test("min id wins regardless of edge direction") {
+    val got = components(Seq((5L, 3L), (3L, 7L)))
+    assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
+  }
+}
