@@ -127,4 +127,77 @@ class PropertySpec extends SparkSpec {
       assert(got == rows.map(_.filter(_ > 0)))
     }
   }
+
+  test("law: argcombinations2 indexes what combinations2 pairs") {
+    forAll(Gen.listOfN(3, smallList), n = 4) { rows =>
+      val strRows = rows.map(_.map(_.toString))
+      val df = strRows.zipWithIndex.map { case (xs, i) => (i.toLong, xs) }
+        .toDF("row_id", "xs")
+      val both = df.orderBy("row_id").select(
+        combinations2(col("xs")).as("c"),
+        argcombinations2(col("xs")).as("a")).collect()
+      both.foreach { r =>
+        val xs = strRows(both.indexOf(r))
+        val cs = seqOf(r.get(0)).map(_.asInstanceOf[org.apache.spark.sql.Row])
+        val as = seqOf(r.get(1)).map(_.asInstanceOf[org.apache.spark.sql.Row])
+        assert(cs.size == as.size)
+        assert(cs.size == xs.size * (xs.size - 1) / 2)  // C(n,2)
+        cs.zip(as).foreach { case (c, a) =>
+          assert(c.getString(0) == xs(a.getInt(0)) &&
+            c.getString(1) == xs(a.getInt(1)))
+        }
+      }
+    }
+  }
+
+  test("law: connectedComponents agrees with union-find on random graphs") {
+    import graft.functions.GraphOps
+    val edgeGen = Gen.listOfN(25,
+      Gen.zip(Gen.chooseNum(0L, 19L), Gen.chooseNum(0L, 19L)))
+      .map(_.filter { case (a, b) => a != b })
+    forAll(edgeGen, n = 3) { edges =>
+      val got = GraphOps
+        .connectedComponents(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: plain union-find
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      val want = nodes.map { n =>
+        val root = find(n)
+        n -> nodes.filter(m => find(m) == root).min
+      }.toMap
+      assert(got == want, s"edges=$edges")
+    }
+  }
+
+  test("law: asofBackward equals per-row max-of-earlier (naive) semantics") {
+    import graft.functions.JoinOps
+    val rowsGen = Gen.zip(
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 30L))),
+      Gen.listOfN(8, Gen.zip(Gen.chooseNum(0L, 2L), Gen.chooseNum(0L, 30L))))
+    forAll(rowsGen, n = 4) { case (lRaw, rRaw) =>
+      // de-dup (key, ts) on the right so the match is unique
+      val l = lRaw.distinct.zipWithIndex.map { case ((k, t), i) =>
+        (k, t, i.toLong) }
+      val r = rRaw.distinct.map { case (k, t) => (k, t, k * 1000 + t) }
+      val got = JoinOps
+        .asofBackward(l.toDF("k", "t", "lid"), r.toDF("k", "t", "v"),
+          "k", "t")
+        .collect().map(x => (x.getLong(2),
+          if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+      val want = l.map { case (k, t, lid) =>
+        val cands = r.filter(rr => rr._1 == k && rr._2 <= t)
+        lid -> (if (cands.isEmpty) -1L else cands.maxBy(_._2)._3)
+      }.toMap
+      assert(got == want, s"l=$l r=$r")
+    }
+  }
 }
