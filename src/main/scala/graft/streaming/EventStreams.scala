@@ -97,4 +97,41 @@ object EventStreams {
           closed.reverseIterator
       }
   }
+
+  final case class Tick(user_id: Long, tsSec: Long, side: Int, value: Double)
+  final case class Enriched(user_id: Long, tsSec: Long, value: Double,
+      snapValue: Double, matched: Boolean)
+
+  /** Streaming backward as-of join — the streaming twin of
+    * [[graft.functions.JoinOps.asofBackward]] (batch q89): a mixed stream
+    * of snapshot rows (side=0, e.g. feature updates) and query rows
+    * (side=1, e.g. training examples) per key; each query row is enriched
+    * with the latest snapshot at-or-before it. Keyed state is ONE
+    * (ts, value) pair per key — bounded by #keys, not stream length.
+    * Within a micro-batch rows process in (ts, side) order, so snapshot
+    * and query arriving together behave like the batch join's >= bound;
+    * a snapshot arriving in a LATER micro-batch than a query with a later
+    * ts cannot retroactively match (stream reality — feed snapshots with
+    * a watermark lead if exactness across batches matters). */
+  def asofStream(ticks: Dataset[Tick])(
+      implicit e1: org.apache.spark.sql.Encoder[(Long, Double)],
+      e2: org.apache.spark.sql.Encoder[Enriched],
+      e3: org.apache.spark.sql.Encoder[Long]): Dataset[Enriched] =
+    ticks.groupByKey(_.user_id)
+      .flatMapGroupsWithState[(Long, Double), Enriched](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, it: Iterator[Tick], state: GroupState[(Long, Double)]) =>
+          var snap = state.getOption
+          val out = it.toSeq.sortBy(t => (t.tsSec, t.side)).flatMap { t =>
+            if (t.side == 0) {
+              if (snap.forall(_._1 <= t.tsSec)) {
+                snap = Some((t.tsSec, t.value))
+                state.update(snap.get)
+              }
+              None
+            } else Some(Enriched(user, t.tsSec, t.value,
+              snap.map(_._2).getOrElse(-1.0), snap.nonEmpty))
+          }
+          out.iterator
+      }
 }

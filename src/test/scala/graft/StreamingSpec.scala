@@ -82,6 +82,31 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of: queries enrich with latest snapshot, state persists") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    val mem = MemoryStream[Tick]
+    val enriched = EventStreams.asofStream(mem.toDS())
+    val q = enriched.writeStream.format("memory").queryName("asof_test")
+      .outputMode("append").start()
+    try {
+      // batch 1: snapshot at t=10 then query at t=20 (same batch: matches);
+      // query at t=5 precedes every snapshot -> unmatched
+      mem.addData(Tick(1, 10, 0, 100.0), Tick(1, 20, 1, 7.0),
+        Tick(1, 5, 1, 9.0))
+      q.processAllAvailable()
+      // batch 2: query only — the t=10 snapshot must persist in state;
+      // then a newer snapshot overrides for the following query
+      mem.addData(Tick(1, 30, 1, 8.0), Tick(1, 40, 0, 200.0),
+        Tick(1, 50, 1, 6.0))
+      q.processAllAvailable()
+      val got = spark.table("asof_test").as[Enriched].collect()
+        .map(e => e.tsSec -> ((e.snapValue, e.matched))).toMap
+      assert(got == Map(5L -> ((-1.0, false)), 20L -> ((100.0, true)),
+        30L -> ((100.0, true)), 50L -> ((200.0, true))))
+    } finally q.stop()
+  }
+
   test("sessionize: keyed state splits sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams._
