@@ -53,23 +53,27 @@ object Md5Prefix64 {
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    ext.injectFunction(GraftExtensions.md5Prefix64Descriptor)
+    GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => SizeFilterToExists)
   }
 }
 
 object GraftExtensions {
-  private[graft] val md5Prefix64Descriptor = (
-    new FunctionIdentifier("md5_prefix64"),
-    new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
-    (children: Seq[Expression]) => Md5Prefix64(children.head): Expression)
+  private[graft] val functionDescriptors = Seq(
+    (new FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
+      (children: Seq[Expression]) => Md5Prefix64(children.head): Expression),
+    (new FunctionIdentifier("prefix_offsets"),
+      new ExpressionInfo(classOf[PrefixOffsets].getName, "prefix_offsets"),
+      (children: Seq[Expression]) => PrefixOffsets(children.head): Expression))
 
   /** Imperative fallback: if `getOrCreate` returned a session built without
     * `spark.sql.extensions=graft.plans.GraftExtensions` (e.g. a harness
-    * created it first), register the function directly. Idempotent. */
+    * created it first), register the functions directly. Idempotent. */
   def install(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val (id, info, builder) = md5Prefix64Descriptor
     val reg = spark.sessionState.functionRegistry
-    if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    functionDescriptors.foreach { case (id, info, builder) =>
+      if (!reg.functionExists(id)) reg.registerFunction(id, info, builder)
+    }
   }
 }

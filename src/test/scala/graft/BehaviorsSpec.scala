@@ -81,4 +81,10 @@ class BehaviorsSpec extends SparkSpec {
       conv(substring(md5(col("s")), 1, 8), 16, 10).cast("long"))
     assert(native == composed)
   }
+
+  test("prefix_offsets is SQL-callable (registered via GraftExtensions)") {
+    val df = Seq((0L, Seq(2, 3, 1))).toDF("row_id", "counts")
+    assert(eval1(df, call_function("prefix_offsets", col("counts")))
+      .map(seqOf) == Seq(Seq(0L, 2L, 5L, 6L)))
+  }
 }
