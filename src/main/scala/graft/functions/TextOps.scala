@@ -19,6 +19,16 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Compression-ratio quality signal (deflate size / raw size) — the
+    * Gopher/RefinedWeb-style repetitiveness filter: templated or looping
+    * text compresses far below natural prose. Backed by the codegen'd
+    * [[graft.plans.DeflateRatio]] expression (one Deflater per thread,
+    * one call per document). */
+  def compressionRatio(text: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.plans.DeflateRatio(
+        org.apache.spark.sql.GraftColumnBridge.expression(text)))
+
   /** BPE-ish subword token count: runs of letters, runs of digits, or a
     * single other non-space char. */
   def bpeishCount(text: Column): Column =

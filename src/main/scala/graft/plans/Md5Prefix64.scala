@@ -65,7 +65,10 @@ object GraftExtensions {
       (children: Seq[Expression]) => Md5Prefix64(children.head): Expression),
     (new FunctionIdentifier("prefix_offsets"),
       new ExpressionInfo(classOf[PrefixOffsets].getName, "prefix_offsets"),
-      (children: Seq[Expression]) => PrefixOffsets(children.head): Expression))
+      (children: Seq[Expression]) => PrefixOffsets(children.head): Expression),
+    (new FunctionIdentifier("deflate_ratio"),
+      new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
+      (children: Seq[Expression]) => DeflateRatio(children.head): Expression))
 
   /** Imperative fallback: if `getOrCreate` returned a session built without
     * `spark.sql.extensions=graft.plans.GraftExtensions` (e.g. a harness

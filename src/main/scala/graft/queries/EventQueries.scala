@@ -54,6 +54,23 @@ object EventQueries {
           percentile_approx(col("l_extendedprice"), lit(0.5), lit(1000))
             .as("approx_median_price"))
         .orderBy("l_returnflag")
+    },
+
+    // Compression-ratio quality filter (deflate-based — no DuckDB
+    // equivalent, so rows-only check; monotonicity vs repetitive text is
+    // asserted in TextOpsSpec). One codegen'd scalar kernel per document;
+    // the per-language aggregate is partial+final (shuffle O(langs)).
+    Q.noOracle("q93_compress_quality") { (s, d) =>
+      import graft.functions.TextOps
+      Tables.documents(s, d)
+        .select(col("lang"),
+          TextOps.compressionRatio(col("text")).as("ratio"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(avg("ratio"), 4).as("avg_ratio"),
+          round(min("ratio"), 4).as("min_ratio"),
+          sum(when(col("ratio") < 0.4, 1L).otherwise(0L)).as("n_repetitive"))
+        .orderBy("lang")
     })
 
   val queries: Seq[Q] = Seq(

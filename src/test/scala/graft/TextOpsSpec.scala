@@ -86,6 +86,22 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(got - 0.5) < 1e-12)
   }
 
+  test("compressionRatio: repetitive text compresses below natural prose") {
+    val rep = "spam spam spam " * 50
+    val prose = "the quick brown fox jumps over a lazy dog while seventeen " +
+      "distinct melodies echo through crowded autumn markets near the harbor"
+    val df = Seq((0L, rep), (1L, prose), (2L, "")).toDF("row_id", "t")
+    val got = eval1(df, TextOps.compressionRatio(col("t")))
+      .map(_.asInstanceOf[Double])
+    assert(got(0) < 0.1, s"repetitive ratio ${got(0)}")
+    assert(got(1) > 0.5, s"prose ratio ${got(1)}")
+    assert(got(2) == 1.0)
+    // registered SQL form agrees with the Column form
+    val viaSql = eval1(df, call_function("deflate_ratio", col("t")))
+      .map(_.asInstanceOf[Double])
+    assert(viaSql == got)
+  }
+
   test("bpeishCount splits letters/digits/other") {
     val df = Seq((0L, "ab12 cd-ef")).toDF("row_id", "t")
     // ab, 12, cd, -, ef
