@@ -495,6 +495,45 @@ object NestedQueries {
         .select("doc_id", "lang").orderBy("doc_id")
     },
 
+    // Deep broadcasting at depth 2 — the schema-recursive expression
+    // builder (NestedOps.mapLeaves/zipLeaves/broadcastScalar, the engine's
+    // Awkward-broadcasting analogue, reference core.py:1756-1769) applied
+    // through a built array<array<float>>: ufunc map, aligned zip, and
+    // scalar broadcast, each reduced to a scalar for the oracle.
+    Q(
+      "q94_deep_broadcast",
+      """SELECT vec_id,
+        |  round(list_sum(flatten(list_transform(range(0, 4), i ->
+        |    list_transform(embedding[i*4+1:i*4+4],
+        |      x -> CAST(x AS DOUBLE) * 2 + 1)))), 3) + 0 AS deep_sum,
+        |  round(list_sum(flatten(list_transform(range(0, 4), i ->
+        |    list_transform(embedding[i*4+1:i*4+4],
+        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 3) + 0 AS deep_dot,
+        |  round(list_max(flatten(list_transform(range(0, 4), i ->
+        |    list_transform(embedding[i*4+1:i*4+4],
+        |      x -> CAST(x AS DOUBLE) + 10)))), 3) + 0 AS deep_max
+        |FROM embeddings WHERE vec_id < 200 ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.{ArrayOps, NestedOps}
+      import org.apache.spark.sql.types.{ArrayType, FloatType}
+      val nested = ArrayOps.chunk(slice(col("embedding"), 1, 16), 4)
+      val dt = ArrayType(ArrayType(FloatType))
+      val mapped = NestedOps.mapLeaves(nested, dt)((x, _) =>
+        x.cast("double") * 2 + 1)
+      val zipped = NestedOps.zipLeaves(nested, nested, dt)((x, y) =>
+        x.cast("double") * y.cast("double"))
+      val bcast = NestedOps.broadcastScalar(nested, dt, lit(10.0))((x, v) =>
+        x.cast("double") + v)
+      emb(s, d).filter(col("vec_id") < 200).select(
+        col("vec_id"),
+        (round(aggregate(flatten(mapped), lit(0.0), (a, x) => a + x), 3)
+          + lit(0.0)).as("deep_sum"),
+        (round(aggregate(flatten(zipped), lit(0.0), (a, x) => a + x), 3)
+          + lit(0.0)).as("deep_dot"),
+        (round(array_max(flatten(bcast)), 3) + lit(0.0)).as("deep_max"))
+        .orderBy("vec_id")
+    },
+
     // sample(probability=...) — reference inspect.py:241-273's Bernoulli
     // mode. `df.sample(p, seed)` is RNG-partition-dependent, so the gated
     // form uses the hash-mod determinism trick: keep rows whose md5(key)
