@@ -61,13 +61,51 @@ class PointsTable(rows: Long, partitions: Int, seed: Long)
 }
 
 class PointsScanBuilder(rows: Long, partitions: Int, seed: Long)
-    extends ScanBuilder with SupportsPushDownRequiredColumns {
+    extends ScanBuilder with SupportsPushDownRequiredColumns
+    with SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
+
   private var required: StructType = PointsSource.fullSchema
+  // row_id range accepted from pushed filters: [lo, hi)
+  private var lo = 0L
+  private var hi = Long.MaxValue
+  private var accepted: Array[Filter] = Array.empty
 
   // the reference's `project_columns` (parquet.py:179-190): remember the
   // projection; the readers below only generate what was asked for
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // Filter pushdown with real PARTITION PRUNING: row_id is this source's
+  // physical ordering key, so range predicates on it narrow which input
+  // partitions are planned at all (the behavior that matters at scale —
+  // the analogue of parquet row-group min/max skipping). Everything else
+  // is returned as residual for Spark to evaluate post-scan.
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (ok, residual) = filters.partition {
+      case GreaterThan("row_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case GreaterThanOrEqual("row_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThan("row_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case LessThanOrEqual("row_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case EqualTo("row_id", _: java.lang.Long | _: java.lang.Integer) => true
+      case _ => false
+    }
+    def num(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+    }
+    ok.foreach {
+      case GreaterThan(_, v) => lo = math.max(lo, num(v) + 1)
+      case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
+      case LessThan(_, v) => hi = math.min(hi, num(v))
+      case LessThanOrEqual(_, v) => hi = math.min(hi, num(v) + 1)
+      case EqualTo(_, v) => lo = math.max(lo, num(v)); hi = math.min(hi, num(v) + 1)
+      case _ => ()
+    }
+    accepted = ok
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = accepted
 
   override def build(): Scan = new Scan with Batch {
     override def readSchema(): StructType = required
@@ -75,7 +113,9 @@ class PointsScanBuilder(rows: Long, partitions: Int, seed: Long)
     override def planInputPartitions(): Array[InputPartition] = {
       val per = math.max(1L, (rows + partitions - 1) / partitions)
       (0L until rows by per)
-        .map(start => PointsPartition(start, math.min(start + per, rows)))
+        .map(start => PointsPartition(math.max(start, lo),
+          math.min(math.min(start + per, rows), hi)))
+        .filter(p => p.start < p.end)
         .toArray[InputPartition]
     }
     override def createReaderFactory(): PartitionReaderFactory =

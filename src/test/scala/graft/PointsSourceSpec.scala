@@ -32,6 +32,23 @@ class PointsSourceSpec extends SparkSpec {
     assert(df.count() == 50)
   }
 
+  test("row_id range filters prune input partitions (min/max skipping)") {
+    // 100 rows / 4 partitions of 25: row_id >= 80 leaves only [80,100)
+    val full = read(100, 4)
+    assert(full.rdd.getNumPartitions == 4)
+    val pruned = full.filter(col("row_id") >= 80)
+    assert(pruned.rdd.getNumPartitions == 1,
+      "range filter should prune 3 of 4 partitions")
+    assert(pruned.count() == 20)
+    assert(pruned.agg(min("row_id")).head.getLong(0) == 80L)
+    // residual predicates still apply post-scan
+    val mixed = full.filter(col("row_id") >= 80 && col("label") === "p85")
+    assert(mixed.count() == 1)
+    // equality narrows to a single-row partition
+    val one = full.filter(col("row_id") === 42)
+    assert(one.rdd.getNumPartitions == 1 && one.count() == 1)
+  }
+
   test("nested ops run over the custom source") {
     val df = read(30, 2).select(col("row_id"),
       graft.functions.ArrayOps.num(col("points")).as("n"),
