@@ -145,4 +145,8 @@ object awk {
   val str: StrOps.type = StrOps
   /** Pipeline additions (dedup / similarity / text analysis). */
   val text: TextOps.type = TextOps
+  /** North-star extensions beyond the reference vocabulary: as-of/range
+    * joins and near-dup group resolution (connected components). */
+  val joins: graft.functions.JoinOps.type = graft.functions.JoinOps
+  val graph: graft.functions.GraphOps.type = graft.functions.GraphOps
 }
