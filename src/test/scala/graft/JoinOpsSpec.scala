@@ -54,4 +54,15 @@ class JoinOpsSpec extends SparkSpec {
       .count()
     assert(n == bucketed.size)
   }
+
+  test("rangeJoinBucketed handles negative values (floor-based buckets)") {
+    val points = Seq((0L, -7.5), (1L, -0.1), (2L, 0.0), (3L, 4.9))
+      .toDF("id", "x")
+    val intervals = Seq((0L, -10.0, 0.0), (1L, 0.0, 5.0)).toDF("tier", "lo", "hi")
+    val got = JoinOps.rangeJoinBucketed(points, "x", intervals, "lo", "hi", 3.0)
+      .select("id", "tier").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    // [lo, hi): -7.5 and -0.1 in tier 0; 0.0 and 4.9 in tier 1
+    assert(got == Set((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
+  }
 }
