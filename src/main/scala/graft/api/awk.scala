@@ -53,8 +53,10 @@ object awk {
   def unflatten(arr: Column, counts: Column): Column =
     ArrayOps.unflatten(arr, counts)
   def ravel(arr: Column): Column = ArrayOps.ravel1(arr)
-  def sort(arr: Column): Column = array_sort(arr)
-  def argsort(arr: Column): Column = ArrayOps.argsort(arr)
+  def sort(arr: Column, ascending: Boolean = true): Column =
+    if (ascending) array_sort(arr) else ArrayOps.sortDesc(arr)
+  def argsort(arr: Column, ascending: Boolean = true): Column =
+    if (ascending) ArrayOps.argsort(arr) else ArrayOps.argsortDesc(arr)
   def zip(cols: (String, Column)*): Column =
     struct(cols.map { case (n, c) => c.as(n) }: _*)
   def unzip(df: DataFrame, structCol: String): DataFrame =

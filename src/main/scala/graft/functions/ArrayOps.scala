@@ -126,6 +126,24 @@ object ArrayOps {
       array_sort(transform(arr, (v, i) => struct(v.as("v"), i.as("i")))),
       s => s.getField("i"))
 
+  /** Descending sort/argsort — the reference's `ascending=False` flag
+    * (structure.py:187-204, 801-820). `sortDesc` may simply reverse the
+    * ascending sort (equal values are indistinguishable); `argsortDesc`
+    * may NOT (reversing also reverses ties, breaking stability), so it
+    * sorts with an explicit (value desc, index asc) comparator. */
+  def sortDesc(arr: Column): Column = reverse(array_sort(arr))
+  def argsortDesc(arr: Column): Column =
+    transform(
+      array_sort(
+        transform(arr, (v, i) => struct(v.as("v"), i.as("i"))),
+        (a, b) => {
+          val (av, bv) = (a.getField("v"), b.getField("v"))
+          when(av > bv, -1).when(av < bv, 1)
+            .otherwise(when(a.getField("i") < b.getField("i"), -1)
+              .otherwise(1))
+        }),
+      s => s.getField("i"))
+
   /** Fully flatten any nesting to a 1-D list per row — reference `ravel`
     * (structure.py:753-772). One level per call; compose for deeper. */
   def ravel1(arr: Column): Column = flatten(arr)

@@ -133,6 +133,14 @@ class ArrayOpsSpec extends SparkSpec {
     assert(idx == Seq((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  test("sortDesc / argsortDesc: descending, argsort ties stay stable") {
+    // ties: two 5s at indices 1 and 3 — stable descending keeps 1 before 3
+    val df = Seq((0L, Seq(2, 5, 9, 5))).toDF("row_id", "xs")
+    assert(eval1(df, sortDesc(col("xs"))).map(seqOf) == Seq(Seq(9, 5, 5, 2)))
+    assert(eval1(df, argsortDesc(col("xs"))).map(seqOf) ==
+      Seq(Seq(2, 1, 3, 0)))
+  }
+
   test("argsort is stable and ascending") {
     val df = Seq((0L, Seq(3.0, 1.0, 3.0, 0.5))).toDF("row_id", "xs")
     assert(eval1(df, argsort(col("xs"))).map(seqOf) == Seq(Seq(3, 1, 0, 2)))
