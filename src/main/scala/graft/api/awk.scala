@@ -99,8 +99,12 @@ object awk {
   // ---- combinators (§2.4) ------------------------------------------------
   def cartesian(a: Column, b: Column): Column = ArrayOps.cartesian(a, b)
   def argcartesian(a: Column, b: Column): Column = ArrayOps.argcartesian(a, b)
-  def combinations(arr: Column, n: Int): Column =
-    if (n == 2) ArrayOps.combinations2(arr) else ArrayOps.combinationsN(arr, n)
+  def combinations(arr: Column, n: Int, replacement: Boolean = false,
+      fields: Seq[String] = null): Column =
+    if (n == 2)
+      ArrayOps.combinations2(arr, replacement,
+        Option(fields).getOrElse(Seq("c0", "c1")))
+    else ArrayOps.combinationsN(arr, n, replacement)
   def argcombinations(arr: Column, n: Int): Column =
     if (n == 2) ArrayOps.argcombinations2(arr)
     else ArrayOps.argcombinationsN(arr, n)

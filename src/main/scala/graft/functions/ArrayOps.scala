@@ -100,12 +100,19 @@ object ArrayOps {
             greatest(ceil(size(arr) / lit(k.toDouble)).cast("int") - 1, lit(0))),
           i => slice(arr, i * k + 1, lit(k))))
 
-  /** Per-row n-choose-2 without replacement — reference `combinations(n=2)`
-    * (structure.py:285-332). Pairs (x_i, x_j), i<j, in index order. */
-  def combinations2(arr: Column): Column =
+  /** Per-row n-choose-2 — reference `combinations(n=2, replacement=,
+    * fields=)` (structure.py:296-332). Pairs (x_i, x_j) in index order,
+    * i<j (or i<=j with replacement); struct field names default to the
+    * reference's "0"/"1"-style c0/c1 and follow `fields` when given. */
+  def combinations2(arr: Column, replacement: Boolean = false,
+      fields: Seq[String] = Seq("c0", "c1")): Column = {
+    require(fields.length == 2, "combinations2 needs exactly 2 field names")
+    val skip = if (replacement) 1 else 2
     flatten(transform(arr, (x, i) =>
-      transform(slice(arr, i + 2, greatest(size(arr) - i - 1, lit(0))),
-        y => struct(x.as("c0"), y.as("c1")))))
+      transform(
+        slice(arr, i + skip, greatest(size(arr) - i - (skip - 1), lit(0))),
+        y => struct(x.as(fields(0)), y.as(fields(1))))))
+  }
 
   /** Per-row cross product of two aligned lists — reference `cartesian(axis=1)`
     * (structure.py:245-282). */
@@ -175,17 +182,22 @@ object ArrayOps {
     * `combinations(n)`, structure.py:285-332) built by recursive HOF
     * composition — SURVEY §7.3's "recursive HOF expression builder"; no
     * custom Generator required. Output: array of fixed-size arrays. */
-  def combinationsN(arr: Column, n: Int): Column = {
+  def combinationsN(arr: Column, n: Int, replacement: Boolean = false): Column = {
     require(n >= 1, "combinations n must be >= 1")
-    // rec(start, k): combinations of arr[start..] of size k, as array<array>
+    // rec(start, k): combinations of arr[start..] of size k, as array<array>.
+    // With replacement the recursion re-admits the current position
+    // (start + i instead of start + i + 1) and the tail-length guard drops
+    // the (k-1) reservation — multisets need no lookahead room.
+    val reserve = if (replacement) 0 else 1
     def rec(startIdx: Column, k: Int): Column =
       if (k == 1)
         transform(slice(arr, startIdx + 1, greatest(size(arr) - startIdx, lit(0))),
           x => array(x))
       else
         flatten(transform(
-          slice(arr, startIdx + 1, greatest(size(arr) - startIdx - (k - 1), lit(0))),
-          (x, i) => transform(rec(startIdx + i + 1, k - 1),
+          slice(arr, startIdx + 1,
+            greatest(size(arr) - startIdx - (k - 1) * reserve, lit(0))),
+          (x, i) => transform(rec(startIdx + i + reserve, k - 1),
             rest => concat(array(x), rest))))
     rec(lit(0), n)
   }

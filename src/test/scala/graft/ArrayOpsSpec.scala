@@ -107,6 +107,21 @@ class ArrayOpsSpec extends SparkSpec {
     assert(got(2) == Seq())
   }
 
+  test("combinations with replacement and custom fields (structure.py:296)") {
+    val df = Seq((0L, Seq("a", "b"))).toDF("row_id", "xs")
+    val pairs = eval1(df,
+      combinations2(col("xs"), replacement = true, fields = Seq("l", "r")))
+      .map(seqOf).head.map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getString(0), row.getString(1)) })
+    assert(pairs == Seq(("a", "a"), ("a", "b"), ("b", "b")))
+    val trip = eval1(df, combinationsN(col("xs"), 3, replacement = true))
+      .map(seqOf).head.map(seqOf)
+    assert(trip == Seq(Seq("a", "a", "a"), Seq("a", "a", "b"),
+      Seq("a", "b", "b"), Seq("b", "b", "b")))
+    // without replacement unchanged: C(2,3) = 0
+    assert(eval1(df, combinationsN(col("xs"), 3)).map(seqOf).head == Seq())
+  }
+
   test("argcombinations: index pairs / index triples (structure.py:125-176)") {
     val df = Seq((0L, Seq("a", "b", "c", "d")), (1L, Seq[String]()))
       .toDF("row_id", "xs")
