@@ -114,16 +114,23 @@ object ArrayOps {
         y => struct(x.as(fields(0)), y.as(fields(1))))))
   }
 
-  /** Per-row cross product of two aligned lists — reference `cartesian(axis=1)`
-    * (structure.py:245-282). */
-  def cartesian(a: Column, b: Column): Column =
-    flatten(transform(a, x => transform(b, y => struct(x.as("c0"), y.as("c1")))))
+  /** Per-row cross product of two aligned lists — reference
+    * `cartesian(axis=1, nested=)` (structure.py:245-282): flat pair list
+    * by default; `nested=true` keeps one sublist per left element (the
+    * reference's grouped form). */
+  def cartesian(a: Column, b: Column, nested: Boolean = false): Column = {
+    val grouped = transform(a, x =>
+      transform(b, y => struct(x.as("c0"), y.as("c1"))))
+    if (nested) grouped else flatten(grouped)
+  }
 
   /** Per-row argcartesian — index pairs instead of values
-    * (structure.py:83-122). */
-  def argcartesian(a: Column, b: Column): Column =
-    flatten(transform(a, (_, i) =>
-      transform(b, (_, j) => struct(i.as("c0"), j.as("c1")))))
+    * (structure.py:83-122); `nested` as in [[cartesian]]. */
+  def argcartesian(a: Column, b: Column, nested: Boolean = false): Column = {
+    val grouped = transform(a, (_, i) =>
+      transform(b, (_, j) => struct(i.as("c0"), j.as("c1"))))
+    if (nested) grouped else flatten(grouped)
+  }
 
   /** Indices that would sort the list ascending (stable) — reference
     * `argsort(axis=-1)` (structure.py:187-204). Sorting the (value, index)

@@ -156,6 +156,19 @@ class ArrayOpsSpec extends SparkSpec {
       Seq(Seq(2, 1, 3, 0)))
   }
 
+  test("cartesian nested=true groups pairs per left element") {
+    val df = Seq((0L, Seq(1, 2), Seq(10, 20))).toDF("row_id", "a", "b")
+    val grouped = eval1(df, cartesian(col("a"), col("b"), nested = true))
+      .map(seqOf).head.map(seqOf)
+    assert(grouped.size == 2 && grouped.forall(_.size == 2))
+    val g0 = grouped.head.map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+      (row.getInt(0), row.getInt(1)) })
+    assert(g0 == Seq((1, 10), (1, 20)))
+    val ag = eval1(df, argcartesian(col("a"), col("b"), nested = true))
+      .map(seqOf).head.map(seqOf)
+    assert(ag.size == 2 && ag.forall(_.size == 2))
+  }
+
   test("argsort is stable and ascending") {
     val df = Seq((0L, Seq(3.0, 1.0, 3.0, 0.5))).toDF("row_id", "xs")
     assert(eval1(df, argsort(col("xs"))).map(seqOf) == Seq(Seq(3, 1, 0, 2)))
