@@ -75,6 +75,47 @@ object Multimodal {
     }(enc)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false),
+    StructField("resized", BinaryType, nullable = true),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType, nullable = false),
+      StructField("height", IntegerType, nullable = false),
+      StructField("n_frames", IntegerType, nullable = false))),
+      nullable = false)))
+
+  /** Resize: nearest-neighbor resample of the payload interpreted as a
+    * row-major `meta.width x meta.height` byte grid (what the stub decode
+    * produces) to `outW x outH`. The sampling arithmetic is the real
+    * nearest-neighbor kernel — only the "pixels are raw payload bytes"
+    * premise is the stub (a codec build would decode first). Runs
+    * per-partition, constant memory, output metadata carries the new
+    * dimensions. */
+  def resize(media: DataFrame, outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0, "resize target must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(resizedSchema)
+    media.select(col("media_id"), col("kind"), col("payload"),
+      col("meta.width"), col("meta.height"), col("meta.n_frames"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          val (id, kind) = (r.getLong(0), r.getString(1))
+          val payload = if (r.isNullAt(2)) null else r.getAs[Array[Byte]](2)
+          val (w, h, nf) = (r.getInt(3), r.getInt(4), r.getInt(5))
+          val outMeta = Row(outW, outH, nf)
+          if (payload == null || w <= 0 || h <= 0) Row(id, kind, null, outMeta)
+          else {
+            val out = Array.tabulate[Byte](outW * outH) { p =>
+              val (x2, y2) = (p % outW, p / outW)
+              val idx = (y2 * h / outH) * w + (x2 * w / outW)
+              if (idx < payload.length) payload(idx) else 0
+            }
+            Row(id, kind, out, outMeta)
+          }
+        }
+      }(enc)
+  }
+
   /** Frame sampling: split the payload into `meta.n_frames` equal chunks and
     * keep every `stride`-th — pure Column expressions (codegen'd), the
     * binary twin of ArrayOps.chunk. */

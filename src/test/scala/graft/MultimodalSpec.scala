@@ -36,6 +36,23 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("resize: nearest-neighbor over the byte grid, new meta dims") {
+    // 4x2 "image" of bytes 0..7, downscaled to 2x1: picks (0,0) and (2,0)
+    val one = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(7L, "image",
+          Array[Byte](0, 1, 2, 3, 4, 5, 6, 7),
+          org.apache.spark.sql.Row(4, 2, 1))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.resize(one, outW = 2, outH = 1).collect().head
+    assert(out.getAs[Array[Byte]](2).toSeq == Seq[Byte](0, 2))
+    val m = out.getStruct(3)
+    assert(m.getInt(0) == 2 && m.getInt(1) == 1 && m.getInt(2) == 1)
+    // identity resize returns the grid prefix unchanged
+    val same = Multimodal.resize(one, outW = 4, outH = 2).collect().head
+    assert(same.getAs[Array[Byte]](2).toSeq == (0 to 7).map(_.toByte))
+  }
+
   test("sampleFrames keeps every 2nd frame, chunks cover payload length") {
     val sampled = Multimodal.sampleFrames(media, stride = 2)
     val r = sampled.orderBy("media_id").collect()
