@@ -86,8 +86,10 @@ object ArrayOps {
     import org.apache.spark.sql.GraftColumnBridge
     val offsets = GraftColumnBridge.column(
       graft.plans.PrefixOffsets(GraftColumnBridge.expression(counts)))
+    // both slice args cast to int: Slice requires IntegerType and won't
+    // implicitly narrow a long `counts` element
     zip_with(slice(offsets, lit(1), size(counts)), counts,
-      (off, c) => slice(arr, (off + 1).cast("int"), c))
+      (off, c) => slice(arr, (off + 1).cast("int"), c.cast("int")))
   }
 
   /** Split a list into fixed-size chunks (unflatten with uniform counts). */
@@ -141,18 +143,29 @@ object ArrayOps {
       s => s.getField("i"))
 
   /** Descending sort/argsort — the reference's `ascending=False` flag
-    * (structure.py:187-204, 801-820). `sortDesc` may simply reverse the
-    * ascending sort (equal values are indistinguishable); `argsortDesc`
-    * may NOT (reversing also reverses ties, breaking stability), so it
-    * sorts with an explicit (value desc, index asc) comparator. */
-  def sortDesc(arr: Column): Column = reverse(array_sort(arr))
+    * (structure.py:187-204, 801-820). Both use explicit comparators:
+    * `reverse(array_sort(arr))` would move nulls to the FRONT (array_sort
+    * puts them last ascending), disagreeing with argsortDesc; and for
+    * argsort, reversing also reverses ties, breaking stability. Both keep
+    * nulls last, matching the ascending forms. */
+  def sortDesc(arr: Column): Column =
+    array_sort(arr, (a, b) =>
+      when(a.isNull && b.isNull, 0)
+        .when(a.isNull, 1).when(b.isNull, -1)
+        .when(a > b, -1).when(a < b, 1).otherwise(0))
   def argsortDesc(arr: Column): Column =
     transform(
       array_sort(
         transform(arr, (v, i) => struct(v.as("v"), i.as("i"))),
         (a, b) => {
           val (av, bv) = (a.getField("v"), b.getField("v"))
-          when(av > bv, -1).when(av < bv, 1)
+          // null values explicitly last: `av > bv` is null-unknown when
+          // either side is null, which would fall through to the index
+          // tiebreak and make the comparator inconsistent. Two nulls (and
+          // equal values) fall through to the stable index tiebreak.
+          when(av.isNull && bv.isNotNull, 1)
+            .when(bv.isNull && av.isNotNull, -1)
+            .when(av > bv, -1).when(av < bv, 1)
             .otherwise(when(a.getField("i") < b.getField("i"), -1)
               .otherwise(1))
         }),

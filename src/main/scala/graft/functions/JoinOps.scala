@@ -34,12 +34,18 @@ object JoinOps {
     val lTag = left.select(col(key), col(ts).as("__ts"), lit(1).as("__side"),
       struct(lCols.map(col): _*).as("__l"),
       lit(null).cast(rStruct).as("__r"))
-    val rTag = right.select(col(key), col(ts).as("__ts"), lit(0).as("__side"),
-      lit(null).cast(lStruct).as("__l"),
-      struct(rCols.map(col): _*).as("__r"))
+    // null-ts right rows are dropped (DuckDB ASOF: null compares false to
+    // everything) — otherwise they'd sort nulls-FIRST in the window and be
+    // carried forward as a bogus "latest" match for every left row
+    val rTag = right.filter(col(ts).isNotNull)
+      .select(col(key), col(ts).as("__ts"), lit(0).as("__side"),
+        lit(null).cast(lStruct).as("__l"),
+        struct(rCols.map(col): _*).as("__r"))
     // at equal ts the right row sorts first (side 0 < 1), so l.ts == r.ts
-    // matches — exactly ASOF's >= bound
-    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"))
+    // matches — exactly ASOF's >= bound. `__r` as the final sort key makes
+    // ties between right rows sharing (key, ts) resolve by row contents,
+    // identically on every run (requires orderable right columns — no maps).
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTag.unionByName(rTag)
       .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))

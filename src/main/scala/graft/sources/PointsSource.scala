@@ -94,12 +94,17 @@ class PointsScanBuilder(rows: Long, partitions: Int, seed: Long)
       case l: java.lang.Long => l
       case i: java.lang.Integer => i.toLong
     }
+    // saturating +1: `Long.MaxValue + 1` would wrap to MinValue and turn
+    // an empty/half-open bound into "everything". Saturation is exact here
+    // because row ids are 0..rows-1 < Long.MaxValue, so a bound AT
+    // MaxValue selects the same rows as one past it.
+    def bump(v: Long): Long = if (v == Long.MaxValue) v else v + 1
     ok.foreach {
-      case GreaterThan(_, v) => lo = math.max(lo, num(v) + 1)
+      case GreaterThan(_, v) => lo = math.max(lo, bump(num(v)))
       case GreaterThanOrEqual(_, v) => lo = math.max(lo, num(v))
       case LessThan(_, v) => hi = math.min(hi, num(v))
-      case LessThanOrEqual(_, v) => hi = math.min(hi, num(v) + 1)
-      case EqualTo(_, v) => lo = math.max(lo, num(v)); hi = math.min(hi, num(v) + 1)
+      case LessThanOrEqual(_, v) => hi = math.min(hi, bump(num(v)))
+      case EqualTo(_, v) => lo = math.max(lo, num(v)); hi = math.min(hi, bump(num(v)))
       case _ => ()
     }
     accepted = ok

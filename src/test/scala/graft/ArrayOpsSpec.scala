@@ -90,6 +90,13 @@ class ArrayOpsSpec extends SparkSpec {
     assert(elapsedSec < 30.0, s"unflatten took ${elapsedSec}s — quadratic?")
   }
 
+  test("unflatten accepts bigint counts (Slice needs int args)") {
+    val df = Seq((0L, Seq(1, 2, 3, 4, 5, 6), Seq(2L, 1L, 3L)))
+      .toDF("row_id", "xs", "counts")
+    assert(eval1(df, unflatten(col("xs"), col("counts"))).map(seqOf).map(
+      _.map(seqOf)) == Seq(Seq(Seq(1, 2), Seq(3), Seq(4, 5, 6))))
+  }
+
   test("chunk splits into fixed-size groups") {
     val df = Seq((0L, Seq(1, 2, 3, 4, 5))).toDF("row_id", "xs")
     assert(eval1(df, chunk(col("xs"), 2)).map(seqOf).map(_.map(seqOf)) ==
@@ -154,6 +161,16 @@ class ArrayOpsSpec extends SparkSpec {
     assert(eval1(df, sortDesc(col("xs"))).map(seqOf) == Seq(Seq(9, 5, 5, 2)))
     assert(eval1(df, argsortDesc(col("xs"))).map(seqOf) ==
       Seq(Seq(2, 1, 3, 0)))
+  }
+
+  test("sortDesc keeps nulls last, agreeing with argsortDesc") {
+    // reverse(array_sort) would put the null FIRST (ADVICE r2)
+    val df = Seq((0L, Seq[Integer](3, null, 7))).toDF("row_id", "xs")
+    assert(eval1(df, sortDesc(col("xs"))).map(seqOf) ==
+      Seq(Seq(7, 3, null)))
+    // argsortDesc's comparator treats null-valued entries the same way:
+    // value desc, nulls last (index 1 holds the null)
+    assert(eval1(df, argsortDesc(col("xs"))).map(seqOf) == Seq(Seq(2, 0, 1)))
   }
 
   test("cartesian nested=true groups pairs per left element") {

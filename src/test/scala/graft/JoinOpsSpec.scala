@@ -25,6 +25,27 @@ class JoinOpsSpec extends SparkSpec {
       (2L, 5L, "c", -1L, -1.0)))   // right exists only later -> no match
   }
 
+  test("asofBackward: null-ts right rows dropped; (key,ts) ties deterministic") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    // a null-ts right row would sort nulls-first and get carried forward as
+    // a bogus match without the filter (ADVICE r2); DuckDB ASOF drops it
+    val right = Seq((1L, Option.empty[Long], 666.0), (1L, Some(5L), 50.0))
+      .toDF("k", "t", "v")
+    val got = JoinOps.asofBackward(left, right, "k", "t")
+      .select("v_r").collect().map(_.getDouble(0)).toSeq
+    assert(got == Seq(50.0))
+    // two right rows share (k, ts): the __r-struct tiebreaker must pick the
+    // same one on every run — the greatest by struct ordering (last in the
+    // window's ascending order)
+    val tied = Seq((1L, 10L, 1.0), (1L, 10L, 9.0), (1L, 10L, 4.0))
+      .toDF("k", "t", "v")
+    (1 to 3).foreach { _ =>
+      val v = JoinOps.asofBackward(left, tied.repartition(4), "k", "t")
+        .select("v_r").collect().map(_.getDouble(0)).toSeq
+      assert(v == Seq(9.0))
+    }
+  }
+
   test("asofBackward compiles to one hash shuffle, no nested loop") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 9L, 1.0)).toDF("k", "t", "v")

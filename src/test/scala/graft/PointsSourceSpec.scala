@@ -49,6 +49,15 @@ class PointsSourceSpec extends SparkSpec {
     assert(one.rdd.getNumPartitions == 1 && one.count() == 1)
   }
 
+  test("Long.MaxValue bounds don't wrap to select-everything (ADVICE r2)") {
+    val full = read(100, 4)
+    // `> MaxValue` used to compute lo = MaxValue + 1 = MinValue -> all rows
+    assert(full.filter(col("row_id") > Long.MaxValue).count() == 0)
+    assert(full.filter(col("row_id") === Long.MaxValue).count() == 0)
+    // `<= MaxValue` is everything (hi saturates, no wrap)
+    assert(full.filter(col("row_id") <= Long.MaxValue).count() == 100)
+  }
+
   test("nested ops run over the custom source") {
     val df = read(30, 2).select(col("row_id"),
       graft.functions.ArrayOps.num(col("points")).as("n"),

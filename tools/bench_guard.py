@@ -24,16 +24,27 @@ HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE = os.path.join(HERE, "bench_baseline_sf0.01.json")
 
 
+def short(name):
+    """qNN prefix — the key format Bench emits on stdout (the driver's
+    2000-byte tail forces a compact metric line; baseline keeps full
+    names for readability)."""
+    return name.split("_")[0]
+
+
 def main() -> int:
     src = open(sys.argv[1]) if len(sys.argv) > 1 else sys.stdin
     # tolerate sbt's "[info] " prefix and surrounding log lines
-    line = next(l for l in src if '"metric"' in l)
+    line = next((l for l in src if '"metric"' in l), None)
+    if line is None:
+        print("== bench guard FAIL: no metric line found in input")
+        return 1
     bench = json.loads(line[line.index("{"):])
+    bench_q = {short(k): v for k, v in bench["queries"].items()}
     base = json.load(open(BASELINE))
 
     failures, missing = [], []
     for q, b in sorted(base["queries"].items()):
-        t = bench["queries"].get(q)
+        t = bench_q.get(short(q))
         if t is None:
             missing.append(q)
             continue
@@ -45,7 +56,7 @@ def main() -> int:
         print(f"FAIL {q}: {t:.2f}s vs baseline {b:.2f}s (limit {limit:.2f}s)")
     for q in missing:
         print(f"MISSING {q}: in baseline but not in bench output")
-    new = sorted(set(bench["queries"]) - set(base["queries"]))
+    new = sorted(set(bench_q) - {short(q) for q in base["queries"]})
     if new:
         print(f"note: {len(new)} queries lack a baseline: {', '.join(new)}")
     ok = not failures and not missing
