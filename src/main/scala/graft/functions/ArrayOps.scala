@@ -12,6 +12,29 @@ import org.apache.spark.sql.functions._
   */
 object ArrayOps {
 
+  /** Alias barrier as an expression: evaluate `c` ONCE per row and hand it
+    * to `f` as a bound lambda variable. Needed whenever `f` references `c`
+    * inside a per-element lambda (e.g. `slice(arr, i, n)` under a
+    * `transform` over indices): Catalyst inlines the column expression
+    * into the lambda body, so a computed input (a `split`, a previous HOF)
+    * is otherwise re-evaluated for EVERY element — O(n) work becomes
+    * O(n²). Measured on q51's shingle pipeline at sf0.1: 2.65 s inlined vs
+    * 0.45 s bound. A bare attribute/field reference is already O(1), so
+    * the wrapper is skipped. */
+  def bindOnce(c: Column)(f: Column => Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    import org.apache.spark.sql.catalyst.expressions.{Attribute, GetStructField}
+    GraftColumnBridge.expression(c) match {
+      case _: Attribute => f(c)
+      case g: GetStructField if g.child.isInstanceOf[Attribute] => f(c)
+      case _ => element_at(transform(array(c), x => f(x)), 1)
+    }
+  }
+
+  /** [[bindOnce]] for two inputs (e.g. cartesian's left and right lists). */
+  def bindOnce2(a: Column, b: Column)(f: (Column, Column) => Column): Column =
+    bindOnce(a)(ab => bindOnce(b)(bb => f(ab, bb)))
+
   /** List lengths — reference `num(axis=1)` (structure.py:626-669). */
   def num(arr: Column): Column = size(arr)
 
@@ -30,10 +53,12 @@ object ArrayOps {
     // try_element_at keeps the element type for the null padding (a plain
     // array_repeat(lit(null)) would produce array<void> and fail to concat).
     require(target >= 1, "pad_none target must be >= 1")
-    val padded = when(arr.isNotNull,
-      transform(sequence(lit(1), greatest(size(arr), lit(target))),
-        i => try_element_at(arr, i)))
-    if (clip) when(arr.isNotNull, slice(padded, 1, target)) else padded
+    bindOnce(arr) { a =>
+      val padded = when(a.isNotNull,
+        transform(sequence(lit(1), greatest(size(a), lit(target))),
+          i => try_element_at(a, i)))
+      if (clip) when(a.isNotNull, slice(padded, 1, target)) else padded
+    }
   }
 
   /** Replace nulls inside lists — reference `fill_none(axis=1)`
@@ -68,39 +93,48 @@ object ArrayOps {
     * (structure.py:775-798). Computed via run-start positions then adjacent
     * differences; empty list -> empty result.
     */
-  def runLengths(arr: Column): Column = {
-    val n = size(arr)
+  def runLengths(arr: Column): Column = bindOnce(arr) { a =>
+    val n = size(a)
     val starts = filter(sequence(lit(1), n),
-      i => (i === 1) || !(element_at(arr, i) <=> element_at(arr, i - 1)))
-    val ends = concat(slice(starts, lit(2), greatest(size(starts) - 1, lit(0))),
-      array(n + 1))
+      i => (i === 1) || !(element_at(a, i) <=> element_at(a, i - 1)))
+    // empty-list guard stays OUTSIDE the inner binding: `sequence(1, 0)`
+    // descends to [1, 0] and element_at(a, 0) throws, so `starts` must not
+    // be evaluated when the list is empty
     when(n === 0, array().cast("array<long>"))
-      .otherwise(zip_with(starts, ends, (s, e) => (e - s).cast("long")))
+      .otherwise(
+        // `starts` is itself a computed array referenced per-element below
+        bindOnce(starts) { st =>
+          val ends = concat(slice(st, lit(2), greatest(size(st) - 1, lit(0))),
+            array(n + 1))
+          zip_with(st, ends, (s, e) => (e - s).cast("long"))
+        })
   }
 
   /** Regroup a flat list into sublists by `counts` — reference `unflatten`
     * (structure.py:898-922). Offsets come from one O(n) prefix-sum pass
     * ([[graft.plans.PrefixOffsets]]); the previous `aggregate`+`concat`
     * running sum reallocated the offsets array per element (O(n²)). */
-  def unflatten(arr: Column, counts: Column): Column = {
-    import org.apache.spark.sql.GraftColumnBridge
-    val offsets = GraftColumnBridge.column(
-      graft.plans.PrefixOffsets(GraftColumnBridge.expression(counts)))
-    // both slice args cast to int: Slice requires IntegerType and won't
-    // implicitly narrow a long `counts` element
-    zip_with(slice(offsets, lit(1), size(counts)), counts,
-      (off, c) => slice(arr, (off + 1).cast("int"), c.cast("int")))
-  }
+  def unflatten(arr: Column, counts: Column): Column =
+    bindOnce2(arr, counts) { (a, cts) =>
+      import org.apache.spark.sql.GraftColumnBridge
+      val offsets = GraftColumnBridge.column(
+        graft.plans.PrefixOffsets(GraftColumnBridge.expression(cts)))
+      // both slice args cast to int: Slice requires IntegerType and won't
+      // implicitly narrow a long `counts` element
+      zip_with(slice(offsets, lit(1), size(cts)), cts,
+        (off, c) => slice(a, (off + 1).cast("int"), c.cast("int")))
+    }
 
   /** Split a list into fixed-size chunks (unflatten with uniform counts). */
-  def chunk(arr: Column, k: Int): Column =
+  def chunk(arr: Column, k: Int): Column = bindOnce(arr) { a =>
     // empty input -> empty chunk list (type-correct empty: build-then-clip)
-    when(size(arr) === 0, slice(array(slice(arr, lit(1), lit(k))), 1, 0))
+    when(size(a) === 0, slice(array(slice(a, lit(1), lit(k))), 1, 0))
       .otherwise(
         transform(
           sequence(lit(0),
-            greatest(ceil(size(arr) / lit(k.toDouble)).cast("int") - 1, lit(0))),
-          i => slice(arr, i * k + 1, lit(k))))
+            greatest(ceil(size(a) / lit(k.toDouble)).cast("int") - 1, lit(0))),
+          i => slice(a, i * k + 1, lit(k))))
+  }
 
   /** Per-row n-choose-2 — reference `combinations(n=2, replacement=,
     * fields=)` (structure.py:296-332). Pairs (x_i, x_j) in index order,
@@ -110,29 +144,33 @@ object ArrayOps {
       fields: Seq[String] = Seq("c0", "c1")): Column = {
     require(fields.length == 2, "combinations2 needs exactly 2 field names")
     val skip = if (replacement) 1 else 2
-    flatten(transform(arr, (x, i) =>
-      transform(
-        slice(arr, i + skip, greatest(size(arr) - i - (skip - 1), lit(0))),
-        y => struct(x.as(fields(0)), y.as(fields(1))))))
+    bindOnce(arr) { a =>
+      flatten(transform(a, (x, i) =>
+        transform(
+          slice(a, i + skip, greatest(size(a) - i - (skip - 1), lit(0))),
+          y => struct(x.as(fields(0)), y.as(fields(1))))))
+    }
   }
 
   /** Per-row cross product of two aligned lists — reference
     * `cartesian(axis=1, nested=)` (structure.py:245-282): flat pair list
     * by default; `nested=true` keeps one sublist per left element (the
     * reference's grouped form). */
-  def cartesian(a: Column, b: Column, nested: Boolean = false): Column = {
-    val grouped = transform(a, x =>
-      transform(b, y => struct(x.as("c0"), y.as("c1"))))
-    if (nested) grouped else flatten(grouped)
-  }
+  def cartesian(a: Column, b: Column, nested: Boolean = false): Column =
+    bindOnce(b) { bb =>
+      val grouped = transform(a, x =>
+        transform(bb, y => struct(x.as("c0"), y.as("c1"))))
+      if (nested) grouped else flatten(grouped)
+    }
 
   /** Per-row argcartesian — index pairs instead of values
     * (structure.py:83-122); `nested` as in [[cartesian]]. */
-  def argcartesian(a: Column, b: Column, nested: Boolean = false): Column = {
-    val grouped = transform(a, (_, i) =>
-      transform(b, (_, j) => struct(i.as("c0"), j.as("c1"))))
-    if (nested) grouped else flatten(grouped)
-  }
+  def argcartesian(a: Column, b: Column, nested: Boolean = false): Column =
+    bindOnce(b) { bb =>
+      val grouped = transform(a, (_, i) =>
+        transform(bb, (_, j) => struct(i.as("c0"), j.as("c1"))))
+      if (nested) grouped else flatten(grouped)
+    }
 
   /** Indices that would sort the list ascending (stable) — reference
     * `argsort(axis=-1)` (structure.py:187-204). Sorting the (value, index)
@@ -190,13 +228,14 @@ object ArrayOps {
     * _getitem_outer_bool_or_int_lazy_array, core.py:1368-1383). 0-based,
     * null for out-of-range (try_element_at), negative indices wrap like
     * numpy. */
-  def gather(arr: Column, idxs: Column): Column =
+  def gather(arr: Column, idxs: Column): Column = bindOnce(arr) { a =>
     transform(idxs, i => {
-      val pos = when(i >= 0, i + 1).otherwise(size(arr) + i + 1)
+      val pos = when(i >= 0, i + 1).otherwise(size(a) + i + 1)
       // guard: a wrapped index can land on 0 (e.g. -1 into an empty list),
       // which element_at rejects even in try_ form
-      try_element_at(arr, when(pos === 0, lit(null)).otherwise(pos))
+      try_element_at(a, when(pos === 0, lit(null)).otherwise(pos))
     })
+  }
 
   /** General per-row n-choose-k combinations (reference
     * `combinations(n)`, structure.py:285-332) built by recursive HOF
@@ -209,17 +248,19 @@ object ArrayOps {
     // (start + i instead of start + i + 1) and the tail-length guard drops
     // the (k-1) reservation — multisets need no lookahead room.
     val reserve = if (replacement) 0 else 1
-    def rec(startIdx: Column, k: Int): Column =
-      if (k == 1)
-        transform(slice(arr, startIdx + 1, greatest(size(arr) - startIdx, lit(0))),
-          x => array(x))
-      else
-        flatten(transform(
-          slice(arr, startIdx + 1,
-            greatest(size(arr) - startIdx - (k - 1) * reserve, lit(0))),
-          (x, i) => transform(rec(startIdx + i + reserve, k - 1),
-            rest => concat(array(x), rest))))
-    rec(lit(0), n)
+    bindOnce(arr) { a =>
+      def rec(startIdx: Column, k: Int): Column =
+        if (k == 1)
+          transform(slice(a, startIdx + 1, greatest(size(a) - startIdx, lit(0))),
+            x => array(x))
+        else
+          flatten(transform(
+            slice(a, startIdx + 1,
+              greatest(size(a) - startIdx - (k - 1) * reserve, lit(0))),
+            (x, i) => transform(rec(startIdx + i + reserve, k - 1),
+              rest => concat(array(x), rest))))
+      rec(lit(0), n)
+    }
   }
 
   /** Per-row combinations of local indices instead of values — reference

@@ -77,18 +77,26 @@ object Reducers {
   def ptpArr(arr: Column): Column = array_max(arr) - array_min(arr)
 
   /** reference `softmax(axis=1)` — TODO in the reference (reducers.py:464-473). */
-  def softmaxArr(arr: Column): Column = {
-    val denom = aggregate(arr, lit(0.0), (acc, x) => acc + exp(x))
-    transform(arr, x => exp(x) / denom)
-  }
+  def softmaxArr(arr: Column): Column =
+    ArrayOps.bindOnce(arr) { a =>
+      // the denominator is referenced inside the per-element lambda — bind
+      // it too, or the O(n) sum re-runs for every element (O(n²) per row)
+      ArrayOps.bindOnce(aggregate(a, lit(0.0), (acc, x) => acc + exp(x))) {
+        denom => transform(a, x => exp(x) / denom)
+      }
+    }
 
   /** reference `moment(n, axis=1)` — TODO in the reference
     * (reducers.py:404-415): n-th central moment E[(x-mean)^n]. */
-  def momentArr(arr: Column, n: Int): Column = {
-    val m = meanArr(arr)
-    aggregate(arr, lit(0.0), (acc, x) => acc + pow(x.cast("double") - m, n)) /
-      size(arr)
-  }
+  def momentArr(arr: Column, n: Int): Column =
+    ArrayOps.bindOnce(arr) { a =>
+      // bind the mean: it is referenced inside the aggregate's lambda and
+      // would otherwise be recomputed per element (O(n²) per row)
+      ArrayOps.bindOnce(meanArr(a)) { m =>
+        aggregate(a, lit(0.0), (acc, x) => acc + pow(x.cast("double") - m, n)) /
+          size(a)
+      }
+    }
 
   /** The reference's `mask_identity` / `keepdims` reducer flags (threaded
     * through all reducers, e.g. reducers.py:521-524): mask_identity=true

@@ -38,9 +38,14 @@ object TextOps {
   /** Word n-gram shingles joined by a single space. Empty when there are
     * fewer than n words. */
   def shingles(words: Column, n: Int): Column =
-    when(size(words) < n, array().cast("array<string>"))
-      .otherwise(transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
+    // bindOnce: `words` is referenced inside the per-index lambda; without
+    // the barrier an inline `split(text)` input is re-split per shingle
+    // (O(words²) per doc — 6x slower on q51's pipeline at sf0.1)
+    ArrayOps.bindOnce(words) { ws =>
+      when(size(ws) < n, array().cast("array<string>"))
+        .otherwise(transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", slice(ws, i, lit(n)))))
+    }
 
   /** One MinHash value: the lexicographic minimum of salted md5 digests over
     * the shingle set. Different salts simulate independent permutations. */
