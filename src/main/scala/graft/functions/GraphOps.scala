@@ -36,21 +36,33 @@ object GraphOps {
     // round — by round ~10 the planner itself OOMs. Checkpointing cuts the
     // plan to a LogicalRDD of constant size; superseded checkpoint blocks
     // are reclaimed by the ContextCleaner when the DataFrame is GC'd.
-    var labels = und.select(col("src").as("id")).distinct()
-      .withColumn("lbl", col("id")).localCheckpoint(true)
+    // Init folds the FIRST neighbor-propagation step into the node-set
+    // aggregation (min over self + direct neighbors), saving one round.
+    var labels = und.groupBy(col("src").as("id"))
+      .agg(least(min(col("src")), min(col("dst"))).as("lbl"))
+      .localCheckpoint(true)
     var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl"))
       .head.getLong(0)
     var i = 0
     var converged = false
+    val debug = sys.env.contains("GRAFT_CC_DEBUG")
+    var tPrev = System.nanoTime()
     while (!converged && i < maxIter) {
+      if (debug) {
+        println(f"[cc] round $i start at ${(System.nanoTime()-tPrev)/1e9}%.2f s")
+        tPrev = System.nanoTime()
+      }
       val nbr = und.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
         .select(col("src").as("id"), col("lbl"))
       // pointer jumping: also take the label OF the previous label (every
       // label is itself a node id, so the inner self-join is total —
       // self-joining `labels` is safe because it is a checkpointed
       // LogicalRDD, not a shared live subtree, which would trip Catalyst's
-      // self-join attribute dedup). Distance-to-min roughly halves per
-      // round — O(log d) rounds instead of O(d) — for one extra equi-join.
+      // self-join attribute dedup). Distance-to-min divides by ~3 per
+      // round (neighbor step + doubled pointer) — O(log d) rounds — for
+      // one extra equi-join. A deeper f³ composition was measured and
+      // reverted: on the chain-like rp graph it saved ~1 round but paid a
+      // join in every round.
       val jump = labels
         .join(labels.toDF("jid", "jlbl"), col("lbl") === col("jid"))
         .select(col("id"), col("jlbl").as("lbl"))

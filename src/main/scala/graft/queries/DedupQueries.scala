@@ -27,6 +27,12 @@ object DedupQueries {
     * bucket-equi self-join, cosine threshold (see q88 notes). */
   private def rpPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
+    // Bucket self-join, NOT the q52-style bucket-collect: collect+
+    // per-bucket combinations would copy the 64-float embedding into an
+    // interpreted HOF struct pair for every candidate (measured 1.6->2.5 s
+    // at sf0.1), while the codegen'd join streams the wide vectors through
+    // build/probe without per-pair copies. Bucket-collect wins only for
+    // NARROW payloads (q52 collects bare doc_ids).
     val withB = emb(s, d).select(col("vec_id"), col("embedding"),
       TextOps.rpBucket(col("embedding"), 8, 64).as("bucket"))
     val a = withB.as("a")
