@@ -17,6 +17,7 @@ object SparkEntry {
       graft.queries.NestedQueries.queries ++
       graft.queries.TextQueries.queries ++
       graft.queries.DedupQueries.queries ++
+      graft.queries.PipelineQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.EventQueries.multimodal ++
       graft.queries.EventQueries.sketches

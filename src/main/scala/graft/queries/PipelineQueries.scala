@@ -1,0 +1,182 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{Q, Tables}
+import graft.functions.{Aggregators, TextOps}
+
+/** Corpus-preparation operators beyond the dedup/ANN family: term salience
+  * (TF-IDF), stratified corpus mixing, repetition quality signals, inverted
+  * index, and per-class embedding centroids. Each is the scale shape a
+  * 100 TB pipeline needs: explode -> partial agg, bounded per-group state,
+  * no driver-side loops.
+  *
+  * Determinism notes (oracle = DuckDB on identical parquet):
+  *  - TF-IDF uses the LINEAR idf variant `tf * N / df` — integer products
+  *    and one IEEE division are exactly rounded and therefore engine-equal,
+  *    while `ln` differs by ulps between libm and the JVM and can flip
+  *    ranks/rounding. Ranking ties break on the term string.
+  *  - Ratios are integer/integer divisions (exactly rounded), rounded to 4.
+  *  - Centroid means are double sums — order-dependent in the last ulps —
+  *    so they are rounded to 4 with the `+ 0` signed-zero guard.
+  */
+object PipelineQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.documents(s, d)
+  private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.embeddings(s, d)
+
+  val queries: Seq[Q] = Seq(
+    // Per-document top-3 salient terms by TF-IDF (linear idf, see above).
+    // Scale shape: explode -> (doc, term) partial agg; df is a reuse of
+    // that aggregate (one scan); term join shuffles by term (vocab-sized,
+    // NOT broadcast — a 100 TB vocabulary does not fit an executor); the
+    // top-k is a per-doc window over ~distinct-terms-per-doc rows.
+    Q(
+      "q95_tfidf",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |tf AS (
+        |  SELECT doc_id, w, count(*) AS tf FROM toks GROUP BY doc_id, w),
+        |df AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.w AS term, t.tf, f.df,
+        |    CAST(t.tf * n.n AS DOUBLE) / f.df AS score
+        |  FROM tf t JOIN df f ON t.w = f.w CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tf, df, score,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term)
+        |      AS rnk
+        |  FROM scored)
+        |SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+        |  CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+        |  round(score, 4) AS score
+        |FROM ranked WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin
+    ) { (s, d) =>
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val n = docs(s, d).agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("term"))
+      tf.join(dfreq, "w")
+        .crossJoin(broadcast(n))
+        .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
+          ((col("tf") * col("n")).cast("double") / col("df")).as("score"))
+        .withColumn("rnk", row_number().over(w).cast("long"))
+        .filter(col("rnk") <= 3)
+        .select(col("doc_id"), col("rnk"), col("term"),
+          col("tf").cast("long").as("tf"), col("df").cast("long").as("df"),
+          round(col("score"), 4).as("score"))
+        .orderBy("doc_id", "rnk")
+    },
+
+    // Stratified corpus mixing: per-language keep rates via the same
+    // engine-independent hash-Bernoulli as q87 (md5 prefix), here with a
+    // per-stratum threshold — the "sample en at 8%, everything else at
+    // 25%" data-mixing step. Deterministic, repartition-proof, no RNG
+    // state to coordinate across executors.
+    Q(
+      "q96_stratified_sample",
+      """SELECT doc_id, lang FROM documents
+        |WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) <
+        |  CASE WHEN lang = 'en' THEN '15' ELSE '40' END
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 2) <
+          when(col("lang") === "en", "15").otherwise("40"))
+        .select("doc_id", "lang").orderBy("doc_id")
+    },
+
+    // Gopher/RefinedWeb-style repetition signals: duplicate-word fraction
+    // and top-word (mode) fraction per document. Explode -> two partial
+    // aggs; all ratios are exact integer divisions.
+    Q(
+      "q97_repetition",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT doc_id, w, count(*) AS c FROM toks GROUP BY doc_id, w),
+        |stats AS (
+        |  SELECT doc_id, sum(c) AS nw, max(c) AS topc, count(*) AS nd
+        |  FROM wc GROUP BY doc_id)
+        |SELECT doc_id,
+        |  CAST(nw AS BIGINT) AS n_words,
+        |  round(1.0 - CAST(nd AS DOUBLE) / nw, 4) AS dup_word_frac,
+        |  round(CAST(topc AS DOUBLE) / nw, 4) AS top_word_frac
+        |FROM stats ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum("c").as("nw"), max("c").as("topc"), count(lit(1)).as("nd"))
+        .select(col("doc_id"),
+          col("nw").cast("long").as("n_words"),
+          round(lit(1.0) - col("nd").cast("double") / col("nw"), 4)
+            .as("dup_word_frac"),
+          round(col("topc").cast("double") / col("nw"), 4)
+            .as("top_word_frac"))
+        .orderBy("doc_id")
+    },
+
+    // Inverted index: per-term document frequency + the 5 smallest doc ids
+    // as a bounded postings sample. The k-minima come from
+    // [[Aggregators.MinKAgg]] — O(k) state per term regardless of df, the
+    // aggregator the 100 TB shape needs (collect_list would buffer every
+    // posting). Output serialized with ';' so the driver's scalar compare
+    // applies.
+    Q(
+      "q98_postings",
+      """WITH dw AS (
+        |  SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |agg AS (
+        |  SELECT w AS term, count(*) AS df,
+        |    array_to_string(list_sort(list(doc_id))[1:5], ';') AS top_docs
+        |  FROM dw GROUP BY w)
+        |SELECT term, CAST(df AS BIGINT) AS df, top_docs
+        |FROM agg WHERE length(term) >= 4 AND df >= 50
+        |ORDER BY term""".stripMargin
+    ) { (s, d) =>
+      val minK = udaf(new Aggregators.MinKAgg(5),
+        org.apache.spark.sql.Encoders.scalaLong)
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .distinct()
+        .groupBy(col("w").as("term"))
+        .agg(count(lit(1)).as("df"), minK(col("doc_id")).as("top"))
+        .filter(length(col("term")) >= 4 && col("df") >= 50)
+        .select(col("term"), col("df").cast("long").as("df"),
+          concat_ws(";", col("top").cast("array<string>")).as("top_docs"))
+        .orderBy("term")
+    },
+
+    // Per-class embedding centroids, one row per (label, dimension):
+    // posexplode -> partial+final avg — the distributed centroid shape
+    // (k-means assignment/update, class prototypes). Never collects a
+    // vector; shuffle carries (label, dim) partial sums only.
+    Q(
+      "q99_centroids",
+      """WITH dims AS (
+        |  SELECT label, i.i AS dim, CAST(embedding[i.i + 1] AS DOUBLE) AS v
+        |  FROM embeddings, range(0, 64) i(i))
+        |SELECT label, CAST(dim AS BIGINT) AS dim,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(v), 4) + 0 AS centroid
+        |FROM dims GROUP BY label, dim ORDER BY label, dim""".stripMargin
+    ) { (s, d) =>
+      emb(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("label", "dim")
+        .agg(count(lit(1)).as("n"), avg(col("v").cast("double")).as("c"))
+        .select(col("label"), col("dim").cast("long").as("dim"),
+          col("n").cast("long").as("n"),
+          (round(col("c"), 4) + lit(0.0)).as("centroid"))
+        .orderBy("label", "dim")
+    }
+  )
+}
