@@ -75,15 +75,19 @@ object TextOps {
       lit(0L), (acc, x) => acc + x)
   }
 
-  /** Dot product of two float-array columns, accumulated in double. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => dbl(x) * dbl(y)), lit(0.0),
-      (acc, x) => acc + x)
+  /** Dot product of two float-array columns, accumulated in double —
+    * backed by the codegen'd [[graft.plans.DotProduct]] kernel (one fused
+    * loop; the `aggregate(zip_with(...))` composition walks two
+    * interpreted HOF lambdas and allocates the zipped array per row).
+    * Identical float rounding: double casts, index-order accumulation. */
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftColumnBridge
+    GraftColumnBridge.column(graft.plans.DotProduct(
+      GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+  }
 
   /** L2 norm. */
-  def norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => dbl(x) * dbl(x)), lit(0.0),
-      (acc, x) => acc + x))
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** Cosine similarity. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
@@ -115,8 +119,8 @@ object TextOps {
   def rpBucket(vec: Column, planes: Int, dim: Int): Column =
     (0 until planes).map { j =>
       val w = array((0 until dim).map(i => lit(rpCoef(j, i))): _*)
-      val d = aggregate(zip_with(vec, w, (x, c) => dbl(x) * c),
-        lit(0.0), (acc, x) => acc + x)
+        .cast("array<double>")
+      val d = dot(vec, w)
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -68,7 +68,11 @@ object GraftExtensions {
       (children: Seq[Expression]) => PrefixOffsets(children.head): Expression),
     (new FunctionIdentifier("deflate_ratio"),
       new ExpressionInfo(classOf[DeflateRatio].getName, "deflate_ratio"),
-      (children: Seq[Expression]) => DeflateRatio(children.head): Expression))
+      (children: Seq[Expression]) => DeflateRatio(children.head): Expression),
+    (new FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) =>
+        DotProduct(children(0), children(1)): Expression))
 
   /** Imperative fallback: if `getOrCreate` returned a session built without
     * `spark.sql.extensions=graft.plans.GraftExtensions` (e.g. a harness
