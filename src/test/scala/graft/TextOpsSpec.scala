@@ -55,6 +55,33 @@ class TextOpsSpec extends SparkSpec {
     assert(math.abs(cos - 24.0 / 25.0) < 1e-12)
   }
 
+  test("dot_product kernel: null-skip, mixed float/double, length mismatch, SQL form") {
+    // null elements are skipped (DuckDB list_sum semantics), not poisoning
+    val withNull = Seq((0L, Seq[java.lang.Float](1.0f, null, 2.0f),
+      Seq[java.lang.Float](10.0f, 5.0f, 100.0f))).toDF("row_id", "a", "b")
+    assert(eval1(withNull, TextOps.dot(col("a"), col("b"))) == Seq(210.0))
+    // mixed element types: float vector x double literal plane
+    val f = Seq((0L, Seq(2.0f, 3.0f))).toDF("row_id", "a")
+    assert(eval1(f, TextOps.dot(col("a"),
+      array(lit(1.5), lit(2.0)))) == Seq(9.0))
+    // shorter side bounds the walk
+    assert(eval1(f, TextOps.dot(col("a"), array(lit(10.0)))) == Seq(20.0))
+    // registered SQL function form (GraftExtensions)
+    graft.plans.GraftExtensions.install(spark)
+    f.createOrReplaceTempView("dotv")
+    assert(spark.sql(
+      "SELECT dot_product(a, a) AS d FROM dotv").head.getDouble(0) == 13.0)
+    // equivalence with the composed HOF form on real-ish vectors
+    val vs = Seq((0L, Seq.tabulate(64)(i => (i * 0.37 - 9).toFloat),
+      Seq.tabulate(64)(i => (3.1 - i * 0.21).toFloat))).toDF("row_id", "a", "b")
+    val hof = eval1(vs, aggregate(zip_with(col("a"), col("b"),
+      (x, y) => x.cast("double") * y.cast("double")), lit(0.0),
+      (acc, x) => acc + x)).head.asInstanceOf[Double]
+    val native = eval1(vs, TextOps.dot(col("a"), col("b"))).head
+      .asInstanceOf[Double]
+    assert(native == hof) // bit-identical: same casts, same order, no FMA
+  }
+
   test("signBucket packs sign bits") {
     val df = Seq((0L, Seq(1.0f, -1.0f, 2.0f, -2.0f))).toDF("row_id", "v")
     // bits: e1>0 -> 1, e2<0 -> 0, e3>0 -> 4, e4<0 -> 0 => 5
