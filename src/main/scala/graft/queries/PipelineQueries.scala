@@ -155,6 +155,60 @@ object PipelineQueries {
         .orderBy("term")
     },
 
+    // One k-means step (assign to nearest of 8 deterministic seed
+    // centroids, then per-cluster stats) — the SemDeDup/vector-quantize
+    // shape. Distance uses the dot identity |v-c|² = v·v - 2 v·c + c·c so
+    // both engines combine three identically-computed dot products with
+    // exactly-rounded double ops (an elementwise (x-y)² sum would round
+    // differently). Spark: tiny seed table broadcast, argmin as a hash
+    // aggregation over min(struct(dist, sid, ...)) — no window sort; the
+    // oracle's row_number form picks the same row (ties break on sid).
+    Q(
+      "q100_kmeans_assign",
+      """WITH seeds AS (
+        |  SELECT vec_id AS sid, embedding AS c FROM embeddings WHERE vec_id < 8),
+        |pairs AS (
+        |  SELECT e.vec_id, s.sid,
+        |    list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)))
+        |    - 2 * list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(s.c[i] AS DOUBLE)))
+        |    + list_sum(list_transform(range(1, 65),
+        |      i -> CAST(s.c[i] AS DOUBLE) * CAST(s.c[i] AS DOUBLE))) AS dist
+        |  FROM embeddings e CROSS JOIN seeds s),
+        |assigned AS (
+        |  SELECT vec_id, sid,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY dist, sid) AS rn
+        |  FROM pairs),
+        |members AS (
+        |  SELECT a.vec_id, a.sid, e.embedding
+        |  FROM assigned a JOIN embeddings e ON a.vec_id = e.vec_id WHERE a.rn = 1)
+        |SELECT sid AS cluster, CAST(count(*) AS BIGINT) AS n,
+        |  round(avg(CAST(embedding[1] AS DOUBLE)), 4) + 0 AS c0,
+        |  round(avg(CAST(embedding[2] AS DOUBLE)), 4) + 0 AS c1,
+        |  round(avg(CAST(embedding[3] AS DOUBLE)), 4) + 0 AS c2,
+        |  round(avg(CAST(embedding[4] AS DOUBLE)), 4) + 0 AS c3
+        |FROM members GROUP BY sid ORDER BY cluster""".stripMargin
+    ) { (s, d) =>
+      val seeds = emb(s, d).filter(col("vec_id") < 8)
+        .select(col("vec_id").as("sid"), col("embedding").as("c"))
+      val dist = TextOps.dot(col("embedding"), col("embedding")) -
+        lit(2.0) * TextOps.dot(col("embedding"), col("c")) +
+        TextOps.dot(col("c"), col("c"))
+      def cd(i: Int) =
+        (round(avg(element_at(col("emb"), i + 1).cast("double")), 4) +
+          lit(0.0)).as(s"c$i")
+      emb(s, d).crossJoin(broadcast(seeds))
+        .select(col("vec_id"),
+          struct(dist.as("dist"), col("sid").as("sid"),
+            col("embedding").as("emb")).as("z"))
+        .groupBy("vec_id").agg(min(col("z")).as("z"))
+        .select(col("z.sid").as("cluster"), col("z.emb").as("emb"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).cast("long").as("n"), cd(0), cd(1), cd(2), cd(3))
+        .orderBy("cluster")
+    },
+
     // Per-class embedding centroids, one row per (label, dimension):
     // posexplode -> partial+final avg — the distributed centroid shape
     // (k-means assignment/update, class prototypes). Never collects a
