@@ -92,6 +92,22 @@ class PlanSpec extends SparkSpec {
       Seq(6L, 0L, 9L, 6L, 24L))
   }
 
+  test("q100 kmeans: seed table broadcasts; argmin is a hash agg, not a window sort") {
+    val plan = Inspect.explainString(
+      SparkEntry.queries("q100_kmeans_assign")(spark, sf))
+    assert(plan.contains("Broadcast"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("q98 postings: bounded MinKAgg aggregates without a per-group sort buffer") {
+    val plan = Inspect.explainString(
+      SparkEntry.queries("q98_postings")(spark, sf))
+    // the k-minima UDAF runs in ObjectHashAggregate; a collect_list +
+    // slice formulation would force SortAggregate (unbounded buffers)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("SortAggregate"), plan)
+  }
+
   test("top-k compiles to TakeOrderedAndProject (no global sort)") {
     val df = SparkEntry.queries("q08_topk")(spark, sf)
     assert(Inspect.explainString(df).contains("TakeOrderedAndProject"))
