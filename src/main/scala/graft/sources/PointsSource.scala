@@ -112,9 +112,27 @@ class PointsScanBuilder(rows: Long, partitions: Int, seed: Long)
   }
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new Scan with Batch {
+  override def build(): Scan = new Scan with Batch
+      with SupportsReportStatistics {
     override def readSchema(): StructType = required
     override def toBatch: Batch = this
+    // post-pushdown statistics (the reference's from_map protocol reports
+    // row counts the same way; SURVEY §2.11): row count reflects the
+    // pruned [lo, hi) range and the size estimate the pruned columns, so
+    // Catalyst's join-side planning sees the real scan, not the raw table
+    override def estimateStatistics(): Statistics = new Statistics {
+      private val n = math.max(0L, math.min(rows, hi) - math.max(0L, lo))
+      // ~8 bytes per numeric leaf; points average 1.5 structs of 2 longs
+      private val perRow = required.fields.map {
+        case f if f.name == "points" => 24L
+        case f if f.name == "label" => 6L
+        case _ => 8L
+      }.sum
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n * math.max(perRow, 1L))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(n)
+    }
     override def planInputPartitions(): Array[InputPartition] = {
       val per = math.max(1L, (rows + partitions - 1) / partitions)
       (0L until rows by per)

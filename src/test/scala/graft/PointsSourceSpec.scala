@@ -58,6 +58,18 @@ class PointsSourceSpec extends SparkSpec {
     assert(full.filter(col("row_id") <= Long.MaxValue).count() == 100)
   }
 
+  test("statistics report post-pushdown row count (small pruned side broadcasts)") {
+    // 1000-row table pruned to 10 rows by a range predicate: the reported
+    // stats must reflect the pruning, so the planner broadcasts this side
+    val small = read(1000, 8).filter(col("row_id") >= 990)
+      .select(col("row_id"))
+    val big = read(1000, 8).select(col("row_id").as("rid"))
+    val joined = big.join(small, col("rid") === col("row_id"))
+    assert(Inspect.hasBroadcast(joined),
+      Inspect.explainString(joined))
+    assert(joined.count() == 10)
+  }
+
   test("nested ops run over the custom source") {
     val df = read(30, 2).select(col("row_id"),
       graft.functions.ArrayOps.num(col("points")).as("n"),
