@@ -11,6 +11,41 @@ import graft.functions.{ArrayOps, Reducers}
   * columnar batching actually engage.
   */
 class NestedStressSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bindOnce primitives stay linear on COMPUTED inputs (adversarial sizes)") {
+    // Each op gets a computed (non-attribute) input — the shape where a
+    // missing alias barrier turns O(n) per row into O(n²): the lambda
+    // would re-evaluate the split/sequence per element. 5k-element lists
+    // make the quadratic form minutes-slow; the whole block must run in
+    // seconds. Results are also value-checked against closed forms.
+    val n = 5000
+    val df = Seq(0L).toDF("row_id")
+      .withColumn("text", concat_ws(" ",
+        transform(sequence(lit(1), lit(n)), i => concat(lit("w"), i % 97))))
+    val start = System.nanoTime()
+    val sh = df.select(graft.functions.TextOps
+      .shingles(split(col("text"), " "), 3).as("s")).head.getSeq[String](0)
+    assert(sh.size == n - 2)
+    val gathered = df.select(graft.functions.ArrayOps.gather(
+      split(col("text"), " "),
+      sequence(lit(0), lit(n - 1))).as("g")).head.getSeq[String](0)
+    assert(gathered.size == n)
+    val chunks = df.select(graft.functions.ArrayOps.chunk(
+      split(col("text"), " "), 10).as("c")).head.getSeq[Seq[String]](0)
+    assert(chunks.size == n / 10)
+    val padded = df.select(graft.functions.ArrayOps.padNone(
+      slice(split(col("text"), " "), 1, 100), 6000, clip = true).as("p"))
+      .head.getSeq[String](0)
+    assert(padded.size == 6000)
+    val softmax = df.select(graft.functions.Reducers.softmaxArr(
+      transform(sequence(lit(1), lit(n)), i => i.cast("double") / n))
+      .as("sm")).head.getSeq[Double](0)
+    assert(softmax.size == n && math.abs(softmax.sum - 1.0) < 1e-9)
+    val elapsed = (System.nanoTime() - start) / 1e9
+    assert(elapsed < 30.0,
+      s"bindOnce primitives took ${elapsed}s on ${n}-element computed inputs — quadratic?")
+  }
 
   test("nested pipeline == exploded relational computation on 50k jagged rows") {
     val dir = java.nio.file.Files.createTempDirectory("graft-stress").toString + "/pts"
