@@ -54,6 +54,31 @@ object JoinOps {
         rCols.map(c => col("__m").getField(c).as(c + suffix)): _*)
   }
 
+  /** Bucketed interval-overlap join: pair every interval of `a` with every
+    * interval of `b` that overlaps it (half-open: aLo < bHi && bLo < aHi).
+    * Both sides explode to the fixed-width buckets they cover and
+    * equi-join on bucket; the exact predicate re-filters. A pair sharing
+    * several buckets would duplicate, so each pair is kept only in its
+    * CANONICAL bucket — the one containing max(aLo, bLo), which both
+    * intervals necessarily cover — making the output duplicate-free
+    * WITHOUT a distinct shuffle. Same scale argument as
+    * [[rangeJoinBucketed]]: O(|a| + |b| × spread/bucketWidth) equi-rows
+    * instead of a BroadcastNestedLoopJoin. */
+  def intervalJoinBucketed(a: DataFrame, aLo: String, aHi: String,
+      b: DataFrame, bLo: String, bHi: String, bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, "bucketWidth must be positive")
+    def buckets(lo: Column, hi: Column) =
+      explode(sequence(floor(lo / bucketWidth).cast("long"),
+        floor(hi / bucketWidth).cast("long")))
+    val ab = a.withColumn("__bucket", buckets(col(aLo), col(aHi)))
+    val bb = b.withColumn("__bucket", buckets(col(bLo), col(bHi)))
+    ab.join(bb, Seq("__bucket"))
+      .filter(col(aLo) < col(bHi) && col(bLo) < col(aHi))
+      .filter(col("__bucket") ===
+        floor(greatest(col(aLo), col(bLo)) / bucketWidth).cast("long"))
+      .drop("__bucket")
+  }
+
   /** Bucketed range join: pair each point with every interval where
     * `lo <= point < hi`. Intervals explode into the fixed-width buckets
     * they cover, points map to their bucket, equi-join on bucket, then the

@@ -259,6 +259,41 @@ object EventQueries {
         .agg(count(lit(1)).as("n"),
           (round(sum("value"), 2) + lit(0.0)).as("sum_val"))
         .orderBy("tier")
+    },
+
+    // Interval-overlap join (interval x interval — neither Spark nor the
+    // reference has one): per-(user, hour) activity spans joined to
+    // sampled error windows (±300 s) they overlap. The bucketed shape
+    // ([[JoinOps.intervalJoinBucketed]], hour-wide buckets) replaces the
+    // BroadcastNestedLoopJoin Spark would plan for the raw inequality
+    // predicate; canonical-bucket dedup keeps the output exact without a
+    // distinct. Oracle: DuckDB runs the naive inequality join.
+    Q(
+      "q101_overlap_join",
+      """WITH spans AS (
+        |  SELECT user_id, min(epoch(ts)) AS s_lo, max(epoch(ts)) AS s_hi
+        |  FROM events GROUP BY user_id, date_trunc('hour', ts)),
+        |errw AS (
+        |  SELECT event_id, epoch(ts) - 300 AS e_lo, epoch(ts) + 300 AS e_hi
+        |  FROM events WHERE event_type = 'error' AND event_id % 97 = 0)
+        |SELECT s.user_id, CAST(count(*) AS BIGINT) AS n_overlaps
+        |FROM spans s JOIN errw e ON s.s_lo < e.e_hi AND e.e_lo < s.s_hi
+        |GROUP BY s.user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.JoinOps
+      val sec = col("ts").cast("double")
+      val spans = ev(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(min(sec).as("s_lo"), max(sec).as("s_hi"))
+        .drop("h")
+      val errw = ev(s, d)
+        .filter(col("event_type") === "error" && col("event_id") % 97 === 0)
+        .select(col("event_id"), (sec - 300).as("e_lo"), (sec + 300).as("e_hi"))
+      JoinOps.intervalJoinBucketed(spans, "s_lo", "s_hi", errw, "e_lo", "e_hi",
+          bucketWidth = 3600.0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_overlaps"))
+        .orderBy("user_id")
     }
   )
 }

@@ -55,6 +55,29 @@ class JoinOpsSpec extends SparkSpec {
     assert(plan.contains("Window"), plan)
   }
 
+  test("intervalJoinBucketed matches naive overlap join, duplicate-free") {
+    // intervals spanning several buckets, touching endpoints (half-open:
+    // no match), negatives, and containment
+    val a = Seq((0L, 0.0, 25.0), (1L, -13.0, -2.0), (2L, 5.0, 6.0),
+      (3L, 30.0, 40.0)).toDF("aid", "a_lo", "a_hi")
+    val b = Seq((10L, 24.0, 31.0), (11L, -5.0, 0.0), (12L, 4.0, 50.0),
+      (13L, 25.0, 30.0)).toDF("bid", "b_lo", "b_hi")
+    val naive = a.crossJoin(b)
+      .filter(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("aid", "bid").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val got = JoinOps.intervalJoinBucketed(a, "a_lo", "a_hi", b, "b_lo", "b_hi",
+      bucketWidth = 7.0)
+    val pairs = got.select("aid", "bid").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == naive)
+    // canonical-bucket dedup: no duplicates even for pairs sharing buckets
+    assert(pairs.length == pairs.toSet.size)
+    assert(naive.contains((0L, 12L)) && !naive.contains((0L, 13L)))
+    val plan = Inspect.explainString(got)
+    assert(!plan.contains("NestedLoop"), plan)
+  }
+
   test("rangeJoinBucketed matches the naive inequality join") {
     val points = (0 until 200).map(i => (i.toLong, i * 3.7 % 97))
       .toDF("id", "x")
