@@ -109,6 +109,17 @@ object Sources {
   def toParquet(df: DataFrame, dest: String, overwrite: Boolean = true): Unit =
     df.write.mode(if (overwrite) "overwrite" else "error").parquet(dest)
 
+  /** Hive-style partitioned parquet layout (`dest/col=value/...`) — the
+    * 100 TB corpus layout: a reader filtering on the partition columns
+    * (lang, date, source) touches only the matching directories
+    * (PartitionFilters prune before any file I/O; asserted in
+    * SourcesSpec). Partition columns should be low-cardinality; high-
+    * cardinality keys belong in bucketBy (BucketingSpec) instead. */
+  def toParquetPartitioned(df: DataFrame, dest: String,
+      partitionCols: Seq[String], overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error")
+      .partitionBy(partitionCols: _*).parquet(dest)
+
   /** to_json: line-delimited, one file per partition. */
   def toJson(df: DataFrame, dest: String, overwrite: Boolean = true): Unit =
     df.write.mode(if (overwrite) "overwrite" else "error").json(dest)

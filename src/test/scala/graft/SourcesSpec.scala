@@ -25,6 +25,26 @@ class SourcesSpec extends SparkSpec {
     assert(Inspect.necessaryColumns(back).values.head.toSet == Set("id", "v"))
   }
 
+  test("partitioned parquet: partition filters prune directories before I/O") {
+    val dir = tmp("part")
+    val df = (0 until 400).map(i =>
+      (i.toLong, Seq("en", "de", "fr", "zh")(i % 4), i * 1.5))
+      .toDF("id", "lang", "v")
+    Sources.toParquetPartitioned(df, dir, Seq("lang"))
+    // hive layout on disk
+    val dirs = new java.io.File(dir).listFiles().filter(_.isDirectory)
+      .map(_.getName).toSet
+    assert(dirs == Set("lang=en", "lang=de", "lang=fr", "lang=zh"))
+    val back = Sources.fromParquet(spark, dir).filter(col("lang") === "de")
+    assert(back.count() == 100)
+    // the filter lands in PartitionFilters (directory pruning), NOT in
+    // PushedFilters (row-group stats) — only matching dirs are listed
+    val plan = Inspect.explainString(back)
+    assert(plan.contains("PartitionFilters") &&
+      plan.replaceAll("(?s).*PartitionFilters: \\[([^\\]]*)\\].*", "$1")
+        .contains("lang"), plan)
+  }
+
   test("json round-trip: line-delimited, nested struct, schema pushdown") {
     val dir = tmp("json")
     val df = Seq((1L, Seq(1, 2, 3)), (2L, Seq[Int]())).toDF("id", "xs")
