@@ -155,6 +155,38 @@ object PipelineQueries {
         .orderBy("term")
     },
 
+    // CCNet-style unigram LM quality score: per-doc cross-entropy under
+    // the corpus unigram distribution (low = templated/common, high =
+    // rare-token noise — both filter targets). Scale shape: explode ->
+    // vocab-keyed frequency agg -> shuffle join by term -> per-doc avg;
+    // the 1-row total broadcasts. ln ulps differ between libm and the
+    // JVM but vanish at round(,3) on an average of O(doc) terms.
+    Q(
+      "q102_lm_score",
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents),
+        |freq AS (
+        |  SELECT w, count(*) AS c FROM toks GROUP BY w),
+        |tot AS (SELECT sum(c) AS t FROM freq)
+        |SELECT t.doc_id,
+        |  CAST(count(*) AS BIGINT) AS n_words,
+        |  round(avg(-ln(CAST(f.c AS DOUBLE) / tot.t)), 3) AS cross_entropy
+        |FROM toks t JOIN freq f ON t.w = f.w CROSS JOIN tot
+        |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val toks = docs(s, d).select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("w"))
+      val freq = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val tot = freq.agg(sum("c").as("t"))
+      toks.join(freq, "w")
+        .crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_words"),
+          round(avg(-log(col("c").cast("double") / col("t"))), 3)
+            .as("cross_entropy"))
+        .orderBy("doc_id")
+    },
+
     // One k-means step (assign to nearest of 8 deterministic seed
     // centroids, then per-cluster stats) — the SemDeDup/vector-quantize
     // shape. Distance uses the dot identity |v-c|² = v·v - 2 v·c + c·c so
