@@ -200,4 +200,30 @@ class PropertySpec extends SparkSpec {
       assert(got == want, s"l=$l r=$r")
     }
   }
+
+  test("law: intervalJoinBucketed == naive overlap join, duplicate-free, any width") {
+    import graft.functions.JoinOps
+    val ivGen = Gen.listOfN(10, for {
+      lo <- Gen.chooseNum(-40.0, 40.0)
+      len <- Gen.chooseNum(0.5, 30.0)
+    } yield (lo, lo + len))
+    forAll(Gen.zip(ivGen, ivGen, Gen.chooseNum(1.0, 15.0)), n = 8) {
+      case (as, bs, width) =>
+        val a = as.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+          .toDF("aid", "a_lo", "a_hi")
+        val b = bs.zipWithIndex.map { case ((lo, hi), i) => (i.toLong, lo, hi) }
+          .toDF("bid", "b_lo", "b_hi")
+        val got = JoinOps
+          .intervalJoinBucketed(a, "a_lo", "a_hi", b, "b_lo", "b_hi", width)
+          .select("aid", "bid").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toList
+        val want = (for {
+          ((alo, ahi), i) <- as.zipWithIndex
+          ((blo, bhi), j) <- bs.zipWithIndex
+          if alo < bhi && blo < ahi
+        } yield (i.toLong, j.toLong)).toSet
+        assert(got.toSet == want, s"width=$width as=$as bs=$bs")
+        assert(got.length == got.toSet.size, "canonical-bucket dedup failed")
+    }
+  }
 }
