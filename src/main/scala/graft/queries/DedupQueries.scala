@@ -132,9 +132,13 @@ object DedupQueries {
     // LSH candidate pairs. Scale shape: ONE md5 per shingle, k permutations
     // as multiply-mod arithmetic over its 32-bit prefix (a 4x hash saving vs
     // salted digests); shingles exploded to rows then min-aggregated
-    // (map-side combine); the tiny (doc, band, key) table is persisted so
-    // the self-join's two sides don't recompute the signature subtree.
-    // Band key = minhash % 256 -> 256 buckets/band, 4 bands.
+    // (map-side combine). Band key = the FULL minhash value: genuinely
+    // similar docs still collide (that IS the LSH signal) while
+    // coincidental collisions have probability ~1/4e9. An earlier % 256
+    // folding kept bucket count constant, so bucket occupancy — and pair
+    // count — grew super-linearly with corpus size (measured 24x runtime
+    // at 10x docs on the /tmp scale replica); with full-width keys the
+    // candidate set is the true near-dup pairs and scales linearly.
     Q(
       "q52_lsh_pairs",
       """WITH shr AS (
@@ -149,10 +153,10 @@ object DedupQueries {
         |  FROM shr),
         |sig AS (
         |  SELECT doc_id,
-        |    min((1000003 * h + 12345) % 4294967291) % 256 AS k0,
-        |    min((2000029 * h + 54321) % 4294967291) % 256 AS k1,
-        |    min((3000073 * h + 98765) % 4294967291) % 256 AS k2,
-        |    min((4000037 * h + 13579) % 4294967291) % 256 AS k3
+        |    min((1000003 * h + 12345) % 4294967291) AS k0,
+        |    min((2000029 * h + 54321) % 4294967291) AS k1,
+        |    min((3000073 * h + 98765) % 4294967291) AS k2,
+        |    min((4000037 * h + 13579) % 4294967291) AS k3
         |  FROM hv GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
@@ -169,10 +173,10 @@ object DedupQueries {
         (3000073L, 98765L), (4000037L, 13579L))
       val sig = shingleRows.select(col("doc_id"), h.as("h"))
         .groupBy("doc_id")
-        .agg((min((col("h") * perms(0)._1 + perms(0)._2) % 4294967291L) % 256).as("k0"),
-          (min((col("h") * perms(1)._1 + perms(1)._2) % 4294967291L) % 256).as("k1"),
-          (min((col("h") * perms(2)._1 + perms(2)._2) % 4294967291L) % 256).as("k2"),
-          (min((col("h") * perms(3)._1 + perms(3)._2) % 4294967291L) % 256).as("k3"))
+        .agg(min((col("h") * perms(0)._1 + perms(0)._2) % 4294967291L).as("k0"),
+          min((col("h") * perms(1)._1 + perms(1)._2) % 4294967291L).as("k1"),
+          min((col("h") * perms(2)._1 + perms(2)._2) % 4294967291L).as("k2"),
+          min((col("h") * perms(3)._1 + perms(3)._2) % 4294967291L).as("k3"))
       val bands = sig.select(col("doc_id"),
         posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
           .as(Seq("band", "key")))
@@ -552,7 +556,7 @@ object DedupQueries {
         |           * 16.0 ** (8 - j))) AS BIGINT) AS h
         |  FROM shr),
         |sig AS (
-        |  SELECT doc_id, min((1000003 * h + 12345) % 4294967291) % 1024 AS bucket
+        |  SELECT doc_id, min((1000003 * h + 12345) % 4294967291) AS bucket
         |  FROM hv GROUP BY doc_id),
         |kept AS (
         |  SELECT bucket, min(doc_id) AS doc_id FROM sig GROUP BY bucket),
@@ -579,7 +583,10 @@ object DedupQueries {
       val h = call_function("md5_prefix64", col("sh"))
       val sig = shingleRows.select(col("doc_id"), h.as("h"))
         .groupBy("doc_id")
-        .agg((min((col("h") * 1000003L + 12345L) % 4294967291L) % 1024)
+        // full-width minhash as the dedup key (same rationale as q52:
+        // folding to a fixed bucket count over-collapses as the corpus
+        // grows — at 10x docs a % 1024 key kept at most 1024 documents)
+        .agg(min((col("h") * 1000003L + 12345L) % 4294967291L)
           .as("bucket"))
       val kept = sig.groupBy("bucket").agg(min("doc_id").as("doc_id"))
       val enriched = kept
