@@ -20,22 +20,62 @@ object EventQueries {
     * decode plumbing — the featurize step runs per-partition via
     * mapPartitions; not expressible as DuckDB SQL over the input tables. */
   val multimodal: Seq[Q] = Seq(
-    Q.noOracle("q70_media_features") { (s, d) =>
+    // Full oracle (upgraded from rows-only): the decode stub is a
+    // deterministic byte histogram, so DuckDB can recompute it from the
+    // same ASCII text the fake payload encodes (ascii(substr)//32 = the
+    // stub's (b & 0xff)*8/256 bin). Features fixed-point-quantized on both
+    // sides (count/n and *1e6 are exactly-rounded IEEE ops — engine-equal).
+    Q(
+      "q70_media_features",
+      """WITH counts AS (
+        |  SELECT doc_id AS media_id, strlen(text) AS n_bytes,
+        |    list_transform(range(0, 8), b -> len(list_filter(
+        |      range(1, strlen(text) + 1),
+        |      i -> ascii(substr(text, i, 1)) // 32 = b))) AS cs
+        |  FROM documents)
+        |SELECT media_id, CAST(n_bytes AS BIGINT) AS n_bytes,
+        |  to_json(list_transform(cs, c ->
+        |    CAST(round(CAST(c AS DOUBLE) / n_bytes * 1000000) AS BIGINT)))::VARCHAR
+        |    AS features_json
+        |FROM counts ORDER BY media_id""".stripMargin
+    ) { (s, d) =>
       val media = graft.multimodal.Multimodal.fakeMediaTable(
         Tables.documents(s, d), "doc_id", "text")
-      // features serialized: the driver's rows-only check still pandas-sorts
-      // output columns, and an array cell crashes that sort
       graft.multimodal.Multimodal.decodeAndFeaturize(media)
         .select(col("media_id"), col("n_bytes"),
-          Ser.js(col("features")).as("features_json"))
+          Ser.jsfp(col("features")).as("features_json"))
         .orderBy("media_id")
     },
-    Q.noOracle("q71_frame_sample") { (s, d) =>
+    // Full oracle (upgraded from rows-only): the fake payload is the UTF-8
+    // text, so DuckDB can re-derive frame boundaries (flen = len // nf)
+    // and md5 the CONCATENATED SAMPLED FRAMES — proving stride sampling
+    // picked exactly the right byte ranges, not just the right count.
+    Q(
+      "q71_frame_sample",
+      """WITH m AS (
+        |  SELECT doc_id AS media_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |         WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+        |    CAST(doc_id % 16 + 1 AS INTEGER) AS nf,
+        |    strlen(text) AS len, text
+        |  FROM documents),
+        |s AS (
+        |  SELECT media_id, kind, nf, len // nf AS flen,
+        |    list_filter(range(0, nf), i -> i % 2 = 0) AS keep, text
+        |  FROM m)
+        |SELECT media_id, kind, CAST(len(keep) AS BIGINT) AS n_sampled,
+        |  substr(md5(array_to_string(list_transform(keep,
+        |    i -> substr(text, i * flen + 1, flen)), '')), 1, 8) AS fp8
+        |FROM s ORDER BY media_id""".stripMargin
+    ) { (s, d) =>
       val media = graft.multimodal.Multimodal.fakeMediaTable(
         Tables.documents(s, d), "doc_id", "text")
       graft.multimodal.Multimodal.sampleFrames(media, stride = 2)
         .select(col("media_id"), col("kind"),
-          size(col("sampled_frames")).cast("long").as("n_sampled"))
+          size(col("sampled_frames")).cast("long").as("n_sampled"),
+          substring(md5(aggregate(col("sampled_frames"),
+            lit(Array.emptyByteArray), (acc, f) => concat(acc, f))), 1, 8)
+            .as("fp8"))
         .orderBy("media_id")
     })
 
