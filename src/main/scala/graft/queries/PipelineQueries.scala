@@ -155,6 +155,44 @@ object PipelineQueries {
         .orderBy("term")
     },
 
+    // Training-shard packing: assign documents to shards by a running
+    // token budget (the sequence-packing / shard-manifest step before
+    // tokenizer runs). The running sum is windowed PER SOURCE — the
+    // partition key is what makes this scale (a single global running sum
+    // would serialize on one partition); shard boundaries use the
+    // exclusive prefix (sum - n_tok) so a document straddling the budget
+    // starts the next shard on both engines identically (integer/0.5-free
+    // arithmetic).
+    Q(
+      "q103_shard_packing",
+      """WITH toks AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok
+        |  FROM documents),
+        |packed AS (
+        |  SELECT doc_id, source, n_tok,
+        |    CAST(floor((sum(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok)
+        |      / 500.0) AS BIGINT) AS shard
+        |  FROM toks)
+        |SELECT source, shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+        |  min(doc_id) AS first_doc
+        |FROM packed GROUP BY source, shard ORDER BY source, shard""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("source").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), col("source"),
+          size(TextOps.tokens(col("text"))).as("n_tok"))
+        .withColumn("shard",
+          floor((sum("n_tok").over(w) - col("n_tok")) / 500.0).cast("long"))
+        .groupBy("source", "shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_tok").cast("long").as("shard_tokens"),
+          min("doc_id").as("first_doc"))
+        .orderBy("source", "shard")
+    },
+
     // CCNet-style unigram LM quality score: per-doc cross-entropy under
     // the corpus unigram distribution (low = templated/common, high =
     // rare-token noise — both filter targets). Scale shape: explode ->
