@@ -18,6 +18,12 @@ import org.apache.spark.sql.functions._
   * per-round join shape. Each round is one shuffle join + partial-agg min;
   * intermediate labels persist and the previous round unpersists, so
   * memory stays one label table.
+  *
+  * Measured and rejected: disabling AQE for the loop (3.7x SLOWER — AQE's
+  * shuffle-partition coalescing is what keeps the tiny per-round shuffles
+  * from fanning out to full-width task waves), and an f³ pointer
+  * composition (saves ~1 round on chain-like graphs, pays a join every
+  * round).
   */
 object GraphOps {
 
