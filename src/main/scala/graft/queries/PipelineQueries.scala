@@ -279,6 +279,57 @@ object PipelineQueries {
         .orderBy("cluster")
     },
 
+    // Int8 embedding quantization (the vector-storage compression step):
+    // per-vector min/max affine scale, quantize to 0..255, report the
+    // quantized sum and max reconstruction error. Every step is an
+    // exactly-rounded IEEE double op (sub, div, round, mul, add, abs) so
+    // both engines produce identical values. All per-row, shuffle-free;
+    // the min/max/scale scalars and the quantized array are bindOnce-bound
+    // (each is referenced inside per-element lambdas).
+    Q(
+      "q104_quantize_int8",
+      """WITH base AS (
+        |  SELECT vec_id,
+        |    CAST(list_min(embedding) AS DOUBLE) AS mn,
+        |    CAST(list_max(embedding) AS DOUBLE) AS mx,
+        |    embedding
+        |  FROM embeddings),
+        |scaled AS (
+        |  SELECT vec_id, mn, mx, (mx - mn) / 255 AS sc, embedding FROM base),
+        |quant AS (
+        |  SELECT vec_id, mn, mx, sc,
+        |    list_transform(embedding,
+        |      x -> CAST(round((CAST(x AS DOUBLE) - mn) / sc) AS BIGINT)) AS qs,
+        |    embedding
+        |  FROM scaled WHERE sc > 0)
+        |SELECT vec_id,
+        |  CAST(list_sum(qs) AS BIGINT) AS q_sum,
+        |  round(list_max(list_transform(range(1, len(qs) + 1),
+        |    i -> abs(mn + qs[i] * sc - CAST(embedding[i] AS DOUBLE)))), 6) + 0
+        |    AS max_err
+        |FROM quant ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps.bindOnce
+      val e = col("embedding")
+      val z = bindOnce(array_min(e).cast("double")) { mn =>
+        bindOnce((array_max(e).cast("double") - mn) / 255) { sc =>
+          bindOnce(transform(e,
+            x => round((x.cast("double") - mn) / sc).cast("long"))) { qs =>
+            struct(sc.as("sc"),
+              aggregate(qs, lit(0L), (a, q) => a + q).as("q_sum"),
+              (round(array_max(zip_with(qs, e, (q, x) =>
+                abs(mn + q * sc - x.cast("double")))), 6) + lit(0.0))
+                .as("max_err"))
+          }
+        }
+      }
+      emb(s, d).select(col("vec_id"), z.as("z"))
+        .filter(col("z.sc") > 0)
+        .select(col("vec_id"), col("z.q_sum").as("q_sum"),
+          col("z.max_err").as("max_err"))
+        .orderBy("vec_id")
+    },
+
     // Per-class embedding centroids, one row per (label, dimension):
     // posexplode -> partial+final avg — the distributed centroid shape
     // (k-means assignment/update, class prototypes). Never collects a
