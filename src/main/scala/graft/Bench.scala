@@ -52,7 +52,14 @@ object Bench {
     // line must be compact: qNN prefix keys (unique across the suite) and
     // millisecond precision keep it ~1 KB. The full-name map goes to
     // stderr for humans/bench_guard notes.
-    def ms(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: the default-locale interpolator would print "1,374"
+    // under a comma-decimal locale and corrupt the JSON
+    def ms(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val shortKeys = results.map(_._1.takeWhile(_ != '_'))
+    require(shortKeys.distinct.length == shortKeys.length,
+      "duplicate qNN prefixes would silently collapse metric-line keys: " +
+        shortKeys.diff(shortKeys.distinct).mkString(","))
     val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
@@ -63,7 +70,13 @@ object Bench {
     // may land on stdout behind the metric line — the driver parses the
     // LAST stdout line as JSON.
     spark.stop()
-    println(s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // the driver keeps only the last 2000 stdout bytes; fail LOUDLY before
+    // the suite silently reproduces the truncated-line "parsed": null
+    require(line.length <= 1900,
+      s"metric line ${line.length} bytes — would truncate in the driver's 2000-byte tail")
+    println(line)
     System.out.flush()
   }
 }

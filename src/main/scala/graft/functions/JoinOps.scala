@@ -44,7 +44,10 @@ object JoinOps {
     // at equal ts the right row sorts first (side 0 < 1), so l.ts == r.ts
     // matches — exactly ASOF's >= bound. `__r` as the final sort key makes
     // ties between right rows sharing (key, ts) resolve by row contents,
-    // identically on every run (requires orderable right columns — no maps).
+    // identically on every run (requires orderable right columns — no
+    // maps). Note: this fixes run-to-run determinism, not engine
+    // agreement — DuckDB's native ASOF picks an ARBITRARY tied row, so an
+    // oracle comparison on tie-carrying data needs a tie-free right side.
     val w = Window.partitionBy(key).orderBy(col("__ts"), col("__side"), col("__r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     lTag.unionByName(rTag)

@@ -184,10 +184,11 @@ object DedupQueries {
       // instead of a self-join: one linear pipeline (agg -> explode) with
       // no persist, no extra materialization job, and one shuffle of the
       // tiny (band, key, doc_id) rows instead of two join-side exchanges.
-      // Per-bucket state is the same bound as the join's per-key hash
-      // group: LSH banding keeps buckets small by construction (256 keys
-      // x 4 bands here; at 100 TB widen keys, not buckets). A skewed
-      // bucket degrades this exactly as it would the self-join build side.
+      // Per-bucket state: with full-width minhash band keys a bucket is
+      // one exact-minhash group, i.e. a set of genuinely similar docs —
+      // its size is the near-dup group size, not a corpus-size fraction.
+      // A pathological mega-group degrades this exactly as it would the
+      // self-join build side.
       bands.groupBy("band", "key")
         .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
         .select(explode(graft.functions.ArrayOps.combinations2(col("ids"))).as("p"))

@@ -25,6 +25,10 @@ object EventQueries {
     // same ASCII text the fake payload encodes (ascii(substr)//32 = the
     // stub's (b & 0xff)*8/256 bin). Features fixed-point-quantized on both
     // sides (count/n and *1e6 are exactly-rounded IEEE ops — engine-equal).
+    // ASSUMES ASCII, non-empty, non-null text (true of the synthetic
+    // corpus by construction): DuckDB strlen counts bytes but
+    // substr/ascii index CHARACTERS, so multi-byte text would diverge
+    // from the Spark byte-level stub, and empty text would divide by 0.
     Q(
       "q70_media_features",
       """WITH counts AS (

@@ -230,9 +230,15 @@ object PipelineQueries {
     // shape. Distance uses the dot identity |v-c|² = v·v - 2 v·c + c·c so
     // both engines combine three identically-computed dot products with
     // exactly-rounded double ops (an elementwise (x-y)² sum would round
-    // differently). Spark: tiny seed table broadcast, argmin as a hash
-    // aggregation over min(struct(dist, sid, ...)) — no window sort; the
-    // oracle's row_number form picks the same row (ties break on sid).
+    // differently). Spark: tiny seed table broadcast; the argmin is TWO
+    // SCALAR hash aggregations — min(dist) per vector, then min(sid) among
+    // the rows matching it (exact double equality: md is a copy of one of
+    // the dist values) — because ANY struct-buffered aggregate
+    // (min(struct), min_by) compiles to SortAggregate, and the pair rows
+    // deliberately carry no embedding (rejoined by vec_id afterwards)
+    // so nothing wide flows through the aggregation. AQE reuses the
+    // vec_id exchange between the two passes. The oracle's row_number
+    // form picks the same row (ties break on sid).
     Q(
       "q100_kmeans_assign",
       """WITH seeds AS (
@@ -266,14 +272,15 @@ object PipelineQueries {
         lit(2.0) * TextOps.dot(col("embedding"), col("c")) +
         TextOps.dot(col("c"), col("c"))
       def cd(i: Int) =
-        (round(avg(element_at(col("emb"), i + 1).cast("double")), 4) +
+        (round(avg(element_at(col("embedding"), i + 1).cast("double")), 4) +
           lit(0.0)).as(s"c$i")
-      emb(s, d).crossJoin(broadcast(seeds))
-        .select(col("vec_id"),
-          struct(dist.as("dist"), col("sid").as("sid"),
-            col("embedding").as("emb")).as("z"))
-        .groupBy("vec_id").agg(min(col("z")).as("z"))
-        .select(col("z.sid").as("cluster"), col("z.emb").as("emb"))
+      val pairs = emb(s, d).crossJoin(broadcast(seeds))
+        .select(col("vec_id"), col("sid"), dist.as("dist"))
+      val best = pairs.groupBy("vec_id").agg(min(col("dist")).as("md"))
+      val assigned = pairs.join(best, "vec_id")
+        .filter(col("dist") === col("md"))
+        .groupBy("vec_id").agg(min(col("sid")).as("cluster"))
+      assigned.join(emb(s, d), "vec_id")
         .groupBy("cluster")
         .agg(count(lit(1)).cast("long").as("n"), cd(0), cd(1), cd(2), cd(3))
         .orderBy("cluster")
@@ -313,8 +320,12 @@ object PipelineQueries {
       val e = col("embedding")
       val z = bindOnce(array_min(e).cast("double")) { mn =>
         bindOnce((array_max(e).cast("double") - mn) / 255) { sc =>
-          bindOnce(transform(e,
-            x => round((x.cast("double") - mn) / sc).cast("long"))) { qs =>
+          // sc > 0 guard INSIDE the expression, not only in the row filter:
+          // a constant embedding gives sc = 0 and round(0/0 = NaN) would
+          // throw under ANSI if the filter ever stops being pushed below
+          // this projection (the oracle guards structurally with WHERE)
+          bindOnce(when(sc > 0, transform(e,
+            x => round((x.cast("double") - mn) / sc).cast("long")))) { qs =>
             struct(sc.as("sc"),
               aggregate(qs, lit(0L), (a, q) => a + q).as("q_sum"),
               (round(array_max(zip_with(qs, e, (q, x) =>

@@ -97,6 +97,9 @@ class PlanSpec extends SparkSpec {
       SparkEntry.queries("q100_kmeans_assign")(spark, sf))
     assert(plan.contains("Broadcast"), plan)
     assert(!plan.contains("Window"), plan)
+    // the argmin must be scalar hash aggregations: min(struct)/min_by
+    // buffers compile to SortAggregate and would sort all N x k pair rows
+    assert(!plan.contains("SortAggregate"), plan)
   }
 
   test("q98 postings: bounded MinKAgg aggregates without a per-group sort buffer") {
