@@ -124,6 +124,23 @@ object TextOps {
       when(d > 0, lit(1L << j)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** Int8 affine quantization of a float-array column (the vector-storage
+    * compression step): returns struct(mn, sc, qs) where qs[i] =
+    * round((x[i] - mn) / sc) in 0..255, or null qs when the vector is
+    * constant (sc = 0 — guarded INSIDE the expression so round(NaN) can
+    * never throw under ANSI). Dequantize with `mn + q * sc`. Every step is
+    * an exactly-rounded IEEE double op, so results are engine-portable
+    * (q104's DuckDB oracle recomputes them identically). Per-row,
+    * shuffle-free; scalars and the quantized array are bindOnce-bound. */
+  def quantizeInt8(vec: Column): Column =
+    ArrayOps.bindOnce(array_min(vec).cast("double")) { mn =>
+      ArrayOps.bindOnce((array_max(vec).cast("double") - mn) / 255) { sc =>
+        struct(mn.as("mn"), sc.as("sc"),
+          when(sc > 0, transform(vec,
+            x => round((x.cast("double") - mn) / sc).cast("long"))).as("qs"))
+      }
+    }
+
   /** Jaccard similarity of the distinct-element sets of two arrays. */
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")

@@ -318,20 +318,16 @@ object PipelineQueries {
     ) { (s, d) =>
       import graft.functions.ArrayOps.bindOnce
       val e = col("embedding")
-      val z = bindOnce(array_min(e).cast("double")) { mn =>
-        bindOnce((array_max(e).cast("double") - mn) / 255) { sc =>
-          // sc > 0 guard INSIDE the expression, not only in the row filter:
-          // a constant embedding gives sc = 0 and round(0/0 = NaN) would
-          // throw under ANSI if the filter ever stops being pushed below
-          // this projection (the oracle guards structurally with WHERE)
-          bindOnce(when(sc > 0, transform(e,
-            x => round((x.cast("double") - mn) / sc).cast("long")))) { qs =>
-            struct(sc.as("sc"),
-              aggregate(qs, lit(0L), (a, q) => a + q).as("q_sum"),
-              (round(array_max(zip_with(qs, e, (q, x) =>
-                abs(mn + q * sc - x.cast("double")))), 6) + lit(0.0))
-                .as("max_err"))
-          }
+      // library op: TextOps.quantizeInt8 (sc > 0 guarded inside — a
+      // constant embedding yields null qs, never a round(NaN) ANSI throw)
+      val z = bindOnce(TextOps.quantizeInt8(e)) { q =>
+        val (mn, sc) = (q.getField("mn"), q.getField("sc"))
+        bindOnce(q.getField("qs")) { qs =>
+          struct(sc.as("sc"),
+            aggregate(qs, lit(0L), (a, x) => a + x).as("q_sum"),
+            (round(array_max(zip_with(qs, e, (x, v) =>
+              abs(mn + x * sc - v.cast("double")))), 6) + lit(0.0))
+              .as("max_err"))
         }
       }
       emb(s, d).select(col("vec_id"), z.as("z"))

@@ -82,6 +82,22 @@ class TextOpsSpec extends SparkSpec {
     assert(native == hof) // bit-identical: same casts, same order, no FMA
   }
 
+  test("quantizeInt8: roundtrip bound, constant vector yields null qs") {
+    val df = Seq((0L, Seq(-1.0f, 0.0f, 1.0f)), (1L, Seq(5.0f, 5.0f)))
+      .toDF("row_id", "v")
+    val rows = df.orderBy("row_id")
+      .select(TextOps.quantizeInt8(col("v")).as("q")).collect()
+    val q0 = rows(0).getStruct(0)
+    val (mn, sc) = (q0.getDouble(0), q0.getDouble(1))
+    val qs = q0.getSeq[Long](2)
+    assert(mn == -1.0 && qs == Seq(0L, 128L, 255L))
+    // dequantized error bounded by half a step
+    Seq(-1.0, 0.0, 1.0).zip(qs).foreach { case (x, q) =>
+      assert(math.abs(mn + q * sc - x) <= sc / 2 + 1e-12)
+    }
+    assert(rows(1).getStruct(0).isNullAt(2)) // constant vector: sc = 0
+  }
+
   test("signBucket packs sign bits") {
     val df = Seq((0L, Seq(1.0f, -1.0f, 2.0f, -2.0f))).toDF("row_id", "v")
     // bits: e1>0 -> 1, e2<0 -> 0, e3>0 -> 4, e4<0 -> 0 => 5
