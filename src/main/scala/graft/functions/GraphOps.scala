@@ -85,4 +85,71 @@ object GraphOps {
     und.unpersist()
     labels
   }
+
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * contraction (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond") — the shape for graphs where min-label propagation's
+    * per-round O(E) join is too heavy: each round REWRITES the edge set
+    * toward a star (every node pointing at its component min), so the
+    * working set contracts as components collapse, and high-degree hubs
+    * are broken up instead of re-joined every round.
+    *
+    *  - large-star: per node u over its full neighborhood, connect every
+    *    LARGER neighbor to m = min(N(u) ∪ u).
+    *  - small-star: per node u over its smaller neighbors, connect u and
+    *    all of them to their minimum.
+    *
+    * Rounds are two groupBy-join stages over a shrinking, deduped
+    * (max, min) edge list, checkpointed like the propagation loop.
+    * Convergence = edge-set fixpoint, detected by (count, xxhash64-sum)
+    * — a deterministic O(1)-row action per round. Returns the same
+    * (id, lbl) shape as [[connectedComponents]]. */
+  def connectedComponentsContract(edges: DataFrame, srcCol: String,
+      dstCol: String, maxIter: Int = 50): DataFrame = {
+    def canon(df: DataFrame): DataFrame =
+      df.filter(col("a") =!= col("b"))
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .distinct()
+    def fp(df: DataFrame): (Long, Long) = {
+      // bit_xor: order-independent and overflow-free (an ANSI sum of
+      // xxhash64 values overflows long)
+      val r = df.agg(count(lit(1)),
+        expr("bit_xor(xxhash64(a, b))")).head
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var e = canon(edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))).localCheckpoint(true)
+    var sig = fp(e)
+    var i = 0
+    var converged = false
+    while (!converged && i < maxIter) {
+      // large-star over the symmetrized neighborhood
+      val sym = e.union(e.select(col("b").as("a"), col("a").as("b")))
+      val lsm = sym.groupBy("a")
+        .agg(least(min(col("b")), min(col("a"))).as("m"))
+      // (x, m) for every neighbor x > u; x > u >= m, so already (max, min)
+      val ls = sym.join(lsm, "a").filter(col("b") > col("a"))
+        .select(col("b").as("a"), col("m").as("b"))
+        .distinct().localCheckpoint(true)
+      // small-star: edges are (big, small); connect u and all its smaller
+      // neighbors to their min
+      val ssm = ls.groupBy("a").agg(min(col("b")).as("m"))
+      val withM = ls.join(ssm, "a")
+      val ss = withM.select(col("a"), col("m").as("b"))
+        .union(withM.filter(col("b") =!= col("m"))
+          .select(col("b").as("a"), col("m").as("b")))
+      e = canon(ss).localCheckpoint(true)
+      val newSig = fp(e)
+      converged = newSig == sig
+      sig = newSig
+      i += 1
+    }
+    // fixpoint is a star: every edge is (node, component-min); min nodes
+    // label themselves. groupBy-min guards the (impossible at fixpoint,
+    // cheap anyway) case of residual multi-edges.
+    e.select(col("a").as("id"), col("b").as("lbl"))
+      .union(e.select(col("b").as("id"), col("b").as("lbl")))
+      .groupBy("id").agg(min("lbl").as("lbl"))
+  }
 }

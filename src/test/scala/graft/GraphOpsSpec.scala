@@ -30,4 +30,27 @@ class GraphOpsSpec extends SparkSpec {
     val got = components(Seq((5L, 3L), (3L, 7L)))
     assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
+
+  test("large-star/small-star contraction agrees with propagation on random graphs") {
+    val rng = new scala.util.Random(7)
+    (0 until 3).foreach { trial =>
+      val n = 60 + trial * 40
+      val edges = Seq.fill(n)((rng.nextInt(50).toLong, rng.nextInt(50).toLong))
+        .filter { case (a, b) => a != b }.distinct
+      val prop = components(edges)
+      val cont = GraphOps
+        .connectedComponentsContract(edges.toDF("a", "b"), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(cont == prop, s"trial $trial: contraction != propagation")
+    }
+    // path graph (worst case for contraction round count) + self-contained
+    // star + isolated edge
+    val mixed = (0L until 12L).map(i => (i, i + 1)) ++
+      Seq((100L, 101L), (100L, 102L), (100L, 103L), (200L, 201L))
+    val prop = components(mixed)
+    val cont = GraphOps
+      .connectedComponentsContract(mixed.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cont == prop)
+  }
 }
