@@ -118,8 +118,14 @@ object GraphOps {
         expr("bit_xor(xxhash64(a, b))")).head
       (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
     }
-    var e = canon(edges.select(col(srcCol).cast("long").as("a"),
-      col(dstCol).cast("long").as("b"))).localCheckpoint(true)
+    val raw = edges.select(col(srcCol).cast("long").as("a"),
+      col(dstCol).cast("long").as("b"))
+    // node set captured BEFORE canon(): a node appearing only in
+    // self-loop edges would otherwise vanish with the dropped (x, x) rows
+    // and diverge from connectedComponents, which keeps it
+    val nodes = raw.select(col("a").as("id"))
+      .union(raw.select(col("b").as("id"))).distinct().persist()
+    var e = canon(raw).localCheckpoint(true)
     var sig = fp(e)
     var i = 0
     var converged = false
@@ -147,9 +153,14 @@ object GraphOps {
     }
     // fixpoint is a star: every edge is (node, component-min); min nodes
     // label themselves. groupBy-min guards the (impossible at fixpoint,
-    // cheap anyway) case of residual multi-edges.
-    e.select(col("a").as("id"), col("b").as("lbl"))
+    // cheap anyway) case of residual multi-edges. The nodes left join
+    // restores self-loop-only nodes as their own singleton components.
+    val star = e.select(col("a").as("id"), col("b").as("lbl"))
       .union(e.select(col("b").as("id"), col("b").as("lbl")))
       .groupBy("id").agg(min("lbl").as("lbl"))
+    val out = nodes.join(star, Seq("id"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("id")).as("lbl"))
+    nodes.unpersist()
+    out
   }
 }

@@ -131,7 +131,11 @@ object TextOps {
     * never throw under ANSI). Dequantize with `mn + q * sc`. Every step is
     * an exactly-rounded IEEE double op, so results are engine-portable
     * (q104's DuckDB oracle recomputes them identically). Per-row,
-    * shuffle-free; scalars and the quantized array are bindOnce-bound. */
+    * shuffle-free; the mn/sc scalars are bindOnce-bound internally, but a
+    * CALLER referencing the `qs` field inside a per-element lambda must
+    * bindOnce it at the call site (as q104 does) — binding here cannot
+    * prevent Catalyst inlining the field expression into the caller's
+    * lambda. */
   def quantizeInt8(vec: Column): Column =
     ArrayOps.bindOnce(array_min(vec).cast("double")) { mn =>
       ArrayOps.bindOnce((array_max(vec).cast("double") - mn) / 255) { sc =>

@@ -52,5 +52,13 @@ class GraphOpsSpec extends SparkSpec {
       .connectedComponentsContract(mixed.toDF("a", "b"), "a", "b")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(cont == prop)
+    // a node appearing ONLY in a self-loop must survive as its own
+    // singleton component (canon() drops the (x, x) edge itself)
+    val loops = Seq((1L, 2L), (9L, 9L))
+    val cl = GraphOps
+      .connectedComponentsContract(loops.toDF("a", "b"), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(cl == components(loops))
+    assert(cl(9L) == 9L)
   }
 }
