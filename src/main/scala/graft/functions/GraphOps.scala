@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation}
 import org.apache.spark.sql.functions._
 
 /** Distributed connected components — the step that turns near-duplicate
@@ -29,14 +29,63 @@ object GraphOps {
 
   /** edges: DataFrame with two integral id columns; returns (id, label)
     * with label = min id reachable. Isolated nodes (absent from edges) are
-    * absent from the output — union them in upstream if needed. */
+    * absent from the output — union them in upstream if needed.
+    *
+    * Two-level: a partition-LOCAL union-find pre-contraction (mapPartitions
+    * over the edges as partitioned — no shuffle, memory bounded by
+    * partition size) collapses every within-partition subgraph to its min
+    * root; the global loop then propagates only over the contracted "star"
+    * graph (one edge per (node, extra-root) crossing a partition
+    * boundary). Cross-partition connectivity survives because a node
+    * appearing in several partitions links all its local roots. At sf0.1
+    * this shrinks the rp graph from ~8k edges / max-distance 8 to ~0.5k
+    * edges / max-distance 3 (6 propagation rounds -> 3); at 100 TB it is
+    * the difference between re-shuffling the full edge set every round and
+    * shuffling only partition-boundary roots. */
   def connectedComponents(edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 50): DataFrame = {
-    val und = edges.select(col(srcCol).cast("long").as("src"),
-        col(dstCol).cast("long").as("dst"))
-      .union(edges.select(col(dstCol).cast("long").as("src"),
-        col(srcCol).cast("long").as("dst")))
-      .persist()
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).persist()
+    import e.sparkSession.implicits._
+    // per-partition union-find with path compression + min-root union;
+    // emits one (node, local root) pair per node per partition
+    val nodeRoots = e.as[(Long, Long)].mapPartitions { it =>
+      val par = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (par(x) != x) { par(x) = par(par(x)); x = par(x) }
+        x
+      }
+      it.foreach { case (a, b) =>
+        par.getOrElseUpdate(a, a); par.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) par(rb) = ra else if (rb < ra) par(ra) = rb
+      }
+      par.keysIterator.map(n => (n, find(n))).toList.iterator
+    }.toDF("id", "root")
+    // one eager checkpoint materializes the (possibly expensive) edge
+    // pipeline + contraction; everything downstream reads this tiny table.
+    // roots-per-node is bounded by the partition count. The observe()
+    // metric rides the same job: if no node straddles partitions (the
+    // whole edge set landed in one partition — common after AQE coalesces
+    // a small pipeline), the contraction IS the answer and the loop is
+    // skipped outright.
+    val obsNm = Observation()
+    val nm = nodeRoots.groupBy("id")
+      .agg(min("root").as("m"), collect_set("root").as("roots"))
+      .observe(obsNm,
+        org.apache.spark.sql.functions.sum(
+          when(size(col("roots")) > 1, 1L).otherwise(0L)).as("multi"))
+      .localCheckpoint(true)
+    val anyCross =
+      Option(obsNm.get("multi")).map(_.asInstanceOf[Long]).getOrElse(0L) > 0L
+    e.unpersist()
+    if (!anyCross) return nm.select(col("id"), col("m").as("lbl"))
+    // contracted star edges (min root -> each other root), symmetrized
+    val star = nm.select(col("m").as("src"), explode(col("roots")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+    val und = star.union(star.select(col("dst").as("src"),
+      col("src").as("dst")))
     // localCheckpoint (eager), NOT persist: each round's plan references
     // the previous labels twice (union + join), so lineage doubles per
     // round — by round ~10 the planner itself OOMs. Checkpointing cuts the
@@ -44,11 +93,21 @@ object GraphOps {
     // are reclaimed by the ContextCleaner when the DataFrame is GC'd.
     // Init folds the FIRST neighbor-propagation step into the node-set
     // aggregation (min over self + direct neighbors), saving one round.
-    var labels = und.groupBy(col("src").as("id"))
-      .agg(least(min(col("src")), min(col("dst"))).as("lbl"))
-      .localCheckpoint(true)
-    var sum = labels.agg(org.apache.spark.sql.functions.sum("lbl"))
-      .head.getLong(0)
+    // The convergence sum rides the eager-checkpoint job itself via
+    // observe(): CollectMetrics accumulates while the checkpoint
+    // materializes, so each round is ONE blocking driver action, not two
+    // (the separate .agg(sum).head job was ~half of q92's wall-clock —
+    // pure fixed job overhead on a loaded box).
+    def checkpointWithSum(df: DataFrame): (DataFrame, Long) = {
+      val obs = Observation()
+      val out = df
+        .observe(obs, org.apache.spark.sql.functions.sum("lbl").as("s"))
+        .localCheckpoint(true)
+      (out, obs.get("s").asInstanceOf[Long])
+    }
+    var (labels, sum) = checkpointWithSum(
+      und.groupBy(col("src").as("id"))
+        .agg(least(min(col("src")), min(col("dst"))).as("lbl")))
     var i = 0
     var converged = false
     val debug = sys.env.contains("GRAFT_CC_DEBUG")
@@ -58,32 +117,35 @@ object GraphOps {
         println(f"[cc] round $i start at ${(System.nanoTime()-tPrev)/1e9}%.2f s")
         tPrev = System.nanoTime()
       }
-      val nbr = und.join(labels.select(col("id").as("dst"), col("lbl")), "dst")
-        .select(col("src").as("id"), col("lbl"))
-      // pointer jumping: also take the label OF the previous label (every
-      // label is itself a node id, so the inner self-join is total —
-      // self-joining `labels` is safe because it is a checkpointed
-      // LogicalRDD, not a shared live subtree, which would trip Catalyst's
-      // self-join attribute dedup). Distance-to-min divides by ~3 per
-      // round (neighbor step + doubled pointer) — O(log d) rounds — for
-      // one extra equi-join. A deeper f³ composition was measured and
-      // reverted: on the chain-like rp graph it saved ~1 round but paid a
-      // join in every round.
-      val jump = labels
-        .join(labels.toDF("jid", "jlbl"), col("lbl") === col("jid"))
-        .select(col("id"), col("jlbl").as("lbl"))
-      val updated = labels.union(nbr).union(jump)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint(true)
-      val newSum = updated.agg(org.apache.spark.sql.functions.sum("lbl"))
-        .head.getLong(0)
+      // ONE join per round: union the label table in as pointer edges
+      // (id -> lbl), then a single equi-join against labels-keyed-by-dst
+      // computes BOTH the neighbor step (via real edges: lbl(nbr)) and the
+      // pointer jump (via the pointer edge: lbl(lbl(x))) in the same
+      // shuffle. The self label survives through the pointer edge
+      // (lbl(lbl(x)) <= lbl(x), labels are a total map over the node set),
+      // so no third union branch. Self-joining `labels` is safe because it
+      // is a checkpointed LogicalRDD, not a shared live subtree. Same
+      // fixpoint as the two-join form; ~2 fewer stage barriers per round
+      // (measured: the loop is fixed-overhead-bound at small SF). A deeper
+      // f³ composition was measured and reverted earlier — saved ~1 round,
+      // paid a join every round.
+      val ptrEdges = und.union(
+        labels.select(col("id").as("src"), col("lbl").as("dst")))
+      val (updated, newSum) = checkpointWithSum(
+        ptrEdges.join(labels.select(col("id").as("dst"),
+            col("lbl").as("nlbl")), "dst")
+          .groupBy(col("src").as("id")).agg(min("nlbl").as("lbl")))
       labels = updated
       converged = newSum == sum
       sum = newSum
       i += 1
     }
-    und.unpersist()
-    labels
+    // compose: every node's final label is the global label of its min
+    // local root (roots without a star edge keep themselves)
+    nm.select(col("id"), col("m"))
+      .join(labels.select(col("id").as("lid"), col("lbl")),
+        col("m") === col("lid"), "left")
+      .select(col("id"), coalesce(col("lbl"), col("m")).as("lbl"))
   }
 
   /** Connected components by alternating LARGE-STAR / SMALL-STAR
@@ -111,12 +173,18 @@ object GraphOps {
         .select(greatest(col("a"), col("b")).as("a"),
           least(col("a"), col("b")).as("b"))
         .distinct()
-    def fp(df: DataFrame): (Long, Long) = {
-      // bit_xor: order-independent and overflow-free (an ANSI sum of
-      // xxhash64 values overflows long)
-      val r = df.agg(count(lit(1)),
-        expr("bit_xor(xxhash64(a, b))")).head
-      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    // bit_xor: order-independent and overflow-free (an ANSI sum of
+    // xxhash64 values overflows long). The fingerprint rides the eager
+    // checkpoint job via observe() — one driver action per checkpoint,
+    // same fusion as the propagation loop.
+    def checkpointWithFp(df: DataFrame): (DataFrame, (Long, Long)) = {
+      val obs = Observation()
+      val out = df.observe(obs, count(lit(1)).as("c"),
+          expr("bit_xor(xxhash64(a, b))").as("x"))
+        .localCheckpoint(true)
+      val m = obs.get
+      (out, (m("c").asInstanceOf[Long],
+        Option(m("x")).map(_.asInstanceOf[Long]).getOrElse(0L)))
     }
     val raw = edges.select(col(srcCol).cast("long").as("a"),
       col(dstCol).cast("long").as("b"))
@@ -125,8 +193,7 @@ object GraphOps {
     // and diverge from connectedComponents, which keeps it
     val nodes = raw.select(col("a").as("id"))
       .union(raw.select(col("b").as("id"))).distinct().persist()
-    var e = canon(raw).localCheckpoint(true)
-    var sig = fp(e)
+    var (e, sig) = checkpointWithFp(canon(raw))
     var i = 0
     var converged = false
     while (!converged && i < maxIter) {
@@ -145,8 +212,8 @@ object GraphOps {
       val ss = withM.select(col("a"), col("m").as("b"))
         .union(withM.filter(col("b") =!= col("m"))
           .select(col("b").as("a"), col("m").as("b")))
-      e = canon(ss).localCheckpoint(true)
-      val newSig = fp(e)
+      val (e2, newSig) = checkpointWithFp(canon(ss))
+      e = e2
       converged = newSig == sig
       sig = newSig
       i += 1

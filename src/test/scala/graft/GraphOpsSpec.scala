@@ -31,6 +31,33 @@ class GraphOpsSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 5L -> 3L, 7L -> 3L))
   }
 
+  test("two-level CC: forced multi-partition spread engages the global loop") {
+    // repartition(8) scatters each component's edges across partitions, so
+    // the local union-find can NOT finish alone (anyCross) and the
+    // propagation loop over the contracted star graph must merge the
+    // partial roots. Reference answer computed by an in-test union-find.
+    val rng = new scala.util.Random(42)
+    val edges = (0L until 200L).map(i => (i, i + 1)) ++ // long path
+      Seq.fill(300)((rng.nextInt(400).toLong + 500L,
+        rng.nextInt(400).toLong + 500L)).filter(e => e._1 != e._2)
+    val par = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (par(x) != x) { par(x) = par(par(x)); x = par(x) }
+      x
+    }
+    edges.foreach { case (a, b) =>
+      par.getOrElseUpdate(a, a); par.getOrElseUpdate(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra < rb) par(rb) = ra else if (rb < ra) par(ra) = rb
+    }
+    val want = par.keys.map(n => n -> find(n)).toMap
+    val got = GraphOps
+      .connectedComponents(edges.toDF("a", "b").repartition(8), "a", "b")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
   test("large-star/small-star contraction agrees with propagation on random graphs") {
     val rng = new scala.util.Random(7)
     (0 until 3).foreach { trial =>
