@@ -72,7 +72,15 @@ object GraftExtensions {
     (new FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) =>
-        DotProduct(children(0), children(1)): Expression))
+        DotProduct(children(0), children(1)): Expression),
+    (new FunctionIdentifier("min_md5_hex"),
+      new ExpressionInfo(classOf[MinMd5Hex].getName, "min_md5_hex"),
+      (children: Seq[Expression]) => MinMd5Hex(children.head): Expression),
+    (new FunctionIdentifier("min_shingle_md5_hex"),
+      new ExpressionInfo(classOf[MinShingleMd5Hex].getName,
+        "min_shingle_md5_hex"),
+      (children: Seq[Expression]) =>
+        MinShingleMd5Hex(children(0), children(1)): Expression))
 
   /** Imperative fallback: if `getOrCreate` returned a session built without
     * `spark.sql.extensions=graft.plans.GraftExtensions` (e.g. a harness

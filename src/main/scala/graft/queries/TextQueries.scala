@@ -232,7 +232,10 @@ object TextQueries {
         |FROM documents ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       // bind tokens + digest once (alias barrier) instead of re-splitting /
-      // re-hashing the text for each output column
+      // re-hashing the text for each output column; the min-word and
+      // min-shingle digests run through the codegen'd min_md5_hex /
+      // min_shingle_md5_hex kernels (one running 16-byte min per row, no
+      // per-element hex strings, no interpreted HOF — plans/Md5Min.scala)
       docs(s, d)
         .select(col("doc_id"), md5(col("text")).as("h"),
           TextOps.tokens(col("text")).as("ws"))
@@ -240,8 +243,8 @@ object TextQueries {
           col("doc_id"),
           col("h").as("fp_full"),
           substring(col("h"), 1, 8).as("fp8"),
-          array_min(transform(col("ws"), w => md5(w))).as("fp_minword"),
-          array_min(transform(TextOps.shingles(col("ws"), 3), sh => md5(sh)))
+          call_function("min_md5_hex", col("ws")).as("fp_minword"),
+          call_function("min_shingle_md5_hex", col("ws"), lit(3))
             .as("fp_minshingle"))
         .orderBy("doc_id")
     }

@@ -82,6 +82,34 @@ class BehaviorsSpec extends SparkSpec {
     assert(native == composed)
   }
 
+  test("min_md5_hex / min_shingle_md5_hex match the composed HOF forms") {
+    val df = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "a b"), // fewer than 3 words -> null shingle fingerprint
+      (2L, "solo"),
+      (3L, "x y z"),
+      (4L, "")).toDF("row_id", "text")
+      .select(col("row_id"), split(col("text"), " ").as("ws"))
+    val nativeW = eval1(df, call_function("min_md5_hex", col("ws")))
+    val composedW = eval1(df, array_min(transform(col("ws"), w => md5(w))))
+    assert(nativeW == composedW)
+    val nativeS = eval1(df,
+      call_function("min_shingle_md5_hex", col("ws"), lit(3)))
+    val composedS = eval1(df, array_min(transform(
+      graft.functions.TextOps.shingles(col("ws"), 3), sh => md5(sh))))
+    assert(nativeS == composedS)
+    assert(nativeS(1) == null && nativeS(2) == null)
+    // null element: skipped by the word form, nulls its windows in the
+    // shingle form
+    val dfn = Seq(0L).toDF("row_id")
+      .select(col("row_id"),
+        array(lit("a"), lit(null).cast("string"), lit("b")).as("ws"))
+    assert(eval1(dfn, call_function("min_md5_hex", col("ws"))) ==
+      eval1(dfn, array_min(transform(col("ws"), w => md5(w)))))
+    assert(eval1(dfn,
+      call_function("min_shingle_md5_hex", col("ws"), lit(3))) == Seq(null))
+  }
+
   test("prefix_offsets is SQL-callable (registered via GraftExtensions)") {
     val df = Seq((0L, Seq(2, 3, 1))).toDF("row_id", "counts")
     assert(eval1(df, call_function("prefix_offsets", col("counts")))
