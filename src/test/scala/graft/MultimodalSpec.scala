@@ -53,6 +53,74 @@ class MultimodalSpec extends SparkSpec {
     assert(same.getAs[Array[Byte]](2).toSeq == (0 to 7).map(_.toByte))
   }
 
+  // --- real javax.imageio decode path ---
+
+  /** Encode a w x h image whose pixel (x, y) is the RGB given by `px`. */
+  private def encodeImage(fmt: String, w: Int, h: Int,
+      px: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, px(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, fmt, bos), s"no $fmt writer")
+    bos.toByteArray
+  }
+
+  test("decodeAndFeaturize really decodes PNG and BMP via javax.imageio") {
+    // left half black (lum 0 -> bin 0), right half white (lum 255 -> bin 7)
+    val halfAndHalf = (x: Int, _: Int) => if (x < 4) 0x000000 else 0xffffff
+    val png = encodeImage("png", 8, 4, halfAndHalf)
+    val bmp = encodeImage("bmp", 8, 4, halfAndHalf)
+    assert(new String(png.slice(1, 4), "US-ASCII") == "PNG") // really encoded
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(0L, "image", png,
+          org.apache.spark.sql.Row(8, 4, 1)),
+        org.apache.spark.sql.Row(1L, "image", bmp,
+          org.apache.spark.sql.Row(8, 4, 1))),
+      Multimodal.mediaSchema)
+    val rows = Multimodal.decodeAndFeaturize(df).orderBy("media_id").collect()
+    rows.foreach { r =>
+      val hist = r.getSeq[Double](2)
+      assert(hist == Seq(0.5, 0, 0, 0, 0, 0, 0, 0.5),
+        s"expected pixel histogram, got $hist")
+    }
+    // n_bytes is the ENCODED size (payload), not the pixel count
+    assert(rows(0).getLong(1) == png.length.toLong)
+  }
+
+  test("decodeAndFeaturize: mid-gray lands in the right luminance bin") {
+    // 0x808080 -> lum = 128*299/1000*... = (128*299+128*587+128*114)/1000
+    //           = 128 -> bin 128*8/256 = 4
+    val png = encodeImage("png", 3, 3, (_, _) => 0x808080)
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, "image", png,
+        org.apache.spark.sql.Row(3, 3, 1))),
+      Multimodal.mediaSchema)
+    val hist = Multimodal.decodeAndFeaturize(df).collect().head.getSeq[Double](2)
+    assert(hist(4) == 1.0 && hist.sum == 1.0)
+  }
+
+  test("non-image payloads still take the deterministic stub path") {
+    // text bytes carry no image magic -> byte histogram (the q70 oracle
+    // recomputes exactly this from the same characters)
+    val r = Multimodal.decodeAndFeaturize(media).orderBy("media_id")
+      .collect().head
+    // "aaaabbbb": all bytes 0x61/0x62 -> bin 97*8/256 = 3
+    assert(r.getSeq[Double](2) == Seq(0, 0, 0, 1.0, 0, 0, 0, 0))
+  }
+
+  test("truncated image payload degrades to the stub, not a failure") {
+    val png = encodeImage("png", 8, 4, (_, _) => 0xffffff).take(12)
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, "image", png,
+        org.apache.spark.sql.Row(8, 4, 1))),
+      Multimodal.mediaSchema)
+    val r = Multimodal.decodeAndFeaturize(df).collect().head
+    assert(r.getLong(1) == 12L)
+    assert(math.abs(r.getSeq[Double](2).sum - 1.0) < 1e-9) // byte histogram
+  }
+
   test("sampleFrames keeps every 2nd frame, chunks cover payload length") {
     val sampled = Multimodal.sampleFrames(media, stride = 2)
     val r = sampled.orderBy("media_id").collect()
