@@ -20,7 +20,8 @@ object SparkEntry {
       graft.queries.PipelineQueries.queries ++
       graft.queries.EventQueries.queries ++
       graft.queries.EventQueries.multimodal ++
-      graft.queries.EventQueries.sketches
+      graft.queries.EventQueries.sketches ++
+      graft.queries.SurfaceQueries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Mirrors SURVEY §7.2's end-to-end slice: scan -> join -> partial+final

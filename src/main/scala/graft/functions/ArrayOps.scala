@@ -163,6 +163,28 @@ object ArrayOps {
       if (nested) grouped else flatten(grouped)
     }
 
+  /** N-ary per-row cross product — the reference's `cartesian` accepts a
+    * LIST of arrays (structure.py:245-282); this is the general form of
+    * the 2-ary [[cartesian]], built by folding: each step flat-maps the
+    * accumulated tuple list against the next array and appends field
+    * `c{i}` via `withField`. Output: flat array<struct<c0..c{k-1}>> in the
+    * same index order as the reference (rightmost varies fastest). */
+  def cartesianN(arrs: Seq[Column]): Column = {
+    require(arrs.length >= 2, "cartesianN needs at least 2 arrays")
+    val init = transform(arrs.head, x => struct(x.as("c0")))
+    arrs.tail.zipWithIndex.foldLeft(init) { case (acc, (b, i)) =>
+      bindOnce(b) { bb =>
+        flatten(transform(acc, t =>
+          transform(bb, y => t.withField(s"c${i + 1}", y))))
+      }
+    }
+  }
+
+  /** N-ary argcartesian — index tuples instead of values
+    * (structure.py:83-122): exactly `cartesianN(local_index of each)`. */
+  def argcartesianN(arrs: Seq[Column]): Column =
+    cartesianN(arrs.map(localIndex))
+
   /** Per-row argcartesian — index pairs instead of values
     * (structure.py:83-122); `nested` as in [[cartesian]]. */
   def argcartesian(a: Column, b: Column, nested: Boolean = false): Column =
@@ -261,6 +283,20 @@ object ArrayOps {
               rest => concat(array(x), rest))))
       rec(lit(0), n)
     }
+  }
+
+  /** [[combinationsN]] with named output record fields — the reference's
+    * `combinations(n, fields=[...])` names the emitted records for ANY n
+    * (structure.py:296-332); the n=2 fast path is [[combinations2]]'s
+    * `fields` parameter. Output: array<struct<fields...>>. */
+  def combinationsNamed(arr: Column, n: Int, fields: Seq[String],
+      replacement: Boolean = false): Column = {
+    require(fields.length == n,
+      s"combinations(n=$n) needs exactly $n field names, got ${fields.length}")
+    transform(combinationsN(arr, n, replacement), c =>
+      struct(fields.zipWithIndex.map { case (f, i) =>
+        element_at(c, i + 1).as(f)
+      }: _*))
   }
 
   /** Per-row combinations of local indices instead of values — reference

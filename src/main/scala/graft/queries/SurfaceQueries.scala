@@ -1,0 +1,127 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.{Q, Tables}
+import graft.functions.{Align, ArrayOps, UnionOps}
+
+/** Gate queries for library surface that previously had only specs:
+  * N-ary cartesian/argcartesian, named-field combinations(n),
+  * cross-collection alignment (Align.zipCollections), and the tagged-union
+  * encoding (UnionOps) — round-5 verdict item 6.
+  */
+object SurfaceQueries {
+
+  val queries: Seq[Q] = Seq(
+    // N-ary cartesian + argcartesian (reference structure.py:245-282
+    // accepts a LIST of arrays; the 2-ary form is q25). Slices are
+    // fixed-point-quantized BEFORE the product so the struct elements are
+    // JSON-stable longs on both engines.
+    Q(
+      "q105_cartesian_n",
+      """WITH t AS (SELECT vec_id,
+        |    list_transform(embedding[1:2], x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS a,
+        |    list_transform(embedding[3:4], x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS b,
+        |    list_transform(embedding[5:6], x -> CAST(round(CAST(x AS DOUBLE)*1000000) AS BIGINT)) AS c
+        |  FROM embeddings WHERE vec_id < 100)
+        |SELECT vec_id,
+        |  to_json(flatten(list_transform(a, x ->
+        |    flatten(list_transform(b, y ->
+        |      list_transform(c, z -> {'c0': x, 'c1': y, 'c2': z}))))))::VARCHAR AS triples,
+        |  to_json(flatten(list_transform(range(0, 2), i ->
+        |    flatten(list_transform(range(0, 2), j ->
+        |      list_transform(range(0, 2), k ->
+        |        {'c0': i, 'c1': j, 'c2': k}))))))::VARCHAR AS arg_triples
+        |FROM t ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val e = col("embedding")
+      val Seq(a, b, c) =
+        Seq(1, 3, 5).map(o => Ser.fp(slice(e, o, 2)))
+      Tables.embeddings(s, d).filter(col("vec_id") < 100).select(
+        col("vec_id"),
+        Ser.js(ArrayOps.cartesianN(Seq(a, b, c))).as("triples"),
+        Ser.js(transform(ArrayOps.argcartesianN(Seq(a, b, c)), t =>
+          struct(t.getField("c0").cast("long").as("c0"),
+            t.getField("c1").cast("long").as("c1"),
+            t.getField("c2").cast("long").as("c2")))).as("arg_triples"))
+        .orderBy("vec_id")
+    },
+
+    // combinations(n=3, fields=["a","b","c"]) — named output records for
+    // general n (reference structure.py:296-332; n=2 fields= is q24's
+    // combinations2). First five words of each doc -> 5-choose-3 records.
+    Q(
+      "q106_comb_named",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ')[1:5] AS ws
+        |           FROM documents WHERE doc_id < 200)
+        |SELECT doc_id,
+        |  to_json(flatten(list_transform(range(1, len(ws)+1), i ->
+        |    flatten(list_transform(range(i+1, len(ws)+1), j ->
+        |      list_transform(range(j+1, len(ws)+1), k ->
+        |        {'a': ws[i], 'b': ws[j], 'c': ws[k]}))))))::VARCHAR AS trips
+        |FROM w ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d).filter(col("doc_id") < 200).select(
+        col("doc_id"),
+        Ser.js(ArrayOps.combinationsNamed(
+          slice(split(col("text"), " "), 1, 5), 3, Seq("a", "b", "c")))
+          .as("trips"))
+        .orderBy("doc_id")
+    },
+
+    // Cross-collection alignment: positional zip of two INDEPENDENT
+    // DataFrames (reference zips partition-compatible collections,
+    // core.py:2883-2938). Both sides are sorted by their own key first so
+    // the row index — and therefore the pairing — is deterministic; the
+    // oracle reproduces it with row_number() joins.
+    Q(
+      "q107_zip_align",
+      """WITH a AS (SELECT doc_id, n_chars,
+        |             row_number() OVER (ORDER BY doc_id) - 1 AS i
+        |           FROM documents WHERE doc_id < 20),
+        |     b AS (SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |             row_number() OVER (ORDER BY vec_id) - 1 AS i
+        |           FROM embeddings WHERE vec_id < 20)
+        |SELECT a.doc_id, a.n_chars, b.vec_id, b.label
+        |FROM a JOIN b USING (i) ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val a = Tables.documents(s, d).filter(col("doc_id") < 20)
+        .orderBy("doc_id").select("doc_id", "n_chars")
+      val b = Tables.embeddings(s, d).filter(col("vec_id") < 20)
+        .orderBy("vec_id")
+        .select(col("vec_id"), col("label").cast("long").as("label"))
+      Align.zipCollections(a, b).orderBy("doc_id")
+    },
+
+    // Tagged-union round-trip (reference UnionForm; same flattening as its
+    // JSONSchema export, io/json.py:867-870): build the tagged struct,
+    // serialize it (nulls KEPT so the inactive variants are visible to the
+    // oracle), and eliminate it with matchUnion.
+    Q(
+      "q108_union_roundtrip",
+      """SELECT doc_id,
+        |  to_json({'tag': CAST(doc_id % 3 AS INT),
+        |    's': CASE WHEN doc_id % 3 = 0 THEN substr(text, 1, 8) END,
+        |    'l': CASE WHEN doc_id % 3 = 1 THEN n_chars END,
+        |    'b': CASE WHEN doc_id % 3 = 2 THEN lang = 'en' END})::VARCHAR
+        |    AS u_json,
+        |  CASE WHEN doc_id % 3 = 0 THEN upper(substr(text, 1, 8))
+        |       WHEN doc_id % 3 = 1 THEN CAST(n_chars AS VARCHAR)
+        |       ELSE CAST(lang = 'en' AS VARCHAR) END AS matched
+        |FROM documents ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tag = col("doc_id") % 3
+      val u = UnionOps.makeUnion(tag, Seq(
+        "s" -> substring(col("text"), 1, 8),
+        "l" -> col("n_chars"),
+        "b" -> (col("lang") === "en")))
+      Tables.documents(s, d).select(
+        col("doc_id"),
+        to_json(u, Map("ignoreNullFields" -> "false")).as("u_json"),
+        UnionOps.matchUnion(u, Seq(
+          "s" -> (c => upper(c)),
+          "l" -> (c => c.cast("string")),
+          "b" -> (c => c.cast("string")))).as("matched"))
+        .orderBy("doc_id")
+    })
+}

@@ -155,6 +155,43 @@ class ArrayOpsSpec extends SparkSpec {
     assert(idx == Seq((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  test("cartesianN: 3-ary product, rightmost varies fastest; empty kills") {
+    val df = Seq((0L, Seq(1, 2), Seq(10), Seq(100, 200)))
+      .toDF("row_id", "a", "b", "c")
+    val triples = eval1(df, cartesianN(Seq(col("a"), col("b"), col("c"))))
+      .map(seqOf).head.map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getInt(0), row.getInt(1), row.getInt(2)) })
+    assert(triples == Seq((1, 10, 100), (1, 10, 200), (2, 10, 100), (2, 10, 200)))
+    // any empty input array -> empty product
+    val dfe = Seq((0L, Seq(1, 2), Seq[Int](), Seq(100)))
+      .toDF("row_id", "a", "b", "c")
+    assert(eval1(dfe, cartesianN(Seq(col("a"), col("b"), col("c"))))
+      .map(seqOf).head == Seq())
+    // index tuples
+    val idx = eval1(df, argcartesianN(Seq(col("a"), col("b"), col("c"))))
+      .map(seqOf).head.map(r => { val row = r.asInstanceOf[org.apache.spark.sql.Row]
+        (row.getInt(0), row.getInt(1), row.getInt(2)) })
+    assert(idx == Seq((0, 0, 0), (0, 0, 1), (1, 0, 0), (1, 0, 1)))
+  }
+
+  test("combinationsNamed: fields name the records, values match combinationsN") {
+    val df = Seq((0L, Seq("a", "b", "c", "d")), (1L, Seq("x", "y")))
+      .toDF("row_id", "xs")
+    val got = eval1(df,
+      combinationsNamed(col("xs"), 3, Seq("p", "q", "r"))).map(seqOf)
+    val rows0 = got(0).map(_.asInstanceOf[org.apache.spark.sql.Row])
+    assert(rows0.head.schema.fieldNames.toSeq == Seq("p", "q", "r"))
+    assert(rows0.map(r => (r.getString(0), r.getString(1), r.getString(2))) ==
+      Seq(("a", "b", "c"), ("a", "b", "d"), ("a", "c", "d"), ("b", "c", "d")))
+    assert(got(1) == Seq()) // C(2,3) = 0
+    // replacement flows through to the underlying combinationsN
+    val rep = eval1(df.filter(col("row_id") === 1),
+      combinationsNamed(col("xs"), 2, Seq("l", "r"), replacement = true))
+      .map(seqOf).head.map(_.asInstanceOf[org.apache.spark.sql.Row])
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(rep == Seq(("x", "x"), ("x", "y"), ("y", "y")))
+  }
+
   test("sortDesc / argsortDesc: descending, argsort ties stay stable") {
     // ties: two 5s at indices 1 and 3 — stable descending keeps 1 before 3
     val df = Seq((0L, Seq(2, 5, 9, 5))).toDF("row_id", "xs")
