@@ -107,6 +107,97 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming as-of EQUALS batch asofBackward on the events table") {
+    // The q89 equivalence gate: the same (snapshot, query) tick set from
+    // the real sf0.001 events table, enriched once by the streaming as-of
+    // (asofStream) and once by the batch engine (JoinOps.asofBackward).
+    // Every per-(user, ts) snapshot value must agree exactly.
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    val sf = "/root/testdata/sf0.001"
+    // side 0 (snapshots) / 1 (queries) by event parity; (user, ts, side)
+    // deduped by max(value) so neither engine faces a tie to break
+    val ticks = Tables.events(spark, sf).filter(col("user_id") < 50)
+      .groupBy(col("user_id"), unix_timestamp(col("ts")).as("tsSec"),
+        (col("event_id") % 2).cast("int").as("side"))
+      .agg(max("value").as("value"))
+      .as[Tick].collect().toSeq
+    val queries = ticks.filter(_.side == 1)
+    assert(queries.nonEmpty && ticks.exists(_.side == 0))
+
+    // stream: everything in ONE batch — within a batch asofStream orders
+    // by (ts, side), matching the batch join's >= bound
+    val mem = MemoryStream[Tick]
+    val q = EventStreams.asofStream(mem.toDS()).writeStream
+      .format("memory").queryName("asof_equiv").outputMode("append").start()
+    val streamed =
+      try {
+        mem.addData(ticks)
+        q.processAllAvailable()
+        spark.table("asof_equiv").as[Enriched].collect()
+          .map(e => (e.user_id, e.tsSec) -> ((e.snapValue, e.matched))).toMap
+      } finally q.stop()
+
+    // batch: JoinOps.asofBackward (q89's engine) on the same rows
+    val left = queries.map(t => (t.user_id, t.tsSec, t.value))
+      .toDF("user_id", "tsSec", "value")
+    val right = ticks.filter(_.side == 0).map(t => (t.user_id, t.tsSec, t.value))
+      .toDF("user_id", "tsSec", "value")
+    val batch = graft.functions.JoinOps
+      .asofBackward(left, right, "user_id", "tsSec")
+      .collect().map { r =>
+        val matched = !r.isNullAt(r.fieldIndex("value_r"))
+        (r.getLong(0), r.getLong(1)) ->
+          ((if (matched) r.getDouble(r.fieldIndex("value_r")) else -1.0, matched))
+      }.toMap
+
+    assert(streamed.size == queries.size && batch.size == queries.size)
+    assert(streamed == batch)
+  }
+
+  test("streaming LSH dedup EQUALS batch min-per-bucket on documents") {
+    // The q52/q81 equivalence gate: bucket = the band-0 full-width minhash
+    // (the same signature pipeline as q52, q81's dedup key), computed once
+    // over the real sf0.001 documents; streamed in ascending-id batches,
+    // the keep/flag decisions must equal the batch rule (min doc_id per
+    // bucket kept).
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    import graft.functions.TextOps
+    graft.plans.GraftExtensions.install(spark)
+    val sf = "/root/testdata/sf0.001"
+    val sig = Tables.documents(spark, sf)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"),
+        call_function("md5_prefix64", col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("bucket"))
+    val docsSeq = sig.select(col("doc_id"), col("bucket")).as[Doc]
+      .collect().toSeq.sortBy(_.doc_id)
+    assert(docsSeq.nonEmpty)
+    val expected = docsSeq.groupBy(_.bucket).flatMap { case (_, ds) =>
+      val keeper = ds.map(_.doc_id).min
+      ds.map(d => d.doc_id -> (d.doc_id == keeper))
+    }
+
+    val mem = MemoryStream[Doc]
+    val q = EventStreams.dedupNearStream(mem.toDS()).writeStream
+      .format("memory").queryName("lsh_equiv").outputMode("append").start()
+    val streamed =
+      try {
+        // two ascending-id batches: state must carry bucket keepers across
+        val (b1, b2) = docsSeq.splitAt(docsSeq.size / 2)
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        spark.table("lsh_equiv").as[DedupDecision].collect()
+          .map(d => d.doc_id -> d.kept).toMap
+      } finally q.stop()
+
+    assert(streamed.size == docsSeq.size)
+    assert(streamed == expected)
+  }
+
   test("sessionize: keyed state splits sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams._
