@@ -48,7 +48,13 @@ object TextOps {
     }
 
   /** One MinHash value: the lexicographic minimum of salted md5 digests over
-    * the shingle set. Different salts simulate independent permutations. */
+    * the shingle set. Different salts simulate independent permutations.
+    *
+    * DIDACTIC REFERENCE FORM, not the production path: the gate queries
+    * (q51/q52/q81) use ONE codegen'd `md5_prefix64` digest per shingle with
+    * arithmetic permutations — no per-salt re-hash, no hex strings (see
+    * DedupQueries). Kept because the set-invariance law specs
+    * (TextOpsSpec/PropertySpec) exercise the definition directly. */
   def minhash(shingles: Column, salt: String): Column =
     array_min(transform(shingles, sh => md5(concat(lit(salt), sh))))
 

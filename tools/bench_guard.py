@@ -15,6 +15,11 @@ Usage:
 
 Baseline: tools/bench_baseline_sf0.01.json (re-derive with the same Bench
 invocation whenever a deliberate perf change lands).
+
+STRICT set (VERDICT r3 item 9): iterative / driver-loop queries regress in
+sneaky sub-3x increments (q92 drifted 1.8x between rounds 2 and 3 — extra
+blocking actions per round, invisible to the 3x limit). Queries listed in
+STRICT fail at max(1.5x baseline, baseline + 0.5 s) instead.
 """
 import json
 import os
@@ -22,6 +27,10 @@ import sys
 
 HERE = os.path.dirname(os.path.abspath(__file__))
 BASELINE = os.path.join(HERE, "bench_baseline_sf0.01.json")
+
+# iterative queries: per-round driver actions make small fixed regressions
+# compound; hold them to 1.5x instead of 3x
+STRICT = {"q92_dedup_groups"}
 
 
 def short(name):
@@ -48,7 +57,10 @@ def main() -> int:
         if t is None:
             missing.append(q)
             continue
-        limit = max(3.0 * b, b + 1.0)
+        if q in STRICT:
+            limit = max(1.5 * b, b + 0.5)
+        else:
+            limit = max(3.0 * b, b + 1.0)
         if t > limit:
             failures.append((q, b, t, limit))
 
