@@ -231,7 +231,12 @@ object DedupQueries {
     ) { (s, d) =>
       val words = docs(s, d).select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("w"))
-      val h = conv(substring(md5(col("w")), 1, 4), 16, 10).cast("int")
+      // first 4 md5 hex digits == top 16 bits of the codegen'd
+      // md5_prefix64 (first 4 digest bytes): one digest per word, no
+      // 32-char hex-string materialization + re-parse (the conv/substring
+      // composition was q53's whole hot path — same fix as q51/q46)
+      val h = shiftright(call_function("md5_prefix64", col("w")), 16)
+        .cast("int")
       val voteCols = (0 until 16).map(b =>
         sum(when(shiftright(col("h"), b) % 2 === 1, 1).otherwise(-1))
           .as(s"v$b"))
