@@ -541,6 +541,49 @@ object DedupQueries {
         .orderBy("vec_id")
     },
 
+    // Canonical-document selection per near-dup group — the step after
+    // q92: of each connected component, KEEP the best-quality member
+    // (longest document; ties -> min id), not the arbitrary min-id one.
+    // Spark shape: ONE partial+final aggregate per group — argmax with
+    // tie-break as max(struct(len, -id)) — instead of the oracle's
+    // best-join-back (3 shuffles); lexicographic struct max == (max len,
+    // then min id), so the engines agree value-for-value.
+    Q(
+      "q111_canonical_docs",
+      s"""WITH RECURSIVE pairs AS ($rpPairsSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id AS vec_id, min(r) AS group_id FROM reach GROUP BY id),
+        |qual AS (SELECT doc_id AS vec_id, n_chars FROM documents),
+        |best AS (SELECT g.group_id, max(q.n_chars) AS best_len,
+        |           CAST(count(*) AS BIGINT) AS n_members
+        |         FROM grp g JOIN qual q USING (vec_id) GROUP BY g.group_id)
+        |SELECT b.group_id, b.n_members, b.best_len,
+        |  min(g.vec_id) AS canonical_id
+        |FROM best b JOIN grp g USING (group_id) JOIN qual q ON g.vec_id = q.vec_id
+        |WHERE q.n_chars = b.best_len
+        |GROUP BY b.group_id, b.n_members, b.best_len
+        |ORDER BY group_id""".stripMargin
+    ) { (s, d) =>
+      val grp = graft.functions.GraphOps
+        .connectedComponents(rpPairs(s, d), "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+      val qual = docs(s, d)
+        .select(col("doc_id").as("vec_id"), col("n_chars"))
+      grp.join(qual, "vec_id")
+        .groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(struct(col("n_chars").as("l"), (-col("vec_id")).as("nid")))
+            .as("m"))
+        .select(col("group_id"), col("n_members"),
+          col("m.l").as("best_len"), (-col("m.nid")).as("canonical_id"))
+        .orderBy("group_id")
+    },
+
     // Capstone pipeline: the composed training-data flow — quality filter
     // -> MinHash bucket dedup (keep min doc per bucket) -> join embeddings
     // -> per-language corpus stats. One shuffle per stage boundary; every

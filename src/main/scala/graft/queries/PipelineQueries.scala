@@ -359,6 +359,91 @@ object PipelineQueries {
           col("n").cast("long").as("n"),
           (round(col("c"), 4) + lit(0.0)).as("centroid"))
         .orderBy("label", "dim")
+    },
+
+    // Benchmark-contamination scan: fraction of each document's distinct
+    // 3-shingles that appear in a fixed probe set (here: the shingles of
+    // docs 0-4 standing in for an eval benchmark). The probe set is
+    // BOUNDED BY THE BENCHMARK, not the corpus — broadcasting it is the
+    // 100 TB shape (the corpus side streams through a semi-join against
+    // the broadcast hash set; no shuffle of the corpus shingles).
+    Q(
+      "q109_contamination",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |  WHERE len(ws) >= 3),
+        |probes AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
+        |tot AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+        |hit AS (SELECT doc_id, count(*) AS n_hit FROM sh
+        |        WHERE s IN (SELECT s FROM probes) GROUP BY doc_id)
+        |SELECT t.doc_id, CAST(t.n_sh AS BIGINT) AS n_sh,
+        |  CAST(coalesce(h.n_hit, 0) AS BIGINT) AS n_hit,
+        |  round(CAST(coalesce(h.n_hit, 0) AS DOUBLE) / t.n_sh, 4) AS score
+        |FROM tot t LEFT JOIN hit h ON t.doc_id = h.doc_id
+        |ORDER BY t.doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.TextOps
+      val sh = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+        .distinct()
+      // 5 probe docs = a fixed benchmark suite: constant-size regardless
+      // of SF, so broadcast is safe (contrast the no-broadcast rule for
+      // SF-scaled computed tables)
+      val probes = broadcast(
+        sh.filter(col("doc_id") < 5).select("s").distinct())
+      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+      val hit = sh.join(probes, Seq("s"), "left_semi")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
+      tot.join(hit, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_sh"),
+          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
+          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 4)
+            .as("score"))
+        .orderBy("doc_id")
+    },
+
+    // Weighted sampling without replacement, top-5 per source
+    // (Efraimidis–Spirakis A-ES: maximize u^(1/w) ⇔ rank by ln(u)/w).
+    // u is a DETERMINISTIC hash-uniform from doc_id (odd-multiplier LCG:
+    // bijective mod 2^32, so distinct docs get distinct u) — both engines
+    // compute it in exact BIGINT arithmetic, and the rank key is quantized
+    // to 1e-9 before ranking so a last-ulp ln() divergence can't reorder.
+    // The per-source top-5 is a WindowGroupLimit (rank pushdown — bounded
+    // per-partition heaps, no full sort), same scale shape as q95's top-3.
+    Q(
+      "q110_weighted_sample",
+      """WITH w AS (
+        |  SELECT doc_id, source, n_chars,
+        |    CAST((doc_id * 2654435761 + 12345) % 4294967296 + 1 AS DOUBLE)
+        |      / 4294967298.0 AS u
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source,
+        |    CAST(round(ln(u) / n_chars * 1000000000, 0) AS BIGINT) AS keyq
+        |  FROM w),
+        |r AS (
+        |  SELECT doc_id, source, keyq,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY keyq DESC, doc_id) AS rk
+        |  FROM k)
+        |SELECT source, doc_id, keyq
+        |FROM r WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val u = (((col("doc_id") * 2654435761L + 12345L) % 4294967296L + 1L)
+        .cast("double") / 4294967298.0)
+      val keyq = round(log(u) / col("n_chars") * 1e9, 0).cast("long")
+      val w = Window.partitionBy("source")
+        .orderBy(col("keyq").desc, col("doc_id"))
+      docs(s, d)
+        .select(col("doc_id"), col("source"), keyq.as("keyq"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("source"), col("doc_id"), col("keyq"))
+        .orderBy("source", "doc_id")
     }
   )
 }
