@@ -544,10 +544,13 @@ object DedupQueries {
     // Canonical-document selection per near-dup group — the step after
     // q92: of each connected component, KEEP the best-quality member
     // (longest document; ties -> min id), not the arbitrary min-id one.
-    // Spark shape: ONE partial+final aggregate per group — argmax with
-    // tie-break as max(struct(len, -id)) — instead of the oracle's
-    // best-join-back (3 shuffles); lexicographic struct max == (max len,
-    // then min id), so the engines agree value-for-value.
+    // Spark shape: scalar hash-agg for (max len, count), then join back
+    // and hash-agg min(id) among the maximizers — same shape as the
+    // oracle. A one-pass max(struct(len, -id)) was measured and rejected:
+    // the struct-typed buffer forces SortAggregate (full sort of every
+    // member row per partition); the join-back keeps both aggregates
+    // HashAggregate and the per-group rows it re-touches are the same
+    // rows the sort would have sorted.
     Q(
       "q111_canonical_docs",
       s"""WITH RECURSIVE pairs AS ($rpPairsSql),
@@ -574,13 +577,16 @@ object DedupQueries {
         .select(col("id").as("vec_id"), col("lbl").as("group_id"))
       val qual = docs(s, d)
         .select(col("doc_id").as("vec_id"), col("n_chars"))
-      grp.join(qual, "vec_id")
-        .groupBy("group_id")
-        .agg(count(lit(1)).as("n_members"),
-          max(struct(col("n_chars").as("l"), (-col("vec_id")).as("nid")))
-            .as("m"))
-        .select(col("group_id"), col("n_members"),
-          col("m.l").as("best_len"), (-col("m.nid")).as("canonical_id"))
+      val members = grp.join(qual, "vec_id")
+      val best = members.groupBy("group_id")
+        .agg(max(col("n_chars")).as("best_len"),
+          count(lit(1)).as("n_members"))
+      members.join(best, "group_id")
+        .filter(col("n_chars") === col("best_len"))
+        .groupBy("group_id", "n_members", "best_len")
+        .agg(min(col("vec_id")).as("canonical_id"))
+        .select(col("group_id"), col("n_members"), col("best_len"),
+          col("canonical_id"))
         .orderBy("group_id")
     },
 
