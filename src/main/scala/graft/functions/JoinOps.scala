@@ -57,6 +57,42 @@ object JoinOps {
         rCols.map(c => col("__m").getField(c).as(c + suffix)): _*)
   }
 
+  /** [[asofBackward]] on the NATIVE whole-operator path: the custom
+    * `AsofJoinNode` logical plan, planned by `AsofJoinStrategy` into a
+    * one-pass streaming-merge `AsofJoinExec` (SURVEY §7.3 path (c); see
+    * graft.plans.AsofJoin). Same contract and output shape as the window
+    * form — right columns come back `suffix`-renamed, unmatched = null —
+    * and the two are asserted equal in JoinOpsSpec. The merge exec does no
+    * window buffering: O(|L|+|R|) per partition with one retained snapshot
+    * row, which at 100 TB replaces the union-sort's carried-column state
+    * with a plain sorted merge (same single hash shuffle per side). */
+  def asofBackwardNative(left: DataFrame, right: DataFrame, key: String,
+      ts: String, suffix: String = "_r"): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies
+        .contains(graft.plans.AsofJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ graft.plans.AsofJoinStrategy
+    }
+    // fresh aliases give the right side new exprIds, so a self-join (both
+    // sides from one table) can't produce ambiguous attributes; the key is
+    // renamed away from the left's column namespace and dropped after
+    val rCols = col(ts).as("__asof_ts") +:
+      right.columns.filterNot(_ == key).toSeq.map(c => col(c).as(c + suffix))
+    val r2 = right.select(col(key).as("__asof_key") +: rCols: _*)
+    val lPlan = GraftColumnBridge.analyzed(left)
+    val rPlan = GraftColumnBridge.analyzed(r2)
+    def attr(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan,
+        name: String) = p.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(s"no column $name"))
+    val node = graft.plans.AsofJoinNode(lPlan, rPlan,
+      attr(lPlan, key), attr(lPlan, ts),
+      attr(rPlan, "__asof_key"), attr(rPlan, "__asof_ts"))
+    GraftColumnBridge.ofRows(spark, node)
+      .drop("__asof_key", "__asof_ts")
+  }
+
   /** Bucketed interval-overlap join: pair every interval of `a` with every
     * interval of `b` that overlaps it (half-open: aLo < bHi && bLo < aHi).
     * Both sides explode to the fixed-width buckets they cover and

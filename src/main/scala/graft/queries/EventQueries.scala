@@ -279,6 +279,34 @@ object EventQueries {
         .orderBy("event_id")
     },
 
+    // The SAME as-of join on the native whole-operator path (custom
+    // AsofJoinNode -> AsofJoinStrategy -> one-pass streaming-merge
+    // AsofJoinExec; SURVEY §7.3 path (c)) — identical oracle to q89, so
+    // the gate proves the custom physical operator end-to-end.
+    Q(
+      "q112_asof_native",
+      """SELECT l.event_id, l.user_id, round(l.value, 2) AS pvalue,
+        |  round(COALESCE(epoch(l.ts) - epoch(r.ts), -1.0), 2) AS gap_s,
+        |  round(COALESCE(r.value, -1.0), 2) AS cvalue
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') r
+        |  ON l.user_id = r.user_id AND l.ts >= r.ts
+        |ORDER BY l.event_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.JoinOps
+      val purchases = ev(s, d).filter(col("event_type") === "purchase")
+        .select("event_id", "user_id", "ts", "value")
+      val clicks = ev(s, d).filter(col("event_type") === "click")
+        .select("user_id", "ts", "value")
+      JoinOps.asofBackwardNative(purchases, clicks, key = "user_id", ts = "ts")
+        .select(col("event_id"), col("user_id"),
+          round(col("value"), 2).as("pvalue"),
+          round(coalesce(col("ts").cast("double") - col("ts_r").cast("double"),
+            lit(-1.0)), 2).as("gap_s"),
+          round(coalesce(col("value_r"), lit(-1.0)), 2).as("cvalue"))
+        .orderBy("event_id")
+    },
+
     // Range (interval) join (JoinOps.rangeJoinBucketed): events bucketed
     // into value tiers derived from the region table. A pure inequality
     // join in Spark is a BroadcastNestedLoopJoin — O(n x m); the bucketed

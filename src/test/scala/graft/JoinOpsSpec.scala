@@ -46,6 +46,66 @@ class JoinOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofBackwardNative: same semantics as the window form (unit cases)") {
+    val left = Seq((1L, 10L, "a"), (1L, 20L, "b"), (2L, 5L, "c"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 10L, 100.0), (1L, 15L, 150.0), (2L, 9L, 90.0))
+      .toDF("k", "t", "v")
+    val got = JoinOps.asofBackwardNative(left, right, key = "k", ts = "t")
+      .orderBy("k", "t")
+      .select("k", "t", "tag", "t_r", "v_r")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3),
+        if (r.isNullAt(4)) -1.0 else r.getDouble(4))).toSeq
+    assert(got == Seq(
+      (1L, 10L, "a", 10L, 100.0),
+      (1L, 20L, "b", 15L, 150.0),
+      (2L, 5L, "c", -1L, -1.0)))
+    // null-ts right rows dropped, exactly like the window form
+    val l1 = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val r1 = Seq((1L, Option.empty[Long], 666.0), (1L, Some(5L), 50.0))
+      .toDF("k", "t", "v")
+    assert(JoinOps.asofBackwardNative(l1, r1, "k", "t")
+      .select("v_r").collect().map(_.getDouble(0)).toSeq == Seq(50.0))
+    // null-ts LEFT rows survive unmatched
+    val ln = Seq((1L, Option.empty[Long], "x")).toDF("k", "t", "tag")
+    val gotN = JoinOps.asofBackwardNative(ln,
+      Seq((1L, 5L, 50.0)).toDF("k", "t", "v"), "k", "t").collect()
+    assert(gotN.length == 1 && gotN.head.isNullAt(gotN.head.fieldIndex("v_r")))
+  }
+
+  test("asofBackwardNative EQUALS asofBackward on the events table (self-join)") {
+    // the q89 inputs: both sides carved from ONE table — exercises the
+    // fresh-alias dedup, multi-partition merge, and AQE-coalesced shuffles
+    val sf = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, sf)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select("user_id", "ts", "value")
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_id"), col("user_id"),
+        col("ts_r").cast("long").as("tsr"), col("value_r"))
+      .orderBy("event_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2),
+        if (r.isNullAt(3)) -1.0 else r.getDouble(3))).toSeq
+    val window = canon(JoinOps.asofBackward(purchases, clicks, "user_id", "ts"))
+    val native = canon(
+      JoinOps.asofBackwardNative(purchases, clicks, "user_id", "ts"))
+    assert(native.nonEmpty && native == window)
+  }
+
+  test("asofBackwardNative plans exchanges+sorts, no window, no nested loop") {
+    val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val plan = JoinOps.asofBackwardNative(left, right, "k", "t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("AsofJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoop"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("asofBackward compiles to one hash shuffle, no nested loop") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 9L, 1.0)).toDF("k", "t", "v")
