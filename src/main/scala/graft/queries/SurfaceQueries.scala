@@ -93,6 +93,24 @@ object SurfaceQueries {
       Align.zipCollections(a, b).orderBy("doc_id")
     },
 
+    // Salted two-stage aggregation (Skew.saltedAgg): the explicit hot-key
+    // tool — group by (key, salt) spreads one pathological key over N
+    // reducers, then partials merge by key. The oracle is the PLAIN
+    // aggregate: salting must be semantically invisible.
+    Q(
+      "q113_salted_agg",
+      """SELECT event_type AS key, CAST(count(*) AS BIGINT) AS n,
+        |  round(sum(value), 2) + 0 AS sum_val
+        |FROM events GROUP BY event_type ORDER BY key""".stripMargin
+    ) { (s, d) =>
+      graft.functions.Skew.saltedAgg(
+        Tables.events(s, d), col("event_type"), saltBuckets = 8,
+        partials = Seq(count(lit(1)).as("pn"), sum("value").as("ps")),
+        merges = Seq(sum("pn").as("n"),
+          (round(sum("ps"), 2) + lit(0.0)).as("sum_val")))
+        .orderBy("key")
+    },
+
     // Tagged-union round-trip (reference UnionForm; same flattening as its
     // JSONSchema export, io/json.py:867-870): build the tagged struct,
     // serialize it (nulls KEPT so the inactive variants are visible to the

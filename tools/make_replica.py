@@ -63,8 +63,20 @@ def main():
         FROM {embs}""")
 
     evs = f"'{src}/events.parquet'"
+    # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS) and
+    # Tables.events converts it (`timestamp_micros(ts div 1000)` with
+    # nanosAsLong). DuckDB 1.0 reads NANOS as micro TIMESTAMP and cannot
+    # write NANOS back, so a naive copy changes the column's parquet type
+    # and every ts-arithmetic Spark query on the replica fails at ANALYSIS
+    # time (this silently zeroed the first round-5 10x numbers for the
+    # event queries — Bench reports failures on stderr only). Writing raw
+    # INT64 nanos (epoch_ns) keeps Spark's read path identical: a plain
+    # INT64 column arrives as long, exactly like the NANOS column under
+    # nanosAsLong.
+    con.sql("SET TimeZone = 'UTC'")
     replicate("events", f"""
-        SELECT event_id + {{i}} * 100000000 AS event_id, ts,
+        SELECT event_id + {{i}} * 100000000 AS event_id,
+               epoch_ns(ts) AS ts,
                user_id + {{i}} * 10000000 AS user_id,
                event_type, value, props
         FROM {evs}""")
