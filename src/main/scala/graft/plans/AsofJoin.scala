@@ -63,6 +63,13 @@ case class AsofJoinExec(leftKey: Attribute, leftTs: Attribute,
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
       Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
 
+  // rows stream out in left order, one output row per left row — advertise
+  // the left child's partitioning and our required (key, ts) ordering so a
+  // downstream groupBy(key) or sort reuses them instead of re-exchanging
+  // (the same contract SortMergeJoinExec honors)
+  override def outputPartitioning = left.outputPartitioning
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
   override protected def doExecute(): RDD[InternalRow] = {
     val keyOrd = TypeUtils.getInterpretedOrdering(leftKey.dataType)
     val tsOrd = TypeUtils.getInterpretedOrdering(leftTs.dataType)

@@ -106,6 +106,18 @@ class JoinOpsSpec extends SparkSpec {
     assert(!plan.contains("Window"), plan)
   }
 
+  test("asofBackwardNative advertises partitioning: downstream groupBy(key) adds no exchange") {
+    val left = Seq((1L, 10L, 2.0), (2L, 20L, 3.0)).toDF("k", "t", "v")
+    val right = Seq((1L, 5L, 1.0)).toDF("k", "t", "v")
+    val agged = JoinOps.asofBackwardNative(left, right, "k", "t")
+      .groupBy("k").agg(sum("v_r").as("s"))
+    val plan = agged.queryExecution.executedPlan.toString
+    // exactly the two exchanges feeding the join — the aggregate reuses
+    // the advertised hash partitioning instead of adding a third
+    val exchanges = "(?<!Broadcast)Exchange hash".r.findAllIn(plan).size
+    assert(exchanges == 2, s"expected 2 exchanges, got $exchanges:\n$plan")
+  }
+
   test("asofBackward compiles to one hash shuffle, no nested loop") {
     val left = Seq((1L, 10L, "a")).toDF("k", "t", "tag")
     val right = Seq((1L, 9L, 1.0)).toDF("k", "t", "v")
