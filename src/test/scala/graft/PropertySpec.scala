@@ -226,4 +226,62 @@ class PropertySpec extends SparkSpec {
         assert(got.length == got.toSet.size, "canonical-bucket dedup failed")
     }
   }
+
+  test("law: cartesianN size = product of sizes; tuples enumerate in order") {
+    forAll(Gen.zip(smallList, smallList, smallList), n = 8) {
+      case (a, b, c) =>
+        val df = List((0L, a, b, c)).toDF("row_id", "a", "b", "c")
+        val got = eval1(df,
+          cartesianN(Seq(col("a"), col("b"), col("c")))).map(seqOf).head
+        assert(got.length == a.length * b.length * c.length,
+          s"a=$a b=$b c=$c")
+        val want = for (x <- a; y <- b; z <- c) yield (x, y, z)
+        val tuples = got.map(_.asInstanceOf[org.apache.spark.sql.Row])
+          .map(r => (r.getInt(0), r.getInt(1), r.getInt(2)))
+        assert(tuples == want)
+    }
+  }
+
+  test("law: combinationsNamed(n=3) count = C(len, 3), strictly increasing indices") {
+    forAll(smallList, n = 8) { xs =>
+      val df = List((0L, xs)).toDF("row_id", "xs")
+      val got = eval1(df, combinationsNamed(col("xs"), 3, Seq("a", "b", "c")))
+        .map(seqOf).head
+      def c3(n: Int) = if (n < 3) 0 else n * (n - 1) * (n - 2) / 6
+      assert(got.length == c3(xs.length), s"xs=$xs")
+      // POSITIONAL combinations (the reference's semantics): every i<j<k
+      // index triple, repeated values and all — NOT Scala's
+      // List.combinations, which dedups equal multisets
+      val n = xs.length
+      val want = for {
+        i <- (0 until n).toList; j <- i + 1 until n; k <- j + 1 until n
+      } yield List(xs(i), xs(j), xs(k))
+      val triples = got.map(_.asInstanceOf[org.apache.spark.sql.Row])
+        .map(r => List(r.getInt(0), r.getInt(1), r.getInt(2)))
+      assert(triples == want, s"xs=$xs")
+    }
+  }
+
+  test("law: weighted-sample rank key is repartition-invariant (q110)") {
+    // u derives from doc_id alone, so the selected top-k per stratum must
+    // not depend on physical layout — the property that makes q110 safe
+    // under AQE re-partitioning and cluster-size changes
+    val sf = "/root/testdata/sf0.001"
+    def topk(parts: Int): Seq[(String, Long)] = {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(spark, sf).repartition(parts)
+      val u = (((col("doc_id") * 2654435761L + 12345L) % 4294967296L + 1L)
+        .cast("double") / 4294967298.0)
+      val keyq = round(log(u) / col("n_chars") * 1e9, 0).cast("long")
+      val w = Window.partitionBy("source")
+        .orderBy(col("keyq").desc, col("doc_id"))
+      docs.select(col("doc_id"), col("source"), keyq.as("keyq"))
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select("source", "doc_id").orderBy("source", "doc_id")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    }
+    val base = topk(1)
+    assert(base.nonEmpty)
+    assert(topk(7) == base && topk(32) == base)
+  }
 }
