@@ -98,12 +98,18 @@ object awk {
 
   // ---- combinators (§2.4) ------------------------------------------------
   def cartesian(a: Column, b: Column): Column = ArrayOps.cartesian(a, b)
+  /** Reference signature: `ak.cartesian([a, b, c, ...])` — the list form
+    * (structure.py:245-282). */
+  def cartesian(arrs: Seq[Column]): Column = ArrayOps.cartesianN(arrs)
   def argcartesian(a: Column, b: Column): Column = ArrayOps.argcartesian(a, b)
+  def argcartesian(arrs: Seq[Column]): Column = ArrayOps.argcartesianN(arrs)
   def combinations(arr: Column, n: Int, replacement: Boolean = false,
       fields: Seq[String] = null): Column =
     if (n == 2)
       ArrayOps.combinations2(arr, replacement,
         Option(fields).getOrElse(Seq("c0", "c1")))
+    else if (fields != null)
+      ArrayOps.combinationsNamed(arr, n, fields, replacement)
     else ArrayOps.combinationsN(arr, n, replacement)
   def argcombinations(arr: Column, n: Int): Column =
     if (n == 2) ArrayOps.argcombinations2(arr)

@@ -29,6 +29,23 @@ class AwkFacadeSpec extends SparkSpec {
     assert(eval1(df, awk.num(awk.argcombinations(col("xs"), 2))) == Seq(3))
   }
 
+  test("list-form cartesian and named-field combinations (structure.py:245-332)") {
+    val df = Seq((0L, Seq(1, 2), Seq(10), Seq(100, 200))).toDF("row_id", "a", "b", "c")
+    assert(eval1(df, awk.num(awk.cartesian(Seq(col("a"), col("b"), col("c"))))) ==
+      Seq(4))
+    assert(eval1(df, awk.num(awk.argcartesian(Seq(col("a"), col("c"))))) == Seq(4))
+    val named = eval1(df.select(col("row_id"),
+        awk.combinations(col("c"), 2, fields = Seq("x", "y")).as("p")),
+      col("p")).map(seqOf).head
+    val r = named.head.asInstanceOf[org.apache.spark.sql.Row]
+    assert(r.schema.fieldNames.toSeq == Seq("x", "y"))
+    // n>2 with fields routes through combinationsNamed
+    val dfw = Seq((0L, Seq("a", "b", "c"))).toDF("row_id", "xs")
+    val t = eval1(dfw, awk.combinations(col("xs"), 3, fields = Seq("p", "q", "r")))
+      .map(seqOf).head.head.asInstanceOf[org.apache.spark.sql.Row]
+    assert(t.schema.fieldNames.toSeq == Seq("p", "q", "r"))
+  }
+
   test("sample: factor and probability modes (inspect.py:241-273)") {
     val df = (0L until 1000L).map(i => (i, s"doc$i")).toDF("id", "t")
     val byFactor = awk.sample(df, col("id"), factor = 10)
