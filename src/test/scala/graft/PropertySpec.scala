@@ -198,6 +198,15 @@ class PropertySpec extends SparkSpec {
         lid -> (if (cands.isEmpty) -1L else cands.maxBy(_._2)._3)
       }.toMap
       assert(got == want, s"l=$l r=$r")
+      // and the NATIVE whole-operator path obeys the same law — random
+      // physical layout on both sides exercises the merge across
+      // partition/ordering arrangements EnsureRequirements must fix up
+      val gotNative = JoinOps
+        .asofBackwardNative(l.toDF("k", "t", "lid").repartition(3),
+          r.toDF("k", "t", "v").repartition(2), "k", "t")
+        .collect().map(x => (x.getLong(2),
+          if (x.isNullAt(4)) -1L else x.getLong(4))).toMap
+      assert(gotNative == want, s"native: l=$l r=$r")
     }
   }
 
