@@ -98,6 +98,30 @@ object EventStreams {
       }
   }
 
+  /** Streaming benchmark-contamination scoring — the stream-static shape:
+    * an unbounded document stream scored against a STATIC probe-shingle
+    * set (batch twin: q109). The probe set arrives as a one-row static
+    * DataFrame with an array column; the stream-static cross join
+    * broadcasts that single row, so scoring is per-row, stateless, and
+    * safe on an unbounded stream (no watermark, no keyed state). Score =
+    * |distinct doc shingles ∩ probes| / |distinct doc shingles|.
+    */
+  def contaminationScoreStream(docs: DataFrame, probes: DataFrame,
+      probeCol: String = "probes"): DataFrame = {
+    import graft.functions.TextOps
+    docs
+      .select(col("doc_id"),
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3))
+          .as("sh"))
+      .filter(size(col("sh")) > 0)
+      .crossJoin(probes)
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"),
+        size(array_intersect(col("sh"), col(probeCol))).cast("long")
+          .as("n_hit"))
+      .withColumn("score",
+        round(col("n_hit").cast("double") / col("n_sh"), 4))
+  }
+
   final case class Tick(user_id: Long, tsSec: Long, side: Int, value: Double)
   final case class Enriched(user_id: Long, tsSec: Long, value: Double,
       snapValue: Double, matched: Boolean)

@@ -198,6 +198,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == expected)
   }
 
+  test("streaming contamination score EQUALS the batch q109 scores (stream-static join)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.functions.TextOps
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    // static probe set: distinct shingles of docs 0-4, as ONE array row
+    val probes = docs.filter(col("doc_id") < 5)
+      .select(explode(array_distinct(
+        TextOps.shingles(TextOps.tokens(col("text")), 3))).as("s"))
+      .distinct().agg(collect_set("s").as("probes"))
+    // batch scores, same definition as q109
+    val expected = graft.streaming.EventStreams
+      .contaminationScoreStream(docs, probes)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.EventStreams
+      .contaminationScoreStream(streamDocs, probes)
+      .writeStream.format("memory").queryName("contam").start()
+    val streamed =
+      try {
+        val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val (b1, b2) = rows.splitAt(rows.size / 2)
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        spark.table("contam").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3)))).toMap
+      } finally q.stop()
+    assert(streamed.size == expected.size && streamed == expected)
+    assert(streamed.values.exists(_._1 > 0), "no contaminated doc in fixture")
+  }
+
   test("sessionize: keyed state splits sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams._
