@@ -163,6 +163,26 @@ object ArrayOps {
       if (nested) grouped else flatten(grouped)
     }
 
+  /** Overlapping sliding windows covering the whole list — the
+    * context-window chunking shape of a training pipeline (chunk docs into
+    * model-window pieces with `winSize - stride` tokens of overlap; [[chunk]]
+    * is the stride == winSize special case). Window i = elements
+    * [i*stride, i*stride + winSize); count = 1 if n <= winSize else
+    * ceil((n - winSize)/stride) + 1, so the final (possibly short) window
+    * always reaches the end of the list. Empty list -> empty result. */
+  def sliding(arr: Column, winSize: Int, stride: Int): Column = {
+    require(winSize > 0 && stride > 0 && stride <= winSize,
+      s"sliding needs 0 < stride <= winSize, got winSize=$winSize stride=$stride")
+    bindOnce(arr) { a =>
+      val n = size(a)
+      val cnt = when(n <= winSize, lit(1))
+        .otherwise(ceil((n - winSize).cast("double") / stride).cast("int") + 1)
+      when(n === 0, slice(array(slice(a, 1, winSize)), 1, 0)) // typed empty
+        .otherwise(transform(sequence(lit(0), cnt - 1),
+          i => slice(a, i * stride + 1, lit(winSize))))
+    }
+  }
+
   /** N-ary per-row cross product — the reference's `cartesian` accepts a
     * LIST of arrays (structure.py:245-282); this is the general form of
     * the 2-ary [[cartesian]], built by folding: each step flat-maps the

@@ -93,6 +93,41 @@ object SurfaceQueries {
       Align.zipCollections(a, b).orderBy("doc_id")
     },
 
+    // Context-window chunking: overlapping sliding windows over each doc's
+    // tokens (ArrayOps.sliding, winSize=30 stride=20 -> 10-token overlap),
+    // one output row per chunk with a chunk-text fingerprint — the
+    // doc -> training-example explode of an LLM pipeline. Per-row + one
+    // explode; no shuffle before the final sort.
+    Q(
+      "q114_chunk_overlap",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, len(ws) AS n,
+        |    CASE WHEN len(ws) <= 30 THEN 1
+        |         ELSE CAST(ceil((len(ws) - 30) / 20.0) AS INT) + 1 END AS cnt, ws
+        |  FROM t WHERE len(ws) > 0),
+        |ch AS (
+        |  SELECT doc_id, unnest(range(0, cnt)) AS chunk_id, n, ws FROM c),
+        |sl AS (
+        |  SELECT doc_id, chunk_id,
+        |    ws[chunk_id * 20 + 1 : least(chunk_id * 20 + 30, n)] AS chunk
+        |  FROM ch)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(chunk) AS BIGINT) AS n_toks,
+        |  substr(md5(array_to_string(chunk, ' ')), 1, 8) AS fp8
+        |FROM sl ORDER BY doc_id, chunk_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.{ArrayOps, TextOps}
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          posexplode(ArrayOps.sliding(TextOps.tokens(col("text")), 30, 20))
+            .as(Seq("chunk_id", "chunk")))
+        .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          substring(md5(concat_ws(" ", col("chunk"))), 1, 8).as("fp8"))
+        .orderBy("doc_id", "chunk_id")
+    },
+
     // Salted two-stage aggregation (Skew.saltedAgg): the explicit hot-key
     // tool — group by (key, salt) spreads one pathological key over N
     // reducers, then partials merge by key. The oracle is the PLAIN

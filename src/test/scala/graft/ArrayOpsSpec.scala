@@ -155,6 +155,25 @@ class ArrayOpsSpec extends SparkSpec {
     assert(idx == Seq((0, 0), (0, 1), (1, 0), (1, 1)))
   }
 
+  test("sliding: overlapping windows cover the list, final window reaches the end") {
+    val df = Seq((0L, (1 to 7).toList)).toDF("row_id", "xs")
+    val got = eval1(df, sliding(col("xs"), 3, 2)).map(seqOf).head.map(seqOf)
+    assert(got == Seq(Seq(1, 2, 3), Seq(3, 4, 5), Seq(5, 6, 7)))
+    // n not aligned to stride: short tail window still reaches the end
+    val df8 = Seq((0L, (1 to 8).toList)).toDF("row_id", "xs")
+    val got8 = eval1(df8, sliding(col("xs"), 3, 2)).map(seqOf).head.map(seqOf)
+    assert(got8 == Seq(Seq(1, 2, 3), Seq(3, 4, 5), Seq(5, 6, 7), Seq(7, 8)))
+    // n <= winSize: one window, the whole list
+    assert(eval1(df8, sliding(col("xs"), 10, 4)).map(seqOf).head.map(seqOf) ==
+      Seq((1 to 8).toList))
+    // stride == winSize degenerates to chunk
+    assert(eval1(df8, sliding(col("xs"), 4, 4)).map(seqOf).head.map(seqOf) ==
+      eval1(df8, chunk(col("xs"), 4)).map(seqOf).head.map(seqOf))
+    // empty list -> empty windows
+    val dfe = Seq((0L, Seq[Int]())).toDF("row_id", "xs")
+    assert(eval1(dfe, sliding(col("xs"), 3, 2)).map(seqOf).head == Seq())
+  }
+
   test("cartesianN: 3-ary product, rightmost varies fastest; empty kills") {
     val df = Seq((0L, Seq(1, 2), Seq(10), Seq(100, 200)))
       .toDF("row_id", "a", "b", "c")
