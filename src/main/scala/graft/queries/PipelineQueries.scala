@@ -370,8 +370,12 @@ object PipelineQueries {
     Q(
       "q109_contamination",
       """WITH sh AS (
-        |  SELECT DISTINCT doc_id, unnest(list_transform(range(1, len(ws) - 1),
-        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+2], ' ')),
+        |    sg -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(sg), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS s
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
         |  WHERE len(ws) >= 3),
         |probes AS (SELECT DISTINCT s FROM sh WHERE doc_id < 5),
@@ -385,9 +389,15 @@ object PipelineQueries {
         |ORDER BY t.doc_id""".stripMargin
     ) { (s, d) =>
       import graft.functions.TextOps
+      // shingles hash to long BEFORE the distinct shuffle and the probe
+      // broadcast (same lesson as q54: fixed-width keys when downstream
+      // only needs equality — the distinct exchange carries 8-byte keys
+      // instead of ~25-byte strings, and the oracle hashes identically)
       val sh = docs(s, d)
         .select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("s"))
+          explode(transform(
+            TextOps.shingles(TextOps.tokens(col("text")), 3),
+            sg => call_function("md5_prefix64", sg))).as("s"))
         .distinct()
       // 5 probe docs = a fixed benchmark suite: constant-size regardless
       // of SF, so broadcast is safe (contrast the no-broadcast rule for
