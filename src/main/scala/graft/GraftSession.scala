@@ -24,6 +24,24 @@ object GraftSession {
     // getOrCreate may have returned a pre-existing session built without
     // our extensions — make the native functions available regardless
     graft.plans.GraftExtensions.install(s)
+    s.listenerManager.register(ObservedMetricsLogger)
     s
+  }
+
+  /** Prints Dataset `observe` metrics to stderr after each action — the
+    * logged-drop channel for scale safety caps (e.g. q52's per-bucket
+    * candidate cap): a cap engaging is visible in the run log instead of
+    * silently truncating output. */
+  private object ObservedMetricsLogger
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (name, row) =>
+        System.err.println(s"[observed] $name: $row")
+      }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
   }
 }

