@@ -29,6 +29,58 @@ object Inspect {
       s.relation.location.rootPaths.mkString(",") ->
         s.requiredSchema.fieldNames.toSeq).toMap
 
+  /** Buffer-granularity refinement of [[necessaryColumns]] — the
+    * reference's offsets-vs-data buffer reporting
+    * (`lib/utils.py:107-126` buffer promotion,
+    * `lib/inspect.py:21-219` report_necessary_buffers): an array column
+    * consumed ONLY through `size(...)` needs just its offsets buffer, not
+    * its element data. Spark's parquet reader still materializes the full
+    * column either way (vectorized readers don't split list offsets from
+    * values), so this is *reporting* parity: per scan column,
+    * `"offsets"` when every reference to it in the optimized plan sits
+    * directly under `size`/`cardinality`, else `"data"`. Useful exactly
+    * like the reference's dry run — spotting queries that could run
+    * against a lengths-only projection of the data. */
+  def necessaryBuffers(df: DataFrame): Map[String, Map[String, String]] = {
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Size}
+    import org.apache.spark.sql.catalyst.plans.logical.Project
+    val lp = df.queryExecution.optimizedPlan
+    // occurrences of `name` in e: true = directly under Size (offsets-only)
+    def refs(e: Expression, name: String): Seq[Boolean] = e match {
+      case s: Size => s.child match {
+        case a: AttributeReference if a.name == name => Seq(true)
+        case c => refs(c, name)
+      }
+      case a: AttributeReference if a.name == name => Seq(false)
+      case _ => e.children.flatMap(refs(_, name))
+    }
+    // a bare attribute in a projection list is pass-through plumbing
+    // (pruning Projects re-emit the column for a consumer above), not a
+    // data touch; a bare attribute in the PLAN OUTPUT is a real
+    // materialization and counts as data
+    def nodeRefs(name: String): Seq[Boolean] = lp.collect {
+      case p: Project => p.projectList.flatMap {
+        case a: Alias => refs(a.child, name)
+        case _: AttributeReference => Nil
+        case e => refs(e, name)
+      }
+      // leaf nodes (relations) list their own output attributes as
+      // expressions — declarations, not touches
+      case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => Nil
+      case n => n.expressions.flatMap(refs(_, name))
+    }.flatten ++ lp.output.filter(_.name == name).map(_ => false)
+    scans(df).map { s =>
+      s.relation.location.rootPaths.mkString(",") ->
+        s.requiredSchema.fields.map { f =>
+          val occ = nodeRefs(f.name)
+          val isArray =
+            f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+          f.name -> (if (isArray && occ.nonEmpty && occ.forall(identity))
+            "offsets" else "data")
+        }.toMap
+    }.toMap
+  }
+
   /** Data filters pushed into each scan (predicate pushdown — absent in the
     * reference, SURVEY §4.1; here it's load-bearing at scale). */
   def pushedFilters(df: DataFrame): Seq[String] =

@@ -33,6 +33,18 @@ object PipelineQueries {
     // that aggregate (one scan); term join shuffles by term (vocab-sized,
     // NOT broadcast — a 100 TB vocabulary does not fit an executor); the
     // top-k is a per-doc window over ~distinct-terms-per-doc rows.
+    //
+    // Zipf hardening: the df-count groupBy needs no salting — `count` is
+    // map-side partially aggregated, so a head term reaches the final
+    // reducer as one partial row per map task, not one row per document.
+    // The genuinely skew-exposed stage is the TERM-KEYED JOIN (every
+    // (doc, "the") row lands on one reducer), so that join is
+    // salt-replicated: tf rows carry a deterministic pmod(doc_id, 8)
+    // salt, the vocab side is exploded x8, and the join keys on
+    // (term, salt) — a head term spreads over 8 reducers regardless of
+    // AQE, and the tiny vocab-side replication is the only added cost.
+    // Result is identical (every tf row still meets its term's df row
+    // exactly once); the oracle is unchanged.
     Q(
       "q95_tfidf",
       """WITH toks AS (
@@ -62,7 +74,12 @@ object PipelineQueries {
       val n = docs(s, d).agg(count(lit(1)).as("n"))
       val w = Window.partitionBy("doc_id")
         .orderBy(col("score").desc, col("term"))
-      tf.join(dfreq, "w")
+      val salts = 8
+      val tfSalted = tf.withColumn("__salt",
+        pmod(col("doc_id"), lit(salts)).cast("int"))
+      val dfReplicated = dfreq.withColumn("__salt",
+        explode(sequence(lit(0), lit(salts - 1))))
+      tfSalted.join(dfReplicated, Seq("w", "__salt"))
         .crossJoin(broadcast(n))
         .select(col("doc_id"), col("w").as("term"), col("tf"), col("df"),
           ((col("tf") * col("n")).cast("double") / col("df")).as("score"))

@@ -34,6 +34,25 @@ class PlanSpec extends SparkSpec {
       Set("l_orderkey", "l_quantity", "l_discount"))
   }
 
+  test("necessaryBuffers: size-only array use reports offsets, not data") {
+    // size(embedding) only -> "offsets" (the reference's buffer promotion:
+    // num(arr) needs just the offsets buffer, lib/utils.py:107-126)
+    val offsetsOnly = Tables.embeddings(spark, sf)
+      .select(size(col("embedding")).as("n")).agg(sum("n"))
+    val b1 = Inspect.necessaryBuffers(offsetsOnly).values.head
+    assert(b1("embedding") == "offsets", s"got $b1")
+    // element data consumed too -> "data"
+    val dataToo = Tables.embeddings(spark, sf)
+      .select(size(col("embedding")).as("n"),
+        aggregate(col("embedding"), lit(0.0), (a, x) => a + x.cast("double"))
+          .as("s"))
+    val b2 = Inspect.necessaryBuffers(dataToo).values.head
+    assert(b2("embedding") == "data", s"got $b2")
+    // non-array columns are always "data"
+    val scalar = Tables.lineitem(spark, sf).select("l_orderkey")
+    assert(Inspect.necessaryBuffers(scalar).values.head("l_orderkey") == "data")
+  }
+
   test("dimension joins broadcast (no shuffle of the fact side)") {
     val q4 = SparkEntry.queries("q04_broadcast_dim")(spark, sf)
     assert(Inspect.hasBroadcast(q4))
