@@ -836,6 +836,87 @@ object DedupQueries {
         .groupBy(floor(col("rcos") * 10).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))
         .orderBy("bucket")
+    },
+
+    // Incremental (corpus-vs-corpus) near-dup scan: flag each NEW doc
+    // (source <> 'src0') whose MinHash signature agrees with some OLD doc
+    // (source = 'src0') on >= 2 of 4 permutations — the "dedup the fresh
+    // crawl against the existing corpus" step, which is how dedup actually
+    // runs in production (nobody re-pairs 100 TB from scratch per crawl).
+    // Scale shape: ONE signature pass over the union (the q51/q52
+    // pipeline: codegen'd md5_prefix64 + arithmetic permutations,
+    // map-side-combined min agg) -> explode to full-width (band, mh) keys
+    // (never a fixed-cardinality fold) -> new-vs-old equi-join with the
+    // OLD side per-bucket-capped at 256 (q52 doctrine: a mega-cluster
+    // bucket otherwise multiplies every matching new doc by m old docs;
+    // deterministic lowest-doc_id keep, `q116_cap` observed metric, cannot
+    // engage at gate SF — old-side band buckets hold <= 2 docs at sf0.1).
+    // Neither side broadcasts: both are SF-scaled. Per-(new, old) agree
+    // counts are bounded by 4; output is linear in the flagged mass.
+    Q(
+      "q116_incremental_dedup",
+      """WITH shr AS (
+        |  SELECT doc_id, source, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, source, string_split(text, ' ') AS ws
+        |        FROM documents) t),
+        |hv AS (
+        |  SELECT doc_id, source,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |sig AS (
+        |  SELECT doc_id, source,
+        |    min((1000003 * h + 12345) % 4294967291) AS k0,
+        |    min((2000029 * h + 54321) % 4294967291) AS k1,
+        |    min((3000073 * h + 98765) % 4294967291) AS k2,
+        |    min((4000037 * h + 13579) % 4294967291) AS k3
+        |  FROM hv GROUP BY doc_id, source),
+        |bands AS (
+        |  SELECT doc_id, source, b.band,
+        |    CASE b.band WHEN 0 THEN k0 WHEN 1 THEN k1
+        |      WHEN 2 THEN k2 ELSE k3 END AS mh
+        |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |cand AS (
+        |  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS agree
+        |  FROM bands n JOIN bands o ON n.band = o.band AND n.mh = o.mh
+        |  WHERE n.source <> 'src0' AND o.source = 'src0'
+        |  GROUP BY 1, 2)
+        |SELECT new_id, min(old_id) AS dup_of,
+        |  CAST(max(agree) AS BIGINT) AS max_agree
+        |FROM cand WHERE agree >= 2 GROUP BY new_id
+        |ORDER BY new_id""".stripMargin
+    ) { (s, d) =>
+      val shingleRows = docs(s, d).select(col("doc_id"), col("source"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val h = call_function("md5_prefix64", col("sh"))
+      val sig = shingleRows.select(col("doc_id"), col("source"), h.as("h"))
+        .groupBy("doc_id", "source")
+        .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
+          min((col("h") * 2000029L + 54321L) % 4294967291L).as("k1"),
+          min((col("h") * 3000073L + 98765L) % 4294967291L).as("k2"),
+          min((col("h") * 4000037L + 13579L) % 4294967291L).as("k3"))
+      val bands = sig.select(col("doc_id"), col("source"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "mh")))
+      val newB = bands.filter(col("source") =!= "src0")
+        .select(col("doc_id").as("new_id"), col("band"), col("mh"))
+      val oldCapped = bands.filter(col("source") === "src0")
+        .withColumn("__rk", row_number().over(
+          Window.partitionBy("band", "mh").orderBy("doc_id")))
+        .observe("q116_cap",
+          sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_rows"))
+        .filter(col("__rk") <= 256)
+        .select(col("doc_id").as("old_id"), col("band"), col("mh"))
+      newB.join(oldCapped.hint("shuffle_hash"), Seq("band", "mh"))
+        .groupBy("new_id", "old_id")
+        .agg(count(lit(1)).as("agree"))
+        .filter(col("agree") >= 2)
+        .groupBy("new_id")
+        .agg(min(col("old_id")).as("dup_of"),
+          max(col("agree")).cast("long").as("max_agree"))
+        .orderBy("new_id")
     }
   )
 }

@@ -496,6 +496,52 @@ object PipelineQueries {
         .filter(col("rk") <= 5)
         .select(col("source"), col("doc_id"), col("keyq"))
         .orderBy("source", "doc_id")
+    },
+
+    // Duplicated-n-gram fraction (the RefinedWeb/MassiveText "fraction of
+    // duplicated 5-grams" quality filter): per document, the share of its
+    // DISTINCT 5-gram hashes that occur in >= 2 documents corpus-wide.
+    // Distinct from q97 (intra-doc repetition) and q50 (whole-doc dedup):
+    // this is the cross-doc span-level signal used to drop boilerplate-
+    // heavy pages. Scale shape: one scan -> codegen'd shingle+hash
+    // pipeline (i64 grams BEFORE any exchange, the q54/q109 lesson) ->
+    // per-doc distinct -> df hash-agg (map-side combined) -> gram-keyed
+    // join back (5-gram df is near-flat — no unigram-style Zipf head —
+    // AQE absorbs the residue) -> per-doc partial+final agg. Everything
+    // linear; no driver state.
+    Q(
+      "q115_dup_ngram_fraction",
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id, unnest(list_transform(
+        |    list_transform(range(1, len(ws) - 3),
+        |      i -> array_to_string(ws[i:i+4], ' ')),
+        |    sg -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(sg), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t
+        |  WHERE len(ws) >= 5),
+        |df AS (SELECT g, count(*) AS df FROM sh GROUP BY g)
+        |SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |  CAST(count(*) FILTER (f.df >= 2) AS BIGINT) AS n_dup,
+        |  round(CAST(count(*) FILTER (f.df >= 2) AS DOUBLE) / count(*), 4)
+        |    AS dup_frac
+        |FROM sh s JOIN df f ON s.g = f.g
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin
+    ) { (s, d) =>
+      val grams = docs(s, d).select(col("doc_id"),
+        explode(transform(
+          TextOps.shingles(TextOps.tokens(col("text")), 5),
+          sg => call_function("md5_prefix64", sg))).as("g"))
+        .distinct()
+      val df = grams.groupBy("g").agg(count(lit(1)).as("df"))
+      grams.join(df, Seq("g"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_grams"),
+          sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup"))
+        .select(col("doc_id"), col("n_grams"), col("n_dup"),
+          round(col("n_dup").cast("double") / col("n_grams"), 4)
+            .as("dup_frac"))
+        .orderBy("doc_id")
     }
   )
 }
