@@ -313,11 +313,9 @@ object Relational {
     ) { (s, d) =>
       import graft.functions.Quantiles
       val li = Tables.lineitem(s, d)
-      val qty = Quantiles.groupQuantilesCont(li, "l_returnflag",
-        "l_quantity", Seq(("med_qty", 0.5), ("p90_qty", 0.9)))
-      val price = Quantiles.groupQuantilesCont(li, "l_returnflag",
-        "l_extendedprice", Seq(("q1_price", 0.25)))
-      qty.join(price, Seq("l_returnflag"))
+      Quantiles.groupQuantilesContMulti(li, "l_returnflag", Seq(
+          "l_quantity" -> Seq(("med_qty", 0.5), ("p90_qty", 0.9)),
+          "l_extendedprice" -> Seq(("q1_price", 0.25))))
         .select(col("l_returnflag"),
           round(col("med_qty"), 4).as("med_qty"),
           round(col("p90_qty"), 4).as("p90_qty"),
