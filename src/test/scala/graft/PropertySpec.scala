@@ -150,6 +150,32 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: histogram exact quantiles agree with Spark's buffered percentile") {
+    import graft.functions.Quantiles
+    // heavy ties (0..9 over 60 rows) exercise the histogram combine path;
+    // Spark's percentile is the independent (buffered) implementation of
+    // the same interpolated quantile_cont semantics
+    val rowGen = Gen.listOfN(60,
+      Gen.zip(Gen.oneOf("a", "b", "c"), Gen.chooseNum(0, 9)))
+    forAll(rowGen, n = 3) { rows =>
+      val df = rows.toDF("g", "v")
+      val got = Quantiles
+        .groupQuantilesCont(df, "g", "v",
+          Seq(("p25", 0.25), ("p50", 0.5), ("p90", 0.9)))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val want = df.groupBy("g")
+        .agg(expr("percentile(v, 0.25)").as("p25"),
+          expr("percentile(v, 0.5)").as("p50"),
+          expr("percentile(v, 0.9)").as("p90"))
+        .collect()
+        .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      assert(got == want, s"rows=$rows")
+    }
+  }
+
   test("law: connectedComponents agrees with union-find on random graphs") {
     import graft.functions.GraphOps
     val edgeGen = Gen.listOfN(25,
