@@ -542,6 +542,79 @@ object PipelineQueries {
           round(col("n_dup").cast("double") / col("n_grams"), 4)
             .as("dup_frac"))
         .orderBy("doc_id")
+    },
+
+    // Token-budget corpus selection (the data-mixing step: keep the
+    // best-quality docs until a global token budget is met — here 40% of
+    // corpus tokens, quality = distinct-word ratio). The 100 TB shape is
+    // the HISTOGRAM-THRESHOLD pattern, not a global sort: quality is
+    // quantized to 1000 buckets, the budget cutoff is found on the
+    // <=1001-row (bucket, tokens) histogram (the only globally-ordered
+    // window runs over that bounded histogram, never over docs), whole
+    // buckets above the cutoff are kept by a hash join, and only the ONE
+    // boundary bucket is filled doc-by-doc (deterministic doc_id order) —
+    // a window over ~1/1000 of the corpus. All arithmetic is integer or
+    // exactly-rounded IEEE (sum*0.4, floor), so both engines select the
+    // same set.
+    Q(
+      "q117_budget_select",
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' ')) AS toks,
+        |    CAST(floor(len(list_distinct(string_split(text, ' '))) * 1000.0
+        |         / len(string_split(text, ' '))) AS BIGINT) AS qb
+        |  FROM documents),
+        |tot AS (SELECT CAST(floor(sum(toks) * 0.4) AS BIGINT) AS budget FROM d),
+        |hist AS (SELECT qb, sum(toks) AS btoks FROM d GROUP BY qb),
+        |cum AS (
+        |  SELECT qb, btoks, sum(btoks) OVER (ORDER BY qb DESC) AS cum_toks
+        |  FROM hist),
+        |full_b AS (SELECT qb FROM cum, tot WHERE cum_toks <= budget),
+        |bound AS (SELECT qb, cum_toks - btoks AS used FROM cum, tot
+        |          WHERE cum_toks > budget AND cum_toks - btoks <= budget),
+        |bfill AS (
+        |  SELECT d.doc_id, d.toks, d.qb,
+        |    sum(d.toks) OVER (ORDER BY d.doc_id) + b.used AS r
+        |  FROM d JOIN bound b USING (qb)),
+        |sel AS (
+        |  SELECT doc_id, toks, qb FROM d WHERE qb IN (SELECT qb FROM full_b)
+        |  UNION ALL
+        |  SELECT doc_id, toks, qb FROM bfill, tot WHERE r <= budget)
+        |SELECT doc_id, CAST(toks AS BIGINT) AS toks, qb
+        |FROM sel ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import graft.functions.ArrayOps
+      val base = docs(s, d).select(col("doc_id"),
+        ArrayOps.bindOnce(TextOps.tokens(col("text"))) { ws =>
+          struct(size(ws).cast("long").as("toks"),
+            floor(size(array_distinct(ws)) * lit(1000.0) / size(ws))
+              .cast("long").as("qb"))
+        }.as("m"))
+        .select(col("doc_id"), col("m.toks").as("toks"), col("m.qb").as("qb"))
+      val tot = base.agg(
+        floor(sum(col("toks")).cast("double") * lit(0.4)).cast("long")
+          .as("budget"))
+      val hist = base.groupBy("qb").agg(sum(col("toks")).as("btoks"))
+      // global window over the <=1001-row histogram only (bounded by the
+      // quantization, not the corpus)
+      val cum = hist.withColumn("cum_toks",
+        sum(col("btoks")).over(Window.orderBy(col("qb").desc)))
+        .crossJoin(broadcast(tot))
+      val fullB = cum.filter(col("cum_toks") <= col("budget")).select("qb")
+      val bound = cum
+        .filter(col("cum_toks") > col("budget") &&
+          col("cum_toks") - col("btoks") <= col("budget"))
+        .select(col("qb"), (col("cum_toks") - col("btoks")).as("used"),
+          col("budget"))
+      val kept = base.join(fullB, Seq("qb"), "left_semi")
+      // boundary bucket: ~corpus/1000 docs; the only per-doc ordered fill
+      val bfill = base.join(broadcast(bound), Seq("qb"))
+        .withColumn("r",
+          sum(col("toks")).over(Window.orderBy(col("doc_id"))) + col("used"))
+        .filter(col("r") <= col("budget"))
+      kept.select("doc_id", "toks", "qb")
+        .unionByName(bfill.select("doc_id", "toks", "qb"))
+        .orderBy("doc_id")
     }
   )
 }
