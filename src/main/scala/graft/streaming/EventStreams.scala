@@ -158,4 +158,71 @@ object EventStreams {
           }
           out.iterator
       }
+
+  final case class BandHit(doc_id: Long, band: Int, old_id: Long)
+  final case class IncDecision(doc_id: Long, dup_of: Long, agree: Long)
+
+  /** The 4 MinHash band keys of a text column as ONE per-row expression —
+    * an array fold (`array_min` over arithmetic permutations of the
+    * hashed shingle set), no explode/groupBy: the stream shape of batch
+    * q51/q116's signature (those explode for map-side combine; a stream
+    * doc is a single row, so the per-row fold is exact and shuffle-free).
+    * Returns array(mh0, mh1, mh2, mh3); null when the doc has no
+    * shingles. */
+  def minhashBands(text: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column = {
+    import graft.functions.{ArrayOps, TextOps}
+    val perms = Seq((1000003L, 12345L), (2000029L, 54321L),
+      (3000073L, 98765L), (4000037L, 13579L))
+    ArrayOps.bindOnce(array_distinct(transform(
+      TextOps.shingles(TextOps.tokens(text), 3),
+      sg => call_function("md5_prefix64", sg)))) { hs =>
+      when(size(hs) > 0, array(perms.map { case (a, b) =>
+        array_min(transform(hs, h => (h * a + b) % 4294967291L))
+      }: _*))
+    }
+  }
+
+  /** Streaming incremental corpus dedup — the stream twin of batch q116:
+    * NEW documents arrive as a stream and are flagged when their MinHash
+    * signature agrees with some document of the STATIC existing corpus on
+    * >= 2 of 4 bands. Per-row signature (no stream-side shuffle) →
+    * posexplode to (band, mh) → stream-STATIC equi-join against the old
+    * corpus's band table (state-free: the static side is just a batch
+    * relation, re-read per micro-batch and prunable/bucketable at 100 TB)
+    * → per-doc decision. All 4 band rows of a doc land in the SAME
+    * micro-batch (they explode from one input row), so the decision
+    * groupBy needs no cross-batch state: flatMapGroupsWithState keeps
+    * nothing (state type Unit-like, never updated) and emits
+    * (doc_id, min agreeing old_id, max agree) exactly like q116.
+    *
+    * `oldBands`: (band Int, mh Long, old_id Long) — precompute batch-side
+    * from the existing corpus with [[minhashBands]] + posexplode. */
+  def incrementalDedupStream(newDocs: DataFrame, oldBands: DataFrame)(
+      implicit e1: org.apache.spark.sql.Encoder[BandHit],
+      e2: org.apache.spark.sql.Encoder[IncDecision],
+      e3: org.apache.spark.sql.Encoder[Long],
+      e4: org.apache.spark.sql.Encoder[Boolean]): Dataset[IncDecision] = {
+    val bands = newDocs
+      .select(col("doc_id"), posexplode(minhashBands(col("text")))
+        .as(Seq("band", "mh")))
+    val hits = bands
+      .join(oldBands, Seq("band", "mh"))
+      .select(col("doc_id"), col("band"), col("old_id"))
+      .as[BandHit](e1)
+    hits.groupByKey(_.doc_id)(e3)
+      .flatMapGroupsWithState[Boolean, IncDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, it: Iterator[BandHit], state: GroupState[Boolean]) =>
+          val byOld = it.toSeq.groupBy(_.old_id)
+            .view.mapValues(_.map(_.band).distinct.size).toMap
+          val agreeing = byOld.filter(_._2 >= 2)
+          if (agreeing.isEmpty) Iterator.empty
+          else {
+            val maxAgree = agreeing.values.max.toLong
+            Iterator.single(
+              IncDecision(id, agreeing.keys.min, maxAgree))
+          }
+      }(e4, e2)
+  }
 }

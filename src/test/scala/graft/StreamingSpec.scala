@@ -232,6 +232,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._1 > 0), "no contaminated doc in fixture")
   }
 
+  test("streaming incremental dedup EQUALS batch q116 on the same corpus split") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf).select("doc_id", "source", "text")
+    // static side: existing corpus (src0) band table, batch-precomputed
+    val oldBands = docs.filter(col("source") === "src0")
+      .select(col("doc_id").as("old_id"),
+        posexplode(EventStreams.minhashBands(col("text")))
+          .as(Seq("band", "mh")))
+      .select("band", "mh", "old_id")
+    // expected: the batch q116 gate query itself
+    val expected = SparkEntry.queries("q116_incremental_dedup")(spark, sf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val q = EventStreams.incrementalDedupStream(streamDocs, oldBands)
+      .writeStream.format("memory").queryName("incdedup").start()
+    val streamed =
+      try {
+        val rows = docs.filter(col("source") =!= "src0")
+          .collect().map(r => (r.getLong(0), r.getString(2))).toSeq
+        val (b1, b2) = rows.splitAt(rows.size / 2)
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        spark.table("incdedup").collect()
+          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      } finally q.stop()
+    assert(streamed == expected,
+      s"stream=$streamed expected=$expected")
+    assert(expected.nonEmpty, "no flagged doc in fixture — gate is vacuous")
+  }
+
   test("sessionize: keyed state splits sessions on gap") {
     implicit val sqlCtx = spark.sqlContext
     import EventStreams._
