@@ -73,6 +73,9 @@ object GraftExtensions {
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       (children: Seq[Expression]) =>
         DotProduct(children(0), children(1)): Expression),
+    (new FunctionIdentifier("quantize_stats"),
+      new ExpressionInfo(classOf[QuantizeStats].getName, "quantize_stats"),
+      (children: Seq[Expression]) => QuantizeStats(children.head): Expression),
     (new FunctionIdentifier("min_md5_hex"),
       new ExpressionInfo(classOf[MinMd5Hex].getName, "min_md5_hex"),
       (children: Seq[Expression]) => MinMd5Hex(children.head): Expression),

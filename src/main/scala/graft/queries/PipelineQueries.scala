@@ -333,24 +333,23 @@ object PipelineQueries {
         |    AS max_err
         |FROM quant ORDER BY vec_id""".stripMargin
     ) { (s, d) =>
-      import graft.functions.ArrayOps.bindOnce
-      val e = col("embedding")
-      // library op: TextOps.quantizeInt8 (sc > 0 guarded inside — a
-      // constant embedding yields null qs, never a round(NaN) ANSI throw)
-      val z = bindOnce(TextOps.quantizeInt8(e)) { q =>
-        val (mn, sc) = (q.getField("mn"), q.getField("sc"))
-        bindOnce(q.getField("qs")) { qs =>
-          struct(sc.as("sc"),
-            aggregate(qs, lit(0L), (a, x) => a + x).as("q_sum"),
-            (round(array_max(zip_with(qs, e, (x, v) =>
-              abs(mn + x * sc - v.cast("double")))), 6) + lit(0.0))
-              .as("max_err"))
-        }
-      }
-      emb(s, d).select(col("vec_id"), z.as("z"))
-        .filter(col("z.sc") > 0)
-        .select(col("vec_id"), col("z.q_sum").as("q_sum"),
-          col("z.max_err").as("max_err"))
+      // Native fused kernel (plans/QuantizeStats): the composed
+      // TextOps.quantizeInt8 + aggregate/zip_with form walks five
+      // interpreted lambdas per row AND re-evaluates once per referenced
+      // output field (bindOnce's barrier is opaque to
+      // SimplifyExtractValueOps, so CollapseProject duplicates the whole
+      // pipeline into the filter and each projected field — measured 3x
+      // = 35 s at the 100x replica vs 12 s single-eval). The kernel is
+      // one primitive loop returning [sc, q_sum, max_err] scalars, so
+      // the triple reference costs three cheap loops instead. The
+      // general quantizeInt8 op (mn/sc/qs array) remains the library
+      // surface; the oracle SQL is unchanged (same math, same rounding).
+      val st = call_function("quantize_stats", col("embedding"))
+      emb(s, d).select(col("vec_id"), st.as("st"))
+        .filter(col("st").getItem(0) > 0)
+        .select(col("vec_id"),
+          col("st").getItem(1).cast("long").as("q_sum"),
+          (round(col("st").getItem(2), 6) + lit(0.0)).as("max_err"))
         .orderBy("vec_id")
     },
 

@@ -150,4 +150,42 @@ class TextOpsSpec extends SparkSpec {
     // ab, 12, cd, -, ef
     assert(eval1(df, TextOps.bpeishCount(col("t"))) == Seq(5L))
   }
+
+  test("quantize_stats kernel EQUALS the composed quantizeInt8 form") {
+    import graft.functions.ArrayOps.bindOnce
+    graft.plans.GraftExtensions.install(spark)
+    // real fixture vectors + adversarial shapes (ties at min/max, tiny sc)
+    val fixture = Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .select(col("vec_id").as("row_id"), col("embedding").as("a"))
+    val edge = Seq(
+      (1000L, Seq(1.0f, 1.0f, 1.0f)),            // sc = 0: filtered by both
+      (1001L, Seq(0.0f, 1e-7f, 2e-7f)),          // tiny scale
+      (1002L, Seq(-5.5f, 2.25f, 9.75f, -5.5f))) // ties at min
+      .toDF("row_id", "a")
+    for (df <- Seq(fixture, edge)) {
+      val hof = bindOnce(graft.functions.TextOps.quantizeInt8(col("a"))) { q =>
+        val (mn, sc) = (q.getField("mn"), q.getField("sc"))
+        bindOnce(q.getField("qs")) { qs =>
+          struct(sc.as("sc"),
+            aggregate(qs, lit(0L), (acc, x) => acc + x).as("q_sum"),
+            array_max(zip_with(qs, col("a"), (x, v) =>
+              abs(mn + x * sc - v.cast("double")))).as("max_err"))
+        }
+      }
+      val both = df.select(col("row_id"), hof.as("h"),
+          call_function("quantize_stats", col("a")).as("st"))
+        .filter(col("h.sc") > 0)
+        .select(col("row_id"),
+          col("h.sc"), col("st").getItem(0),
+          col("h.q_sum").cast("double"), col("st").getItem(1),
+          col("h.max_err"), col("st").getItem(2))
+        .collect()
+      assert(both.nonEmpty)
+      both.foreach { r =>
+        assert(r.getDouble(1) == r.getDouble(2), s"sc mismatch: $r")
+        assert(r.getDouble(3) == r.getDouble(4), s"q_sum mismatch: $r")
+        assert(r.getDouble(5) == r.getDouble(6), s"max_err mismatch: $r")
+      }
+    }
+  }
 }
