@@ -614,6 +614,127 @@ object PipelineQueries {
       kept.select("doc_id", "toks", "qb")
         .unionByName(bfill.select("doc_id", "toks", "qb"))
         .orderBy("doc_id")
+    },
+
+    // Full k-means LOOP (2 Lloyd iterations; q100 is the single assignment
+    // step) made cross-engine DETERMINISTIC by integer quantization:
+    // embeddings quantize to round(x * 1e4) BIGINT once, so per-dimension
+    // centroid sums are EXACT integers — order-free under any shuffle /
+    // partial-agg order — and every derived double (centroid value,
+    // dot-identity distance) is the same exactly-rounded IEEE expression
+    // in both engines. A naive double `avg` between rounds would differ
+    // in the last ulps per engine/partitioning and flip assignments.
+    // Scale shape per round: broadcast 8-row centroid table, per-row
+    // codegen'd dot_product distances, q100's two-hash-agg argmin (no
+    // SortAggregate), posexplode -> (sid, dim) integer partial+final agg,
+    // 64-element bounded collect per centroid; centroid tables take an
+    // eager localCheckpoint so round N+1's plan does not re-run round N.
+    Q(
+      "q118_kmeans_iterate",
+      """WITH ei AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS sid, v AS cnum, CAST(1 AS BIGINT) AS cden
+        |       FROM ei WHERE vec_id < 8),
+        |a1 AS (
+        |  SELECT vec_id, sid FROM (
+        |    SELECT e.vec_id, c.sid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i ->
+        |          (CAST(e.v[i] AS DOUBLE) / 10000.0) * (CAST(e.v[i] AS DOUBLE) / 10000.0)))
+        |        - 2 * list_sum(list_transform(range(1, 65), i ->
+        |          (CAST(e.v[i] AS DOUBLE) / 10000.0) *
+        |          (CAST(c.cnum[i] AS DOUBLE) / CAST(c.cden AS DOUBLE) / 10000.0)))
+        |        + list_sum(list_transform(range(1, 65), i ->
+        |          (CAST(c.cnum[i] AS DOUBLE) / CAST(c.cden AS DOUBLE) / 10000.0) *
+        |          (CAST(c.cnum[i] AS DOUBLE) / CAST(c.cden AS DOUBLE) / 10000.0))), c.sid) AS rn
+        |    FROM ei e CROSS JOIN c0 c) d WHERE rn = 1),
+        |c1 AS (
+        |  SELECT sid, list(s ORDER BY dim) AS cnum, max(n) AS cden FROM (
+        |    SELECT a.sid, u.i AS dim, sum(e.v[u.i]) AS s, count(*) AS n
+        |    FROM a1 a JOIN ei e USING (vec_id), range(1, 65) u(i)
+        |    GROUP BY a.sid, u.i) t
+        |  GROUP BY sid),
+        |a2 AS (
+        |  SELECT vec_id, sid FROM (
+        |    SELECT e.vec_id, c.sid,
+        |      row_number() OVER (PARTITION BY e.vec_id ORDER BY
+        |        list_sum(list_transform(range(1, 65), i ->
+        |          (CAST(e.v[i] AS DOUBLE) / 10000.0) * (CAST(e.v[i] AS DOUBLE) / 10000.0)))
+        |        - 2 * list_sum(list_transform(range(1, 65), i ->
+        |          (CAST(e.v[i] AS DOUBLE) / 10000.0) *
+        |          (CAST(c.cnum[i] AS DOUBLE) / CAST(c.cden AS DOUBLE) / 10000.0)))
+        |        + list_sum(list_transform(range(1, 65), i ->
+        |          (CAST(c.cnum[i] AS DOUBLE) / CAST(c.cden AS DOUBLE) / 10000.0) *
+        |          (CAST(c.cnum[i] AS DOUBLE) / CAST(c.cden AS DOUBLE) / 10000.0))), c.sid) AS rn
+        |    FROM ei e CROSS JOIN c1 c) d WHERE rn = 1),
+        |c2 AS (
+        |  SELECT sid, list(s ORDER BY dim) AS cnum, max(n) AS cden FROM (
+        |    SELECT a.sid, u.i AS dim, sum(e.v[u.i]) AS s, count(*) AS n
+        |    FROM a2 a JOIN ei e USING (vec_id), range(1, 65) u(i)
+        |    GROUP BY a.sid, u.i) t
+        |  GROUP BY sid)
+        |SELECT sid AS cluster, CAST(cden AS BIGINT) AS n,
+        |  round(CAST(cnum[1] AS DOUBLE) / cden / 10000.0, 4) + 0 AS c0,
+        |  round(CAST(cnum[2] AS DOUBLE) / cden / 10000.0, 4) + 0 AS c1,
+        |  round(CAST(cnum[3] AS DOUBLE) / cden / 10000.0, 4) + 0 AS c2,
+        |  round(CAST(cnum[4] AS DOUBLE) / cden / 10000.0, 4) + 0 AS c3
+        |FROM c2 ORDER BY cluster""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val tenK = lit(10000.0)
+      def vd(c: org.apache.spark.sql.Column) =
+        transform(c, x => x.cast("double") / tenK)
+      // |v'|² is hoisted to a per-row column and |c'|² to a per-centroid
+      // column: the values are identical to the per-pair form (same
+      // deterministic expressions), they just evaluate n + 8 times
+      // instead of 8n (measured ~2x on the assign stages at 100x)
+      val ei = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("v"))
+        .withColumn("vv",
+          call_function("dot_product", vd(col("v")), vd(col("v"))))
+        .localCheckpoint(true)
+      def assign(cdf: DataFrame): DataFrame = {
+        val cPrime = transform(col("cnum"),
+          x => x.cast("double") / col("cden").cast("double") / tenK)
+        val withC = cdf.withColumn("cp", cPrime)
+          .withColumn("cc",
+            call_function("dot_product", col("cp"), col("cp")))
+        val vc = call_function("dot_product", vd(col("v")), col("cp"))
+        val pairs = ei.crossJoin(broadcast(withC))
+          .select(col("vec_id"), col("sid"),
+            (col("vv") - lit(2.0) * vc + col("cc")).as("dist"))
+        val best = pairs.groupBy("vec_id").agg(min(col("dist")).as("md"))
+        pairs.join(best, "vec_id")
+          .filter(col("dist") === col("md"))
+          .groupBy("vec_id").agg(min(col("sid")).as("sid"))
+      }
+      def rebuild(adf: DataFrame): DataFrame = {
+        val dims = adf.join(ei, "vec_id")
+          .select(col("sid"), posexplode(col("v")).as(Seq("dim", "x")))
+          .groupBy("sid", "dim")
+          .agg(sum(col("x")).as("s"), count(lit(1)).as("n"))
+        dims.groupBy("sid")
+          .agg(sort_array(collect_list(struct(col("dim"), col("s"))))
+            .as("ds"), max(col("n")).as("cden"))
+          .select(col("sid"),
+            transform(col("ds"), r => r.getField("s")).as("cnum"),
+            col("cden"))
+          .localCheckpoint(true)
+      }
+      val c0Df = ei.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("sid"), col("v").as("cnum"),
+          lit(1L).as("cden"))
+      val c1Df = rebuild(assign(c0Df))
+      val c2Df = rebuild(assign(c1Df))
+      def cd(i: Int) = (round(col("cnum").getItem(i).cast("double") /
+        col("cden").cast("double") / tenK, 4) + lit(0.0)).as(s"c$i")
+      c2Df.select(col("sid").as("cluster"),
+          col("cden").cast("long").as("n"), cd(0), cd(1), cd(2), cd(3))
+        .orderBy("cluster")
     }
   )
 }
