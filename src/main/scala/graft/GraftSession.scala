@@ -19,12 +19,20 @@ object GraftSession {
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.ui.enabled", "false")
 
+  // ExecutionListenerManager does not dedup: guard against stacking the
+  // metrics logger when local() is called twice on a reused session
+  // (every [observed] line would then print once per registration)
+  private val observedRegistered =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
     val s = builder(s"local[$cores]", cores).getOrCreate()
     // getOrCreate may have returned a pre-existing session built without
     // our extensions — make the native functions available regardless
     graft.plans.GraftExtensions.install(s)
-    s.listenerManager.register(ObservedMetricsLogger)
+    if (observedRegistered.add(s)) s.listenerManager.register(ObservedMetricsLogger)
     s
   }
 

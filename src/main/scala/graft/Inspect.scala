@@ -42,40 +42,43 @@ object Inspect {
     * like the reference's dry run — spotting queries that could run
     * against a lengths-only projection of the data. */
   def necessaryBuffers(df: DataFrame): Map[String, Map[String, String]] = {
-    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, Size}
+    import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, ExprId, Size}
     import org.apache.spark.sql.catalyst.plans.logical.Project
     val lp = df.queryExecution.optimizedPlan
-    // occurrences of `name` in e: true = directly under Size (offsets-only)
-    def refs(e: Expression, name: String): Seq[Boolean] = e match {
+    // occurrences of the attribute in e, matched by exprId (name-only
+    // matching conflated identically-named columns from different
+    // relations — e.g. both sides of a self-join — r6 review finding):
+    // true = directly under Size (offsets-only)
+    def refs(e: Expression, id: ExprId): Seq[Boolean] = e match {
       case s: Size => s.child match {
-        case a: AttributeReference if a.name == name => Seq(true)
-        case c => refs(c, name)
+        case a: AttributeReference if a.exprId == id => Seq(true)
+        case c => refs(c, id)
       }
-      case a: AttributeReference if a.name == name => Seq(false)
-      case _ => e.children.flatMap(refs(_, name))
+      case a: AttributeReference if a.exprId == id => Seq(false)
+      case _ => e.children.flatMap(refs(_, id))
     }
     // a bare attribute in a projection list is pass-through plumbing
     // (pruning Projects re-emit the column for a consumer above), not a
     // data touch; a bare attribute in the PLAN OUTPUT is a real
     // materialization and counts as data
-    def nodeRefs(name: String): Seq[Boolean] = lp.collect {
+    def nodeRefs(id: ExprId): Seq[Boolean] = lp.collect {
       case p: Project => p.projectList.flatMap {
-        case a: Alias => refs(a.child, name)
+        case a: Alias => refs(a.child, id)
         case _: AttributeReference => Nil
-        case e => refs(e, name)
+        case e => refs(e, id)
       }
       // leaf nodes (relations) list their own output attributes as
       // expressions — declarations, not touches
       case _: org.apache.spark.sql.catalyst.plans.logical.LeafNode => Nil
-      case n => n.expressions.flatMap(refs(_, name))
-    }.flatten ++ lp.output.filter(_.name == name).map(_ => false)
+      case n => n.expressions.flatMap(refs(_, id))
+    }.flatten ++ lp.output.filter(_.exprId == id).map(_ => false)
     scans(df).map { s =>
       s.relation.location.rootPaths.mkString(",") ->
-        s.requiredSchema.fields.map { f =>
-          val occ = nodeRefs(f.name)
+        s.output.collect { case a: AttributeReference =>
+          val occ = nodeRefs(a.exprId)
           val isArray =
-            f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
-          f.name -> (if (isArray && occ.nonEmpty && occ.forall(identity))
+            a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+          a.name -> (if (isArray && occ.nonEmpty && occ.forall(identity))
             "offsets" else "data")
         }.toMap
     }.toMap

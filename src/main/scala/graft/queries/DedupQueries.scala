@@ -307,11 +307,22 @@ object DedupQueries {
       val bands = sig.select(rec.as("rec"),
         posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
           .as(Seq("band", "key")))
-      val capped = bands.groupBy("band", "key")
+      // cap BEFORE the gather (row_number window, deterministic by the
+      // rec struct whose first field is doc_id): collect_list's per-group
+      // buffer is then bounded at 256 structs — the earlier
+      // collect-then-slice form still buffered the WHOLE mega-cluster in
+      // one final-agg task, the exact state blowup the cap exists to
+      // prevent (r6 review finding; siblings rpPairs/q59/q116 already
+      // capped pre-gather)
+      val rk52 = row_number().over(
+        Window.partitionBy("band", "key").orderBy("rec"))
+      val capped = bands
+        .withColumn("__rk", rk52)
+        .observe("q52_cap",
+          sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_docs"))
+        .filter(col("__rk") <= 256)
+        .groupBy("band", "key")
         .agg(sort_array(collect_list(col("rec"))).as("recs"))
-        .withColumn("__over", greatest(size(col("recs")) - 256, lit(0)))
-        .observe("q52_cap", sum(col("__over")).as("dropped_docs"))
-        .withColumn("recs", slice(col("recs"), 1, 256))
       val agree = (col("a.k0") === col("b.k0")).cast("int") +
         (col("a.k1") === col("b.k1")).cast("int") +
         (col("a.k2") === col("b.k2")).cast("int") +

@@ -583,6 +583,10 @@ object PipelineQueries {
     ) { (s, d) =>
       import org.apache.spark.sql.expressions.Window
       import graft.functions.ArrayOps
+      // eager localCheckpoint: four consumers (total, histogram, kept
+      // buckets, boundary fill) otherwise each re-run the tokenize-heavy
+      // scan — the dominant cost — once apiece; the checkpointed frame is
+      // three narrow columns
       val base = docs(s, d).select(col("doc_id"),
         ArrayOps.bindOnce(TextOps.tokens(col("text"))) { ws =>
           struct(size(ws).cast("long").as("toks"),
@@ -590,6 +594,7 @@ object PipelineQueries {
               .cast("long").as("qb"))
         }.as("m"))
         .select(col("doc_id"), col("m.toks").as("toks"), col("m.qb").as("qb"))
+        .localCheckpoint(true)
       val tot = base.agg(
         floor(sum(col("toks")).cast("double") * lit(0.4)).cast("long")
           .as("budget"))

@@ -214,14 +214,22 @@ object EventStreams {
       .flatMapGroupsWithState[Boolean, IncDecision](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (id: Long, it: Iterator[BandHit], state: GroupState[Boolean]) =>
-          val byOld = it.toSeq.groupBy(_.old_id)
-            .view.mapValues(_.map(_.band).distinct.size).toMap
-          val agreeing = byOld.filter(_._2 >= 2)
-          if (agreeing.isEmpty) Iterator.empty
+          // redelivery guard: an at-least-once source can replay a doc in
+          // a later micro-batch; the first decision wins and replays are
+          // swallowed instead of emitting contradictory rows. State is
+          // one boolean per FLAGGED doc (bounded by the flagged mass).
+          if (state.exists) Iterator.empty
           else {
-            val maxAgree = agreeing.values.max.toLong
-            Iterator.single(
-              IncDecision(id, agreeing.keys.min, maxAgree))
+            val byOld = it.toSeq.groupBy(_.old_id)
+              .view.mapValues(_.map(_.band).distinct.size).toMap
+            val agreeing = byOld.filter(_._2 >= 2)
+            if (agreeing.isEmpty) Iterator.empty
+            else {
+              state.update(true)
+              val maxAgree = agreeing.values.max.toLong
+              Iterator.single(
+                IncDecision(id, agreeing.keys.min, maxAgree))
+            }
           }
       }(e4, e2)
   }
