@@ -150,6 +150,39 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("law: quantize_stats kernel equals the composed HOF form on random vectors") {
+    import graft.functions.ArrayOps.bindOnce
+    graft.plans.GraftExtensions.install(spark)
+    // random float vectors, including near-boundary scales — exercises the
+    // kernel's primitive-floor fast path AND its BigDecimal fallback
+    val vecGen = Gen.chooseNum(2, 16).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-1000, 1000).map(_ / 128.0f)))
+    forAll(Gen.listOfN(24, vecGen), n = 3) { vecs =>
+      val df = vecs.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+        .toDF("row_id", "a")
+      val hof = bindOnce(graft.functions.TextOps.quantizeInt8(col("a"))) { q =>
+        val (mn, sc) = (q.getField("mn"), q.getField("sc"))
+        bindOnce(q.getField("qs")) { qs =>
+          struct(sc.as("sc"),
+            aggregate(qs, lit(0L), (acc, x) => acc + x).as("q_sum"),
+            array_max(zip_with(qs, col("a"), (x, v) =>
+              abs(mn + x * sc - v.cast("double")))).as("max_err"))
+        }
+      }
+      val rows = df.select(col("row_id"), hof.as("h"),
+          call_function("quantize_stats", col("a")).as("st"))
+        .filter(col("h.sc") > 0)
+        .collect()
+      rows.foreach { r =>
+        val h = r.getStruct(1)
+        val st = r.getSeq[Double](2)
+        assert(h.getDouble(0) == st(0), s"sc: $r")
+        assert(h.getLong(1).toDouble == st(1), s"q_sum: $r")
+        assert(h.getDouble(2) == st(2), s"max_err: $r")
+      }
+    }
+  }
+
   test("law: histogram exact quantiles agree with Spark's buffered percentile") {
     import graft.functions.Quantiles
     // heavy ties (0..9 over 60 rows) exercise the histogram combine path;
