@@ -47,6 +47,9 @@ def main():
     os.makedirs(dst, exist_ok=True)
     con = duckdb.connect()
     con.sql("SET threads TO 32")
+    # a factor-N build is one N-way UNION ALL; DuckDB's default expression
+    # depth caps at 1000, which a 1000x build exceeds
+    con.sql("SET max_expression_depth TO 100000")
 
     def replicate(table, sql_tpl):
         parts = " UNION ALL ".join(sql_tpl.format(i=i) for i in range(n))
