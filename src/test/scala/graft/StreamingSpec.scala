@@ -258,8 +258,14 @@ class StreamingSpec extends SparkSpec {
         val (b1, b2) = rows.splitAt(rows.size / 2)
         mem.addData(b1); q.processAllAvailable()
         mem.addData(b2); q.processAllAvailable()
-        spark.table("incdedup").collect()
-          .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+        // at-least-once redelivery: replaying a whole batch must not emit
+        // duplicate or contradictory decision rows (keyed-state guard);
+        // assert BEFORE toMap — toMap would silently collapse duplicates
+        mem.addData(b2); q.processAllAvailable()
+        val out = spark.table("incdedup").collect()
+        assert(out.length == out.map(_.getLong(0)).distinct.length,
+          "redelivered batch emitted duplicate decisions")
+        out.map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       } finally q.stop()
     assert(streamed == expected,
       s"stream=$streamed expected=$expected")
