@@ -849,6 +849,58 @@ object DedupQueries {
         .orderBy("bucket")
     },
 
+    // Asymmetric CONTAINMENT scoring on the bounded candidate frame
+    // (consecutive pairs, the q54 stand-in for LSH candidates): a short
+    // doc quoted inside a long one scores |A∩B|/|A| ≈ 1 while symmetric
+    // Jaccard stays small — the signal quote/boilerplate dedup needs.
+    // Same pair-reduce shape as q54 (one scan, one shingle computation,
+    // one shuffle, two-row group state); the intersection size appears in
+    // three output expressions — three evaluations of a ~60-element
+    // array_intersect, a bounded constant, not the q104 struct trap.
+    Q(
+      "q119_containment",
+      """WITH hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+2], ' ')),
+        |    s -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) i)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  CAST(len(a.sh) AS BIGINT) AS n_a, CAST(len(b.sh) AS BIGINT) AS n_b,
+        |  CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(a.sh), 4)
+        |    AS cont_a,
+        |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(b.sh), 4)
+        |    AS cont_b
+        |FROM hs a JOIN hs b ON b.doc_id = a.doc_id + 1
+        |WHERE len(a.sh) > 0 AND len(b.sh) > 0
+        |ORDER BY id_a""".stripMargin
+    ) { (s, d) =>
+      val sh = array_distinct(transform(
+        TextOps.shingles(TextOps.tokens(col("text")), 3),
+        sg => call_function("md5_prefix64", sg)))
+      val withSh = docs(s, d).select(col("doc_id"), sh.as("sh"))
+      val sides = withSh.select(explode(array(
+        struct(col("doc_id").as("pair"), lit(0).as("role"), col("sh")),
+        struct((col("doc_id") - 1).as("pair"), lit(1).as("role"), col("sh"))
+      )).as("e")).select(col("e.pair"), col("e.role"), col("e.sh"))
+      val sa = col("rs").getItem(0).getField("sh")
+      val sb = col("rs").getItem(1).getField("sh")
+      val common = size(array_intersect(sa, sb))
+      sides.groupBy("pair")
+        .agg(sort_array(collect_list(struct(col("role"), col("sh")))).as("rs"))
+        .filter(size(col("rs")) === 2 &&
+          size(sa) > 0 && size(sb) > 0)
+        .select(col("pair").as("id_a"), (col("pair") + 1).as("id_b"),
+          size(sa).cast("long").as("n_a"), size(sb).cast("long").as("n_b"),
+          common.cast("long").as("n_common"),
+          round(common.cast("double") / size(sa), 4).as("cont_a"),
+          round(common.cast("double") / size(sb), 4).as("cont_b"))
+        .orderBy("id_a")
+    },
+
     // Incremental (corpus-vs-corpus) near-dup scan: flag each NEW doc
     // (source <> 'src0') whose MinHash signature agrees with some OLD doc
     // (source = 'src0') on >= 2 of 4 permutations — the "dedup the fresh
