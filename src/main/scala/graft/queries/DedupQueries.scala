@@ -980,6 +980,128 @@ object DedupQueries {
         .agg(min(col("old_id")).as("dup_of"),
           max(col("agree")).cast("long").as("max_agree"))
         .orderBy("new_id")
+    },
+
+    // SemDeDup (Abbas et al. 2023): cluster-scoped semantic near-dup
+    // pairs — k-means-assign every embedding to its nearest seed centroid,
+    // then search for high-cosine pairs ONLY within a cluster. The cluster
+    // scope is what makes semantic dedup tractable at corpus scale: the
+    // pair search is O(Σ cluster²) instead of O(n²), and K grows with the
+    // corpus (adaptive-width doctrine: K = 2^clamp(3, 10,
+    // bitlen(n-1) - 6), mirrored integer-exactly in SQL via
+    // length(bin(count(*) - 1)) — 8 at sf0.001/0.01 so gate outputs match
+    // the fixed-K form, 32 at sf0.1, 1024 from ~64k vectors), keeping
+    // expected cluster occupancy — and so candidate mass per cluster —
+    // bounded as n grows. Membership additionally caps at 256 per cluster
+    // (lowest vec_ids, observed metric), and the cap IS modeled in the
+    // oracle, so the gate checks the capped semantics.
+    //
+    // Cross-engine exactness: vectors quantize to round(x*1e4) BIGINT once
+    // (q118's doctrine). Assignment distance is the dot identity on
+    // v' = v/1e4 doubles (every op exactly rounded, identical in both
+    // engines); pair similarity is cosine over the INTEGER vectors — the
+    // dot_product kernel on integer-valued doubles is exact (|Σ| < 2^53),
+    // so dot/(√aa·√bb) is the same exactly-rounded IEEE sequence as the
+    // oracle's HUGEINT-cast form. Assignment argmin is q100's two scalar
+    // hash aggregations (min dist, then min sid at that dist — never
+    // min_by/min(struct), which buffer structs and force SortAggregate).
+    // The self-join keeps ONE capped subtree aliased twice (exchange
+    // reuse) and streams the wide vectors through a codegen'd
+    // shuffle-hash join (bucket-collect is for narrow payloads only).
+    Q(
+      "q121_semdedup",
+      """WITH p AS (SELECT (CAST(1 AS BIGINT) <<
+        |    CAST(GREATEST(3, LEAST(10, length(bin(count(*) - 1)) - 6))
+        |      AS INTEGER)) AS k FROM embeddings),
+        |ei AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |ei2 AS (SELECT vec_id, v,
+        |    list_sum(list_transform(v, x ->
+        |      (CAST(x AS DOUBLE) / 10000.0) * (CAST(x AS DOUBLE) / 10000.0)))
+        |      AS vv
+        |  FROM ei),
+        |seeds AS (SELECT vec_id AS sid, v AS c,
+        |    list_sum(list_transform(v, x ->
+        |      (CAST(x AS DOUBLE) / 10000.0) * (CAST(x AS DOUBLE) / 10000.0)))
+        |      AS cc
+        |  FROM ei, p WHERE vec_id < p.k),
+        |assigned AS (SELECT vec_id, sid AS cluster FROM (
+        |  SELECT e.vec_id, s.sid, row_number() OVER (PARTITION BY e.vec_id
+        |    ORDER BY e.vv - 2 * list_sum(list_transform(range(1, 65), i ->
+        |      (CAST(e.v[i] AS DOUBLE) / 10000.0) *
+        |      (CAST(s.c[i] AS DOUBLE) / 10000.0))) + s.cc, s.sid) AS rn
+        |  FROM ei2 e CROSS JOIN seeds s) t WHERE rn = 1),
+        |capped AS (SELECT * FROM (
+        |  SELECT a.cluster, e.vec_id, e.v,
+        |    row_number() OVER (PARTITION BY a.cluster ORDER BY a.vec_id)
+        |      AS mrk
+        |  FROM assigned a JOIN ei e USING (vec_id)) m WHERE mrk <= 256)
+        |SELECT cluster, a.vec_id AS id_a, b.vec_id AS id_b,
+        |  round(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i])) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.v[i] * a.v[i])) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> b.v[i] * b.v[i])) AS DOUBLE))), 4) + 0 AS sim
+        |FROM capped a JOIN capped b USING (cluster)
+        |WHERE a.vec_id < b.vec_id
+        |  AND CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.v[i] * b.v[i])) AS DOUBLE) /
+        |    (sqrt(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> a.v[i] * a.v[i])) AS DOUBLE)) *
+        |     sqrt(CAST(list_sum(list_transform(range(1, 65),
+        |      i -> b.v[i] * b.v[i])) AS DOUBLE))) >= 0.40
+        |ORDER BY cluster, id_a, id_b""".stripMargin
+    ) { (s, d) =>
+      val n = embCount(s, d)
+      val k = 1L << math.max(3, math.min(10,
+        (64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, n - 1))) - 6))
+      // vd = exact integer values as doubles; vs = vd/1e4 (the assignment
+      // space); both are plain projected columns so the HOFs run once
+      val ei = emb(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 10000).cast("long")).as("v"))
+        .select(col("vec_id"),
+          transform(col("v"), _.cast("double")).as("vd"))
+        .select(col("vec_id"), col("vd"),
+          transform(col("vd"), _ / 10000.0).as("vs"))
+      val seeds = ei.filter(col("vec_id") < k)
+        .select(col("vec_id").as("sid"), col("vs").as("cs"))
+        .withColumn("cc", TextOps.dot(col("cs"), col("cs")))
+      val pairs = ei
+        .withColumn("vv", TextOps.dot(col("vs"), col("vs")))
+        .crossJoin(broadcast(seeds))
+        .select(col("vec_id"),
+          col("sid"),
+          (col("vv") - lit(2.0) * TextOps.dot(col("vs"), col("cs"))
+            + col("cc")).as("dist"))
+      val best = pairs.groupBy("vec_id").agg(min(col("dist")).as("md"))
+      val assigned = pairs.join(best, "vec_id")
+        .filter(col("dist") === col("md"))
+        .groupBy("vec_id").agg(min(col("sid")).as("cluster"))
+      val capped = assigned.join(ei, "vec_id")
+        .withColumn("__mrk", row_number().over(
+          Window.partitionBy("cluster").orderBy("vec_id")))
+        .observe("semdedup_cap",
+          sum(when(col("__mrk") > 256, 1L).otherwise(0L)).as("dropped_rows"))
+        .filter(col("__mrk") <= 256)
+        .select(col("cluster"), col("vec_id"), col("vd"))
+      val a = capped.as("a")
+      val b = capped.as("b").hint("shuffle_hash")
+      val cos = TextOps.dot(col("a.vd"), col("b.vd")) /
+        (sqrt(TextOps.dot(col("a.vd"), col("a.vd"))) *
+          sqrt(TextOps.dot(col("b.vd"), col("b.vd"))))
+      a.join(b, col("a.cluster") === col("b.cluster")
+          && col("a.vec_id") < col("b.vec_id"))
+        .select(col("a.cluster").as("cluster"),
+          col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"),
+          cos.as("cosr"))
+        .filter(col("cosr") >= 0.40)
+        .select(col("cluster"), col("id_a"), col("id_b"),
+          (round(col("cosr"), 4) + lit(0.0)).as("sim"))
+        .orderBy("cluster", "id_a", "id_b")
     }
   )
 }

@@ -247,6 +247,131 @@ object TextQueries {
           call_function("min_shingle_md5_hex", col("ws"), lit(3))
             .as("fp_minshingle"))
         .orderBy("doc_id")
+    },
+
+    // PII detection + redaction (the C4/Dolma scrubbing pass): per-row
+    // regex scans for emails / phone numbers / IPv4, counts per document
+    // plus an md5 fingerprint of the fully-redacted text. The corpus text
+    // carries no PII, so both engines append the SAME deterministic
+    // synthetic PII (derived from doc_id with exact integer arithmetic) —
+    // the regex and redaction paths are then genuinely exercised and the
+    // gate compares real match/replace behavior, not 500 zeros. Patterns
+    // stay in the Java∩RE2 subset (classes, bounded reps, \b, \d; no
+    // backrefs, no lookaround) and replacements are group-free literals,
+    // so Java and RE2 agree byte-for-byte. Per-row, shuffle-free,
+    // codegen'd; at 100 TB this is a pure map stage.
+    Q(
+      "q120_pii_redact",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    text || ' contact user' || doc_id || '@mail.example.com' ||
+        |    CASE WHEN doc_id % 3 = 0
+        |         THEN ' cc admin' || doc_id || '@mail.example.com'
+        |         ELSE '' END ||
+        |    ' call ' || (100 + doc_id % 900) || '-555-' ||
+        |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
+        |    ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS t
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
+        |  CAST(len(regexp_extract_all(t, '\d{3}-555-\d{4}')) AS BIGINT)
+        |    AS n_phone,
+        |  CAST(len(regexp_extract_all(t,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
+        |    '\d{3}-555-\d{4}', '[PHONE]', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS red_fp
+        |FROM aug ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val phonePat = "\\d{3}-555-\\d{4}"
+      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+      val id = col("doc_id")
+      val aug = concat(
+        col("text"), lit(" contact user"), id.cast("string"),
+        lit("@mail.example.com"),
+        when(id % 3 === 0,
+          concat(lit(" cc admin"), id.cast("string"),
+            lit("@mail.example.com"))).otherwise(lit("")),
+        lit(" call "), (id % 900 + 100).cast("string"), lit("-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
+        ((id * 7) % 256).cast("string"))
+      docs(s, d).select(col("doc_id"), aug.as("t"))
+        .select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
+            .cast("long").as("n_email"),
+          size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
+            .cast("long").as("n_phone"),
+          size(regexp_extract_all(col("t"), lit(ipPat), lit(0)))
+            .cast("long").as("n_ip"),
+          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
+            emailPat, "[EMAIL]"),
+            phonePat, "[PHONE]"),
+            ipPat, "[IP]")).as("red_fp"))
+        .orderBy("doc_id")
+    },
+
+    // Gopher-style composite quality-rule filter (Rae et al. rule table,
+    // re-thresholded for this corpus): word-count bounds, mean-word-length
+    // band, minimum stopword ratio, minimum type-token ratio. Emits each
+    // statistic, a failure BITMASK (bit per rule, 0 = clean) and the final
+    // keep decision — the auditable form a curation pipeline wants (why
+    // was this document dropped?). Rule comparisons run on UNROUNDED
+    // doubles: every input is an in-order integer-valued sum over the
+    // token list, so both engines compute bit-identical values (q40's
+    // proven pattern) and the threshold can never straddle an ulp. Per-row,
+    // shuffle-free.
+    Q(
+      "q122_gopher_rules",
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE)))
+        |    / len(ws) AS mwl,
+        |  CAST(len(list_filter(ws,
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / len(ws) AS sr,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr
+        |  FROM w)
+        |SELECT doc_id, n_words,
+        |  round(mwl, 4) AS mean_wlen, round(sr, 4) AS stop_ratio,
+        |  round(ttr, 4) AS ttr,
+        |  CAST((CASE WHEN NOT (n_words BETWEEN 20 AND 50000) THEN 1 ELSE 0 END)
+        |     + (CASE WHEN NOT (mwl >= 4.25 AND mwl <= 4.75) THEN 2 ELSE 0 END)
+        |     + (CASE WHEN NOT (sr >= 0.04) THEN 4 ELSE 0 END)
+        |     + (CASE WHEN NOT (ttr >= 0.35) THEN 8 ELSE 0 END) AS BIGINT)
+        |    AS fail_mask,
+        |  (n_words BETWEEN 20 AND 50000) AND mwl >= 4.25 AND mwl <= 4.75
+        |    AND sr >= 0.04 AND ttr >= 0.35 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      docs(s, d)
+        .select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          (aggregate(ws, lit(0.0), (a, w) => a + length(w).cast("double"))
+            / size(ws)).as("mwl"),
+          (size(filter(ws,
+            w => w.isin("the", "a", "of", "and", "to", "in", "is")))
+            .cast("double") / size(ws)).as("sr"),
+          (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+        .select(col("doc_id"), col("n_words"),
+          round(col("mwl"), 4).as("mean_wlen"),
+          round(col("sr"), 4).as("stop_ratio"),
+          round(col("ttr"), 4).as("ttr"),
+          (when(!col("n_words").between(20, 50000), 1L).otherwise(0L)
+            + when(!(col("mwl") >= 4.25 && col("mwl") <= 4.75), 2L)
+              .otherwise(0L)
+            + when(!(col("sr") >= 0.04), 4L).otherwise(0L)
+            + when(!(col("ttr") >= 0.35), 8L).otherwise(0L)).as("fail_mask"),
+          (col("n_words").between(20, 50000)
+            && col("mwl") >= 4.25 && col("mwl") <= 4.75
+            && col("sr") >= 0.04 && col("ttr") >= 0.35).as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

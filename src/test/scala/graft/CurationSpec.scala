@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Round-7 curation operators: PII redaction (q120), SemDeDup
+  * cluster-scoped near-dup (q121), Gopher composite rule filter (q122).
+  * Value-level cross-engine checks are the DuckDB oracle gate; these specs
+  * pin the semantic invariants the gate can't see (redaction idempotence,
+  * cluster scoping, bitmask/keep consistency).
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  // --- q120 PII redaction ---------------------------------------------
+
+  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  private val phonePat = "\\d{3}-555-\\d{4}"
+  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  test("q120: every doc detects the synthetic email/phone/ip") {
+    val r = q("q120_pii_redact")
+    assert(r.filter(col("n_email") < 1 || col("n_phone") < 1 ||
+      col("n_ip") < 1).count() == 0)
+    // doc_id % 3 == 0 rows carry the second (cc'd) email
+    assert(r.filter(col("n_email") === 2).count() ==
+      r.filter(col("n_email") >= 1).count() / 3 + 1)
+  }
+
+  test("q120: redaction removes every match (scan of redacted = 0)") {
+    // rebuild the augmented+redacted text exactly as the query does and
+    // assert a re-scan finds nothing — redaction is a fixpoint
+    val id = col("doc_id")
+    val aug = concat(col("text"), lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com"),
+      when(id % 3 === 0, concat(lit(" cc admin"), id.cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      lit(" call "), (id % 900 + 100).cast("string"), lit("-555-"),
+      lpad((id % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
+      ((id * 7) % 256).cast("string"))
+    val red = regexp_replace(regexp_replace(regexp_replace(aug,
+      emailPat, "[EMAIL]"), phonePat, "[PHONE]"), ipPat, "[IP]")
+    val rescan = Tables.documents(spark, sfDir)
+      .select((size(regexp_extract_all(red, lit(emailPat), lit(0)))
+        + size(regexp_extract_all(red, lit(phonePat), lit(0)))
+        + size(regexp_extract_all(red, lit(ipPat), lit(0)))).as("left"))
+    assert(rescan.agg(sum("left")).head().getLong(0) == 0L)
+  }
+
+  test("q120: patterns behave on crafted corner cases") {
+    val df = Seq(
+      ("a@b.co and x.y-z@mail.example.com", 2, 0, 0),
+      ("ip 255.255.255.255 end", 0, 0, 1),
+      ("1234.1.2.3 is no ip prefix but 234.1.2.3 matches inside", 0, 0, 1),
+      ("call 123-555-0000 or 999-555-9999", 0, 2, 0),
+      ("nothing here", 0, 0, 0)).toDF("t", "ne", "np", "ni")
+    val bad = df.filter(
+      size(regexp_extract_all(col("t"), lit(emailPat), lit(0))) =!= col("ne")
+        || size(regexp_extract_all(col("t"), lit(phonePat), lit(0))) =!= col("np")
+        || size(regexp_extract_all(col("t"), lit(ipPat), lit(0))) =!= col("ni"))
+    assert(bad.count() == 0)
+  }
+
+  // --- q121 SemDeDup ---------------------------------------------------
+
+  test("q121: pairs are within-cluster, ordered, above threshold") {
+    val r = q("q121_semdedup").cache()
+    assert(r.count() > 0)
+    assert(r.filter(col("id_a") >= col("id_b")).count() == 0)
+    assert(r.filter(col("sim") < 0.40).count() == 0)
+    // cluster ids come from the seed set (vec_id < K = 8 at this sf)
+    assert(r.filter(col("cluster") >= 8).count() == 0)
+    r.unpersist()
+  }
+
+  test("q121: cluster scoping is consistent — both endpoints assign to the pair's cluster") {
+    // recompute the assignment exactly as the query does, then check every
+    // reported pair endpoint lands in the reported cluster
+    val emb = Tables.embeddings(spark, sfDir)
+    val ei = emb.select(col("vec_id"),
+      graft.functions.ArrayOps.bindOnce(transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")))(v =>
+        transform(v, y => y.cast("double") / 10000.0)).as("vs"))
+    val seeds = ei.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("sid"), col("vs").as("cs"))
+    val dist = graft.functions.TextOps.dot(col("vs"), col("vs")) -
+      lit(2.0) * graft.functions.TextOps.dot(col("vs"), col("cs")) +
+      graft.functions.TextOps.dot(col("cs"), col("cs"))
+    val pairs = ei.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"), dist.as("dist"))
+    val best = pairs.groupBy("vec_id").agg(min("dist").as("md"))
+    val assigned = pairs.join(best, "vec_id")
+      .filter(col("dist") === col("md"))
+      .groupBy("vec_id").agg(min("sid").as("cluster"))
+    val r = q("q121_semdedup")
+    val viaA = r.join(assigned.withColumnRenamed("vec_id", "id_a"),
+      Seq("id_a", "cluster"), "left_anti")
+    val viaB = r.join(assigned.withColumnRenamed("vec_id", "id_b"),
+      Seq("id_b", "cluster"), "left_anti")
+    assert(viaA.count() == 0 && viaB.count() == 0)
+  }
+
+  // --- q122 Gopher rules ----------------------------------------------
+
+  test("q122: keep iff fail_mask == 0; bits match their rules") {
+    val r = q("q122_gopher_rules").cache()
+    assert(r.filter(col("keep") =!= (col("fail_mask") === 0)).count() == 0)
+    // bit 0 = word-count rule (rounded stats re-derive the other bits only
+    // approximately, so check the exact integer one plus mask range)
+    assert(r.filter((col("fail_mask").bitwiseAND(1) === 1) =!=
+      !col("n_words").between(20, 50000)).count() == 0)
+    assert(r.filter(col("fail_mask") < 0 || col("fail_mask") > 15).count() == 0)
+    // thresholds actually split the corpus: some kept, some dropped
+    val kept = r.filter(col("keep")).count()
+    assert(kept > 0 && kept < r.count())
+    r.unpersist()
+  }
+}
