@@ -740,6 +740,79 @@ object PipelineQueries {
       c2Df.select(col("sid").as("cluster"),
           col("cden").cast("long").as("n"), cd(0), cd(1), cd(2), cd(3))
         .orderBy("cluster")
+    },
+
+    // BM25 ranked retrieval for a probe-term set (the retrieval-scoring
+    // twin of q98's postings / q95's TF-IDF): per-(term, doc) BM25 with
+    // k1 = 1.2, b = 0.75, top-10 docs per term. The idf uses the RATIONAL
+    // odds (N - df + 0.5)/(df + 0.5) — the classic formula without its
+    // outer ln — because ln is the one op libm implementations disagree on
+    // at the last ulp (q110's lesson); every op here (+,-,*,/ on doubles)
+    // is IEEE exactly-rounded, so scores and therefore RANKS are
+    // bit-identical cross-engine, and the per-term monotone idf ordering
+    // is unchanged by dropping the monotone ln. Scale: the isin filter
+    // prunes the exploded token stream map-side before any shuffle; df
+    // (5 rows) and corpus stats (1 row) broadcast; the top-10 is a
+    // WindowGroupLimit (bounded per-partition heaps), never a full sort.
+    Q(
+      "q123_bm25",
+      """WITH dl AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS dl FROM documents),
+        |stats AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(dl) AS BIGINT) AS tot FROM dl),
+        |tf AS (SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf FROM
+        |   (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) u
+        |   WHERE w IN ('data','join','the','stream','query')
+        |   GROUP BY doc_id, w),
+        |df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf
+        |   GROUP BY term),
+        |scored AS (SELECT t.term, t.doc_id,
+        |   (CAST(s.n AS DOUBLE) - CAST(f.df AS DOUBLE) + 0.5) /
+        |     (CAST(f.df AS DOUBLE) + 0.5) *
+        |   (CAST(t.tf AS DOUBLE) * 2.2) /
+        |   (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |     CAST(d.dl AS DOUBLE) /
+        |     (CAST(s.tot AS DOUBLE) / CAST(s.n AS DOUBLE)))) AS score
+        |   FROM tf t JOIN df f USING (term) JOIN dl d USING (doc_id)
+        |   CROSS JOIN stats s)
+        |SELECT term, doc_id, round(score, 4) + 0 AS score FROM (
+        |  SELECT term, doc_id, score,
+        |    row_number() OVER (PARTITION BY term ORDER BY score DESC, doc_id)
+        |      AS rn
+        |  FROM scored) r
+        |WHERE rn <= 10 ORDER BY term, doc_id""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val dl = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("n"), sum("dl").as("tot"))
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(col("w").isin("data", "join", "the", "stream", "query"))
+        .groupBy(col("doc_id"), col("w"))
+        .agg(count(lit(1)).as("tf"))
+        .withColumnRenamed("w", "term")
+      val dfT = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val nD = col("n").cast("double")
+      val dfD = col("df").cast("double")
+      val tfD = col("tf").cast("double")
+      val dlD = col("dl").cast("double")
+      val score = (nD - dfD + 0.5) / (dfD + 0.5) *
+        (tfD * 2.2) /
+        (tfD + lit(1.2) * (lit(0.25) + lit(0.75) * dlD /
+          (col("tot").cast("double") / nD)))
+      val rn = row_number().over(
+        Window.partitionBy("term").orderBy(col("score").desc, col("doc_id")))
+      tf.join(broadcast(dfT), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("term"), col("doc_id"), score.as("score"))
+        .withColumn("__rn", rn)
+        .filter(col("__rn") <= 10)
+        .select(col("term"), col("doc_id"),
+          (round(col("score"), 4) + lit(0.0)).as("score"))
+        .orderBy("term", "doc_id")
     }
   )
 }

@@ -372,6 +372,39 @@ object TextQueries {
             && col("mwl") >= 4.25 && col("mwl") <= 4.75
             && col("sr") >= 0.04 && col("ttr") >= 0.35).as("keep"))
         .orderBy("doc_id")
+    },
+
+    // One BPE-training merge step: count adjacent character bigrams over
+    // all corpus words, emit the top-20 merge candidates — the inner loop
+    // of byte-pair-encoding vocabulary induction, run at corpus scale.
+    // Scale shape: the bigram stream collapses map-side (2-char vocab is
+    // tiny) before one narrow shuffle, and the top-20 is a
+    // TakeOrderedAndProject (bounded heap), never a full sort. The
+    // length >= 2 filter sits BEFORE the sequence(1, len-1) expression:
+    // Spark's sequence DESCENDS for sequence(1, 0), so the guard must
+    // stay outside (CLAUDE.md empty-list rule).
+    Q(
+      "q48_bpe_merge",
+      """WITH pairs AS (
+        |  SELECT unnest(list_transform(range(1, length(w)),
+        |    i -> substr(w, CAST(i AS INTEGER), 2))) AS pair
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS w
+        |        FROM documents) u
+        |  WHERE length(w) >= 2)
+        |SELECT pair, CAST(count(*) AS BIGINT) AS cnt
+        |FROM pairs GROUP BY pair
+        |ORDER BY cnt DESC, pair LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy("pair")
+        .agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("pair"))
+        .limit(20)
     }
   )
 }

@@ -104,6 +104,29 @@ class CurationSpec extends SparkSpec {
     assert(viaA.count() == 0 && viaB.count() == 0)
   }
 
+  // --- q123 BM25 / q48 BPE merge --------------------------------------
+
+  test("q123: at most 10 docs per term, scores positive, tf=0 docs absent") {
+    val r = q("q123_bm25").cache()
+    assert(r.groupBy("term").count().filter(col("count") > 10).count() == 0)
+    assert(r.filter(col("score") <= 0).count() == 0)
+    // every scored doc really contains its term
+    val toks = Tables.documents(spark, sfDir).select(col("doc_id"),
+      graft.functions.TextOps.tokens(col("text")).as("ws"))
+    val missing = r.join(toks, "doc_id")
+      .filter(!array_contains(col("ws"), col("term")))
+    assert(missing.count() == 0)
+    r.unpersist()
+  }
+
+  test("q48: merge candidates are 2-char bigrams with descending counts") {
+    val rows = q("q48_bpe_merge").collect()
+    assert(rows.length == 20)
+    assert(rows.forall(_.getString(0).length == 2))
+    val counts = rows.map(_.getLong(1))
+    assert(counts.sliding(2).forall { case Array(a, b) => a >= b })
+  }
+
   // --- q122 Gopher rules ----------------------------------------------
 
   test("q122: keep iff fail_mask == 0; bits match their rules") {
