@@ -19,6 +19,25 @@ object TextOps {
   /** Whitespace tokens. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** PII patterns (q120 + the streaming scrubber) — deliberately inside
+    * the Java∩RE2 regex subset (character classes, bounded repetition,
+    * \b, \d; no backrefs, no lookaround) so Spark and DuckDB/RE2 agree
+    * byte-for-byte; replacements are group-free literals. */
+  val EmailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhonePat = "\\d{3}-555-\\d{4}"
+  val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** (email, phone, ip) match counts, as long columns. */
+  def piiCounts(text: Column): Seq[Column] = Seq(
+    size(regexp_extract_all(text, lit(EmailPat), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(PhonePat), lit(0))).cast("long"),
+    size(regexp_extract_all(text, lit(IpPat), lit(0))).cast("long"))
+
+  /** All PII spans replaced by [EMAIL] / [PHONE] / [IP]. */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailPat, "[EMAIL]"), PhonePat, "[PHONE]"), IpPat, "[IP]")
+
   /** Compression-ratio quality signal (deflate size / raw size) — the
     * Gopher/RefinedWeb-style repetitiveness filter: templated or looping
     * text compresses far below natural prose. Backed by the codegen'd

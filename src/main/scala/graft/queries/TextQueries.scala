@@ -285,9 +285,6 @@ object TextQueries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS red_fp
         |FROM aug ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val phonePat = "\\d{3}-555-\\d{4}"
-      val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
       val id = col("doc_id")
       val aug = concat(
         col("text"), lit(" contact user"), id.cast("string"),
@@ -299,19 +296,12 @@ object TextQueries {
         lpad((id % 10000).cast("string"), 4, "0"),
         lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
         ((id * 7) % 256).cast("string"))
+      val Seq(ne, np, ni) = TextOps.piiCounts(col("t"))
       docs(s, d).select(col("doc_id"), aug.as("t"))
         .select(
           col("doc_id"),
-          size(regexp_extract_all(col("t"), lit(emailPat), lit(0)))
-            .cast("long").as("n_email"),
-          size(regexp_extract_all(col("t"), lit(phonePat), lit(0)))
-            .cast("long").as("n_phone"),
-          size(regexp_extract_all(col("t"), lit(ipPat), lit(0)))
-            .cast("long").as("n_ip"),
-          md5(regexp_replace(regexp_replace(regexp_replace(col("t"),
-            emailPat, "[EMAIL]"),
-            phonePat, "[PHONE]"),
-            ipPat, "[IP]")).as("red_fp"))
+          ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
+          md5(TextOps.piiRedact(col("t"))).as("red_fp"))
         .orderBy("doc_id")
     },
 

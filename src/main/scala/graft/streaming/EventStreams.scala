@@ -122,6 +122,22 @@ object EventStreams {
         round(col("n_hit").cast("double") / col("n_sh"), 4))
   }
 
+  /** Streaming PII scrubbing — the stream twin of batch q120: documents
+    * arrive as an unbounded stream and leave with their PII spans
+    * replaced and counted. Per-row, stateless (no watermark, no keyed
+    * state, no shuffle) — the shape a continuous ingestion pipeline wants
+    * for redaction-before-storage; patterns/replacements are the shared
+    * [[graft.functions.TextOps.piiRedact]] kernels, so stream and batch
+    * can never drift.
+    */
+  def piiRedactStream(docs: DataFrame): DataFrame = {
+    import graft.functions.TextOps
+    val Seq(ne, np, ni) = TextOps.piiCounts(col("text"))
+    docs.select(col("doc_id"),
+      ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
+      TextOps.piiRedact(col("text")).as("redacted"))
+  }
+
   final case class Tick(user_id: Long, tsSec: Long, side: Int, value: Double)
   final case class Enriched(user_id: Long, tsSec: Long, value: Double,
       snapValue: Double, matched: Boolean)

@@ -17,9 +17,9 @@ class CurationSpec extends SparkSpec {
 
   // --- q120 PII redaction ---------------------------------------------
 
-  private val emailPat = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-  private val phonePat = "\\d{3}-555-\\d{4}"
-  private val ipPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  private val emailPat = graft.functions.TextOps.EmailPat
+  private val phonePat = graft.functions.TextOps.PhonePat
+  private val ipPat = graft.functions.TextOps.IpPat
 
   test("q120: every doc detects the synthetic email/phone/ip") {
     val r = q("q120_pii_redact")

@@ -232,6 +232,43 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._1 > 0), "no contaminated doc in fixture")
   }
 
+  test("streaming PII scrub EQUALS batch redaction, across redelivered batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // same augmented text the batch q120 scrubs (synthetic PII from doc_id)
+    val id = col("doc_id")
+    val aug = concat(col("text"), lit(" contact user"), id.cast("string"),
+      lit("@mail.example.com"),
+      when(id % 3 === 0, concat(lit(" cc admin"), id.cast("string"),
+        lit("@mail.example.com"))).otherwise(lit("")),
+      lit(" call "), (id % 900 + 100).cast("string"), lit("-555-"),
+      lpad((id % 10000).cast("string"), 4, "0"),
+      lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
+      ((id * 7) % 256).cast("string"))
+    val docs = Tables.documents(spark, sf).select(col("doc_id"), aug.as("text"))
+    val expected = graft.streaming.EventStreams.piiRedactStream(docs)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+
+    val mem = MemoryStream[(Long, String)]
+    val streamDocs = mem.toDF().toDF("doc_id", "text")
+    val q = graft.streaming.EventStreams.piiRedactStream(streamDocs)
+      .writeStream.format("memory").queryName("pii").start()
+    val streamed =
+      try {
+        val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+        val (b1, b2) = rows.splitAt(rows.size / 3)
+        mem.addData(b1); q.processAllAvailable()
+        mem.addData(b2); q.processAllAvailable()
+        spark.table("pii").collect()
+          .map(r => r.getLong(0) ->
+            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      } finally q.stop()
+    assert(streamed.size == expected.size && streamed == expected)
+    // the scrub actually fires on every document
+    assert(streamed.values.forall(v => v._1 >= 1 && v._4.contains("[EMAIL]")))
+  }
+
   test("streaming incremental dedup EQUALS batch q116 on the same corpus split") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
