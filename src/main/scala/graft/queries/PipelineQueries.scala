@@ -813,6 +813,56 @@ object PipelineQueries {
         .select(col("term"), col("doc_id"),
           (round(col("score"), 4) + lit(0.0)).as("score"))
         .orderBy("term", "doc_id")
+    },
+
+    // Temperature-based data mixing (the multinomial source-reweighting
+    // step of pretraining mixes, α = 0.5): per-language targets
+    // ∝ sqrt(count), half the corpus as total budget. EVERYTHING integer:
+    // weights are floor(sqrt(n)) — sqrt is IEEE exactly-rounded, so both
+    // engines floor the identical double; summing the WEIGHTS as BIGINTs
+    // avoids the cross-engine double-sum-order trap that a direct
+    // Σ sqrt(n) would hit — and targets are exact integer (budget·w) div z.
+    // Selection is RANK-FREE: pick docs whose uniform hash clears a
+    // per-language integer threshold (hash·n < target·M) — a pure map
+    // stage, binomially close to the target, no per-stratum sort (a
+    // windowed exact top-k would funnel each language through one
+    // reducer; q110 is that shape when exactness is required). Output
+    // pins the picked SET via an order-free integer sum of doc_ids.
+    // Integer ranges: hash < 1e9, so hash·n and target·M stay under 2^63
+    // up to ~10^9 docs per language.
+    Q(
+      "q124_temperature_mix",
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n,
+        |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS z,
+        |  CAST(sum(n) AS BIGINT) AS ntot FROM w),
+        |tgt AS (SELECT lang, n, (t.ntot // 2) * w.wt // t.z AS target
+        |  FROM w, tot t)
+        |SELECT d.lang, max(t.n) AS n, max(t.target) AS target,
+        |  CAST(count(*) AS BIGINT) AS picked,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        |FROM documents d JOIN tgt t ON d.lang = t.lang
+        |WHERE (d.doc_id * 2654435761) % 1000000007 * t.n <
+        |  t.target * 1000000007
+        |GROUP BY d.lang ORDER BY d.lang""".stripMargin
+    ) { (s, d) =>
+      val c = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
+      val w = c.withColumn("wt",
+        floor(sqrt(col("n").cast("double"))).cast("long"))
+      val tot = w.agg(sum("wt").as("z"), sum("n").as("ntot"))
+      val tgt = w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          expr("(ntot div 2) * wt div z").as("target"))
+      docs(s, d).join(broadcast(tgt), "lang")
+        .filter((col("doc_id") * 2654435761L) % 1000000007L * col("n") <
+          col("target") * 1000000007L)
+        .groupBy("lang")
+        .agg(max(col("n")).as("n"), max(col("target")).as("target"),
+          count(lit(1)).cast("long").as("picked"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy("lang")
     }
   )
 }

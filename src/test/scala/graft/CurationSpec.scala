@@ -127,6 +127,29 @@ class CurationSpec extends SparkSpec {
     assert(counts.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  // --- q124 temperature mixing ----------------------------------------
+
+  test("q124: sqrt-temperature flattens the language skew; picked tracks target") {
+    val r = q("q124_temperature_mix").collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3))))
+      .toMap
+    val (nEn, tEn, _) = r("en")
+    // en is the majority language; α=0.5 must give it LESS than its
+    // proportional share of the half-corpus budget
+    val ntot = r.values.map(_._1).sum
+    assert(tEn.toDouble / (ntot / 2) < nEn.toDouble / ntot)
+    // minority languages keep a larger-than-proportional share
+    val (nDe, tDe, _) = r("de")
+    assert(tDe.toDouble / (ntot / 2) > nDe.toDouble / ntot)
+    // hash-threshold selection lands binomially close to target (5 sigma)
+    r.values.foreach { case (n, target, picked) =>
+      val p = target.toDouble / n
+      val sigma = math.sqrt(n * p * (1 - p))
+      assert(math.abs(picked - target) <= 5 * sigma + 1,
+        s"picked $picked vs target $target (n=$n)")
+    }
+  }
+
   // --- q122 Gopher rules ----------------------------------------------
 
   test("q122: keep iff fail_mask == 0; bits match their rules") {
