@@ -863,6 +863,85 @@ object PipelineQueries {
           count(lit(1)).cast("long").as("picked"),
           sum(col("doc_id")).cast("long").as("sum_ids"))
         .orderBy("lang")
+    },
+
+    // The FULL curation pipeline as one Catalyst plan — quality filter
+    // (q122's Gopher rules) → exact dedup (q50's canonical-min-doc per
+    // md5 group) → temperature mixing (q124's integer targets + rank-free
+    // hash-threshold pick), emitting the final per-(lang, source) corpus
+    // manifest. The point is COMPOSABILITY: each stage is a proven-exact
+    // operator, so the chained plan is proven-exact too, and Catalyst
+    // fuses the whole thing — the filter runs map-side against the scan,
+    // dedup shuffles only (digest, id), the mix stage broadcasts a
+    // per-language target row and picks in one map pass. Stage order
+    // matters (targets are computed on the SURVIVING corpus) — this is
+    // the shape a real pipeline run has, not three separate jobs.
+    Q(
+      "q125_curation_pipeline",
+      """WITH w AS (SELECT doc_id, lang, source, text,
+        |  string_split(text, ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id, lang, source, text,
+        |  CAST(len(ws) AS BIGINT) AS n_words,
+        |  list_sum(list_transform(ws, x -> CAST(length(x) AS DOUBLE)))
+        |    / len(ws) AS mwl,
+        |  CAST(len(list_filter(ws,
+        |    x -> x IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+        |    / len(ws) AS sr,
+        |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS ttr FROM w),
+        |kept AS (SELECT doc_id, lang, source, text FROM s
+        |  WHERE n_words BETWEEN 20 AND 50000 AND mwl >= 4.25 AND mwl <= 4.75
+        |    AND sr >= 0.04 AND ttr >= 0.35),
+        |ded AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY md5(text)),
+        |corpus AS (SELECT k.doc_id, k.lang, k.source
+        |  FROM kept k JOIN ded USING (doc_id)),
+        |c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+        |  FROM corpus GROUP BY lang),
+        |wgt AS (SELECT lang, n,
+        |  CAST(floor(sqrt(CAST(n AS DOUBLE))) AS BIGINT) AS wt FROM c),
+        |tot AS (SELECT CAST(sum(wt) AS BIGINT) AS z,
+        |  CAST(sum(n) AS BIGINT) AS ntot FROM wgt),
+        |tgt AS (SELECT lang, n, (t.ntot // 2) * wgt.wt // t.z AS target
+        |  FROM wgt, tot t)
+        |SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS picked,
+        |  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
+        |FROM corpus d JOIN tgt t ON d.lang = t.lang
+        |WHERE (d.doc_id * 2654435761) % 1000000007 * t.n <
+        |  t.target * 1000000007
+        |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      val stats = docs(s, d).select(col("doc_id"), col("lang"),
+        col("source"), col("text"),
+        size(ws).cast("long").as("n_words"),
+        (aggregate(ws, lit(0.0), (a, x) => a + length(x).cast("double"))
+          / size(ws)).as("mwl"),
+        (size(filter(ws,
+          x => x.isin("the", "a", "of", "and", "to", "in", "is")))
+          .cast("double") / size(ws)).as("sr"),
+        (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
+      val kept = stats.filter(col("n_words").between(20, 50000)
+          && col("mwl") >= 4.25 && col("mwl") <= 4.75
+          && col("sr") >= 0.04 && col("ttr") >= 0.35)
+        .select(col("doc_id"), col("lang"), col("source"), col("text"))
+      val ded = kept.groupBy(md5(col("text")))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val corpus = kept.join(ded, "doc_id")
+        .select(col("doc_id"), col("lang"), col("source"))
+      val c = corpus.groupBy("lang").agg(count(lit(1)).as("n"))
+      val wgt = c.withColumn("wt",
+        floor(sqrt(col("n").cast("double"))).cast("long"))
+      val tot = wgt.agg(sum("wt").as("z"), sum("n").as("ntot"))
+      val tgt = wgt.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n"),
+          expr("(ntot div 2) * wt div z").as("target"))
+      corpus.join(broadcast(tgt), "lang")
+        .filter((col("doc_id") * 2654435761L) % 1000000007L * col("n") <
+          col("target") * 1000000007L)
+        .groupBy("lang", "source")
+        .agg(count(lit(1)).cast("long").as("picked"),
+          sum(col("doc_id")).cast("long").as("sum_ids"))
+        .orderBy("lang", "source")
     }
   )
 }

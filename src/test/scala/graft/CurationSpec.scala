@@ -150,6 +150,21 @@ class CurationSpec extends SparkSpec {
     }
   }
 
+  // --- q125 composed pipeline -----------------------------------------
+
+  test("q125: manifest is consistent with its stages") {
+    val r = q("q125_curation_pipeline").cache()
+    val q122r = q("q122_gopher_rules").filter(col("keep"))
+    val keptN = q122r.count()
+    val picked = r.agg(sum("picked")).head().getLong(0)
+    // mixing budget is half the deduped survivor corpus — picked can
+    // never exceed the survivors, and lands well under them
+    assert(picked > 0 && picked < keptN)
+    // every manifest row is a real (lang, source) group with >= 1 doc
+    assert(r.filter(col("picked") < 1).count() == 0)
+    r.unpersist()
+  }
+
   // --- q122 Gopher rules ----------------------------------------------
 
   test("q122: keep iff fail_mask == 0; bits match their rules") {
