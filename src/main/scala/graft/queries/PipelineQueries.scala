@@ -848,16 +848,11 @@ object PipelineQueries {
         |  t.target * 1000000007
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     ) { (s, d) =>
+      import graft.functions.Mixing
       val c = docs(s, d).groupBy("lang").agg(count(lit(1)).as("n"))
-      val w = c.withColumn("wt",
-        floor(sqrt(col("n").cast("double"))).cast("long"))
-      val tot = w.agg(sum("wt").as("z"), sum("n").as("ntot"))
-      val tgt = w.crossJoin(broadcast(tot))
-        .select(col("lang"), col("n"),
-          expr("(ntot div 2) * wt div z").as("target"))
+      val tgt = Mixing.sqrtTargets(c)
       docs(s, d).join(broadcast(tgt), "lang")
-        .filter((col("doc_id") * 2654435761L) % 1000000007L * col("n") <
-          col("target") * 1000000007L)
+        .filter(Mixing.hashPicked(col("doc_id"), col("n"), col("target")))
         .groupBy("lang")
         .agg(max(col("n")).as("n"), max(col("target")).as("target"),
           count(lit(1)).cast("long").as("picked"),
@@ -909,19 +904,13 @@ object PipelineQueries {
         |  t.target * 1000000007
         |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
     ) { (s, d) =>
-      val ws = TextOps.tokens(col("text"))
+      import graft.functions.Mixing
+      val Seq(nw, mwl, sr, ttr) = TextOps.gopherStats(col("text"))
       val stats = docs(s, d).select(col("doc_id"), col("lang"),
         col("source"), col("text"),
-        size(ws).cast("long").as("n_words"),
-        (aggregate(ws, lit(0.0), (a, x) => a + length(x).cast("double"))
-          / size(ws)).as("mwl"),
-        (size(filter(ws,
-          x => x.isin("the", "a", "of", "and", "to", "in", "is")))
-          .cast("double") / size(ws)).as("sr"),
-        (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
-      val kept = stats.filter(col("n_words").between(20, 50000)
-          && col("mwl") >= 4.25 && col("mwl") <= 4.75
-          && col("sr") >= 0.04 && col("ttr") >= 0.35)
+        nw.as("n_words"), mwl.as("mwl"), sr.as("sr"), ttr.as("ttr"))
+      val kept = stats.filter(TextOps.gopherRules(col("n_words"),
+          col("mwl"), col("sr"), col("ttr")).reduce(_ && _))
         .select(col("doc_id"), col("lang"), col("source"), col("text"))
       val ded = kept.groupBy(md5(col("text")))
         .agg(min(col("doc_id")).as("doc_id"))
@@ -929,15 +918,9 @@ object PipelineQueries {
       val corpus = kept.join(ded, "doc_id")
         .select(col("doc_id"), col("lang"), col("source"))
       val c = corpus.groupBy("lang").agg(count(lit(1)).as("n"))
-      val wgt = c.withColumn("wt",
-        floor(sqrt(col("n").cast("double"))).cast("long"))
-      val tot = wgt.agg(sum("wt").as("z"), sum("n").as("ntot"))
-      val tgt = wgt.crossJoin(broadcast(tot))
-        .select(col("lang"), col("n"),
-          expr("(ntot div 2) * wt div z").as("target"))
+      val tgt = Mixing.sqrtTargets(c)
       corpus.join(broadcast(tgt), "lang")
-        .filter((col("doc_id") * 2654435761L) % 1000000007L * col("n") <
-          col("target") * 1000000007L)
+        .filter(Mixing.hashPicked(col("doc_id"), col("n"), col("target")))
         .groupBy("lang", "source")
         .agg(count(lit(1)).cast("long").as("picked"),
           sum(col("doc_id")).cast("long").as("sum_ids"))

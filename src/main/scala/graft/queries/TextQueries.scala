@@ -339,28 +339,19 @@ object TextQueries {
         |    AND sr >= 0.04 AND ttr >= 0.35 AS keep
         |FROM s ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val ws = TextOps.tokens(col("text"))
-      docs(s, d)
-        .select(col("doc_id"),
-          size(ws).cast("long").as("n_words"),
-          (aggregate(ws, lit(0.0), (a, w) => a + length(w).cast("double"))
-            / size(ws)).as("mwl"),
-          (size(filter(ws,
-            w => w.isin("the", "a", "of", "and", "to", "in", "is")))
-            .cast("double") / size(ws)).as("sr"),
-          (size(array_distinct(ws)).cast("double") / size(ws)).as("ttr"))
-        .select(col("doc_id"), col("n_words"),
+      val Seq(nw, mwl, sr, ttr) = TextOps.gopherStats(col("text"))
+      val stats = docs(s, d).select(col("doc_id"), nw.as("n_words"),
+        mwl.as("mwl"), sr.as("sr"), ttr.as("ttr"))
+      val rules = TextOps.gopherRules(col("n_words"), col("mwl"),
+        col("sr"), col("ttr"))
+      stats.select(col("doc_id"), col("n_words"),
           round(col("mwl"), 4).as("mean_wlen"),
           round(col("sr"), 4).as("stop_ratio"),
           round(col("ttr"), 4).as("ttr"),
-          (when(!col("n_words").between(20, 50000), 1L).otherwise(0L)
-            + when(!(col("mwl") >= 4.25 && col("mwl") <= 4.75), 2L)
-              .otherwise(0L)
-            + when(!(col("sr") >= 0.04), 4L).otherwise(0L)
-            + when(!(col("ttr") >= 0.35), 8L).otherwise(0L)).as("fail_mask"),
-          (col("n_words").between(20, 50000)
-            && col("mwl") >= 4.25 && col("mwl") <= 4.75
-            && col("sr") >= 0.04 && col("ttr") >= 0.35).as("keep"))
+          rules.zipWithIndex.map { case (r, i) =>
+            when(!r, 1L << i).otherwise(0L)
+          }.reduce(_ + _).as("fail_mask"),
+          rules.reduce(_ && _).as("keep"))
         .orderBy("doc_id")
     },
 

@@ -25,9 +25,10 @@ class CurationSpec extends SparkSpec {
     val r = q("q120_pii_redact")
     assert(r.filter(col("n_email") < 1 || col("n_phone") < 1 ||
       col("n_ip") < 1).count() == 0)
-    // doc_id % 3 == 0 rows carry the second (cc'd) email
+    // doc_id % 3 == 0 rows carry the second (cc'd) email — exact count,
+    // valid for any doc_id distribution
     assert(r.filter(col("n_email") === 2).count() ==
-      r.filter(col("n_email") >= 1).count() / 3 + 1)
+      r.filter(col("doc_id") % 3 === 0).count())
   }
 
   test("q120: redaction removes every match (scan of redacted = 0)") {

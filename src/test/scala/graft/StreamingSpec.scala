@@ -232,7 +232,7 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.values.exists(_._1 > 0), "no contaminated doc in fixture")
   }
 
-  test("streaming PII scrub EQUALS batch redaction, across redelivered batches") {
+  test("streaming PII scrub EQUALS batch redaction; redelivery appends (stateless, no dedup)") {
     implicit val sqlCtx = spark.sqlContext
     val sf = "/root/testdata/sf0.001"
     // same augmented text the batch q120 scrubs (synthetic PII from doc_id)
@@ -254,16 +254,23 @@ class StreamingSpec extends SparkSpec {
     val streamDocs = mem.toDF().toDF("doc_id", "text")
     val q = graft.streaming.EventStreams.piiRedactStream(streamDocs)
       .writeStream.format("memory").queryName("pii").start()
-    val streamed =
+    val (streamed, rawCount, b1Size, total) =
       try {
         val rows = docs.collect().map(r => (r.getLong(0), r.getString(1))).toSeq
         val (b1, b2) = rows.splitAt(rows.size / 3)
         mem.addData(b1); q.processAllAvailable()
         mem.addData(b2); q.processAllAvailable()
-        spark.table("pii").collect()
-          .map(r => r.getLong(0) ->
-            ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+        // REDELIVER the first batch: the scrub is stateless by design, so
+        // a replay appends the same rows again (contrast dedupNearStream,
+        // where replays must NOT duplicate decisions) — values stay
+        // identical, the sink just grows by |b1|
+        mem.addData(b1); q.processAllAvailable()
+        val raw = spark.table("pii").collect()
+        (raw.map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap,
+          raw.length, b1.size, rows.size)
       } finally q.stop()
+    assert(rawCount == total + b1Size)
     assert(streamed.size == expected.size && streamed == expected)
     // the scrub actually fires on every document
     assert(streamed.values.forall(v => v._1 >= 1 && v._4.contains("[EMAIL]")))
