@@ -128,6 +128,57 @@ class CurationSpec extends SparkSpec {
     assert(counts.sliding(2).forall { case Array(a, b) => a >= b })
   }
 
+  test("q121 law: hierarchical assignment with coarse ⊇ seeds equals flat argmin") {
+    // the degeneracy claim the K ≤ 16 flat shortcut rests on: when every
+    // seed is its own coarse cell, the two-level IVF probe must reproduce
+    // the flat argmin EXACTLY (seed self-assignment has dist exactly 0.0;
+    // vector cell choice = flat argmin over all seeds; fine stage then
+    // sees exactly the winning seed)
+    import graft.functions.TextOps.dot
+    val ei = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")),
+        y => y.cast("double") / 10000.0).as("vs"))
+      .withColumn("vv", dot(col("vs"), col("vs")))
+    val seeds = ei.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("sid"), col("vs").as("cs"))
+      .withColumn("cc", dot(col("cs"), col("cs")))
+    def argmin(cands: org.apache.spark.sql.DataFrame, key: String,
+        value: String, out: String) = {
+      val best = cands.groupBy(key).agg(min(col("dist")).as("md"))
+      cands.join(best, key).filter(col("dist") === col("md"))
+        .groupBy(key).agg(min(col(value)).as(out))
+    }
+    def dist(v: org.apache.spark.sql.Column, vvc: org.apache.spark.sql.Column,
+        c: org.apache.spark.sql.Column, ccc: org.apache.spark.sql.Column) =
+      vvc - lit(2.0) * dot(v, c) + ccc
+    val flat = argmin(ei.crossJoin(broadcast(seeds))
+      .select(col("vec_id"), col("sid"),
+        dist(col("vs"), col("vv"), col("cs"), col("cc")).as("dist")),
+      "vec_id", "sid", "cluster")
+    // hierarchical with coarse = ALL seeds
+    val coarse = seeds.select(col("sid").as("cid"), col("cs").as("gcs"),
+      col("cc").as("gcc"))
+    val scell = argmin(seeds.crossJoin(broadcast(coarse))
+      .select(col("sid"), col("cid"),
+        dist(col("cs"), col("cc"), col("gcs"), col("gcc")).as("dist")),
+      "sid", "cid", "cell")
+    val vcell = argmin(ei.crossJoin(broadcast(coarse))
+      .select(col("vec_id"), col("cid"),
+        dist(col("vs"), col("vv"), col("gcs"), col("gcc")).as("dist")),
+      "vec_id", "cid", "cell")
+    val cellSeeds = seeds.join(scell, "sid")
+    val hier = argmin(ei.join(vcell, "vec_id")
+      .join(broadcast(cellSeeds), "cell")
+      .select(col("vec_id"), col("sid"),
+        dist(col("vs"), col("vv"), col("cs"), col("cc")).as("dist")),
+      "vec_id", "sid", "cluster")
+    // every seed self-assigns (dist exactly 0.0)
+    assert(scell.filter(col("sid") =!= col("cell")).count() == 0)
+    assert(flat.join(hier, Seq("vec_id", "cluster")).count() == flat.count()
+      && flat.count() == ei.count())
+  }
+
   // --- q124 temperature mixing ----------------------------------------
 
   test("q124: sqrt-temperature flattens the language skew; picked tracks target") {
