@@ -419,15 +419,23 @@ object PipelineQueries {
       // of SF, so broadcast is safe (contrast the no-broadcast rule for
       // SF-scaled computed tables)
       val probes = broadcast(
-        sh.filter(col("doc_id") < 5).select("s").distinct())
-      val tot = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-      val hit = sh.join(probes, Seq("s"), "left_semi")
-        .groupBy("doc_id").agg(count(lit(1)).as("n_hit"))
-      tot.join(hit, Seq("doc_id"), "left")
+        sh.filter(col("doc_id") < 5).select("s").distinct()
+          .withColumn("__p", lit(1L)))
+      // ONE aggregation computes both totals and hits: a broadcast LEFT
+      // join marks probe membership (probes are distinct on s, so
+      // multiplicity is exactly 1) and n_sh/n_hit fall out of the same
+      // groupBy — versus the previous tot/hit twin aggregations plus a
+      // final doc_id join, this drops one exchange and one join from the
+      // plan (like-for-like subset A/B: sf0.1 4.1 -> 2.9 s; ~neutral at
+      // the 10x replica where the shingle distinct dominates), values
+      // identical
+      sh.join(probes, Seq("s"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_sh"),
+          sum(coalesce(col("__p"), lit(0L))).as("n_hit"))
         .select(col("doc_id"), col("n_sh"),
-          coalesce(col("n_hit"), lit(0L)).as("n_hit"),
-          round(coalesce(col("n_hit"), lit(0L)).cast("double") / col("n_sh"), 4)
-            .as("score"))
+          col("n_hit").cast("long").as("n_hit"),
+          round(col("n_hit").cast("double") / col("n_sh"), 4).as("score"))
         .orderBy("doc_id")
     },
 
