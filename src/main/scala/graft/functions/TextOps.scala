@@ -33,6 +33,15 @@ object TextOps {
     size(regexp_extract_all(text, lit(PhonePat), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(IpPat), lit(0))).cast("long"))
 
+  /** Occurrences of a literal marker, by length-difference arithmetic —
+    * codegen'd string ops, no regex. Counting [EMAIL]/[PHONE]/[IP] in
+    * REDACTED text gives the span counts with 3 regex passes instead of
+    * 6 (the counts are "spans redacted", identical to match counts when
+    * the input carries no pre-existing markers). */
+  def markerCount(text: Column, marker: String): Column =
+    ((length(text) - length(replace(text, lit(marker), lit(""))))
+      / marker.length).cast("long")
+
   /** All PII spans replaced by [EMAIL] / [PHONE] / [IP]. */
   def piiRedact(text: Column): Column =
     regexp_replace(regexp_replace(regexp_replace(text,

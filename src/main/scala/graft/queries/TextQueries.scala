@@ -271,19 +271,19 @@ object TextQueries {
         |    ' call ' || (100 + doc_id % 900) || '-555-' ||
         |    lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ||
         |    ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS t
-        |  FROM documents)
-        |SELECT doc_id,
-        |  CAST(len(regexp_extract_all(t,
-        |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS BIGINT) AS n_email,
-        |  CAST(len(regexp_extract_all(t, '\d{3}-555-\d{4}')) AS BIGINT)
-        |    AS n_phone,
-        |  CAST(len(regexp_extract_all(t,
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ip,
-        |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        |  FROM documents),
+        |red AS (
+        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    '\d{3}-555-\d{4}', '[PHONE]', 'g'),
-        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g')) AS red_fp
-        |FROM aug ORDER BY doc_id""".stripMargin
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
+        |  FROM aug)
+        |SELECT doc_id,
+        |  (length(r) - length(replace(r, '[EMAIL]', ''))) // 7 AS n_email,
+        |  (length(r) - length(replace(r, '[PHONE]', ''))) // 7 AS n_phone,
+        |  (length(r) - length(replace(r, '[IP]', ''))) // 4 AS n_ip,
+        |  md5(r) AS red_fp
+        |FROM red ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val id = col("doc_id")
       val aug = concat(
@@ -296,12 +296,19 @@ object TextQueries {
         lpad((id % 10000).cast("string"), 4, "0"),
         lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
         ((id * 7) % 256).cast("string"))
-      val Seq(ne, np, ni) = TextOps.piiCounts(col("t"))
+      // counts come from the REDACTED text's markers (3 regex passes, not
+      // 6 — TextOps.markerCount is codegen'd length arithmetic); the
+      // redacted string projects to a column so the regex chain runs once
+      // (CollapseProject declines to inline an expensive expression
+      // referenced 4 times — the q46 digest pattern)
       docs(s, d).select(col("doc_id"), aug.as("t"))
+        .select(col("doc_id"), TextOps.piiRedact(col("t")).as("r"))
         .select(
           col("doc_id"),
-          ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
-          md5(TextOps.piiRedact(col("t"))).as("red_fp"))
+          TextOps.markerCount(col("r"), "[EMAIL]").as("n_email"),
+          TextOps.markerCount(col("r"), "[PHONE]").as("n_phone"),
+          TextOps.markerCount(col("r"), "[IP]").as("n_ip"),
+          md5(col("r")).as("red_fp"))
         .orderBy("doc_id")
     },
 
