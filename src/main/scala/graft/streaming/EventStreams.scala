@@ -132,10 +132,14 @@ object EventStreams {
     */
   def piiRedactStream(docs: DataFrame): DataFrame = {
     import graft.functions.TextOps
-    val Seq(ne, np, ni) = TextOps.piiCounts(col("text"))
-    docs.select(col("doc_id"),
-      ne.as("n_email"), np.as("n_phone"), ni.as("n_ip"),
-      TextOps.piiRedact(col("text")).as("redacted"))
+    // q120's 3-pass shape: redact once into a column, counts from marker
+    // length arithmetic (no second set of regex scans)
+    docs.select(col("doc_id"), TextOps.piiRedact(col("text")).as("r"))
+      .select(col("doc_id"),
+        TextOps.markerCount(col("r"), "[EMAIL]").as("n_email"),
+        TextOps.markerCount(col("r"), "[PHONE]").as("n_phone"),
+        TextOps.markerCount(col("r"), "[IP]").as("n_ip"),
+        col("r").as("redacted"))
   }
 
   final case class Tick(user_id: Long, tsSec: Long, side: Int, value: Double)
