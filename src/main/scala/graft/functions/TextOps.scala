@@ -27,20 +27,34 @@ object TextOps {
   val PhonePat = "\\d{3}-555-\\d{4}"
   val IpPat = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
 
-  /** (email, phone, ip) match counts, as long columns. */
+  /** (email, phone, ip) independent match counts, as long columns.
+    * 6-regex-pass shape — retained ONLY as the spec-side cross-check
+    * oracle for [[redactedSpanCounts]] (CurationSpec); production paths
+    * (q120, piiRedactStream) use the 3-pass marker arithmetic. Note the
+    * semantics differ on nested matches (an IP inside an email counts
+    * here but is consumed by the email pass there) — the spec law holds
+    * on non-nested inputs. */
   def piiCounts(text: Column): Seq[Column] = Seq(
     size(regexp_extract_all(text, lit(EmailPat), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(PhonePat), lit(0))).cast("long"),
     size(regexp_extract_all(text, lit(IpPat), lit(0))).cast("long"))
 
   /** Occurrences of a literal marker, by length-difference arithmetic —
-    * codegen'd string ops, no regex. Counting [EMAIL]/[PHONE]/[IP] in
-    * REDACTED text gives the span counts with 3 regex passes instead of
-    * 6 (the counts are "spans redacted", identical to match counts when
-    * the input carries no pre-existing markers). */
+    * codegen'd string ops, no regex. */
   def markerCount(text: Column, marker: String): Column =
     ((length(text) - length(replace(text, lit(marker), lit(""))))
       / marker.length).cast("long")
+
+  /** Spans redacted for one marker type: markers in the REDACTED text
+    * minus markers already present in the ORIGINAL — robust to input
+    * that happens to carry a literal [EMAIL]/[PHONE]/[IP] (redaction
+    * only ever ADDS markers, so the delta is exact). Gives the span
+    * counts with 3 regex passes instead of 6; the residual caveat is
+    * nested PII (an IP inside an email is consumed by the email pass,
+    * so it counts as part of that email redaction, not as an IP) — the
+    * honest "what did this pass replace" semantic for a scrubber. */
+  def redactedSpanCounts(orig: Column, red: Column, marker: String): Column =
+    markerCount(red, marker) - markerCount(orig, marker)
 
   /** All PII spans replaced by [EMAIL] / [PHONE] / [IP]. */
   def piiRedact(text: Column): Column =

@@ -273,15 +273,18 @@ object TextQueries {
         |    ' ip 10.' || (doc_id % 256) || '.0.' || ((doc_id * 7) % 256) AS t
         |  FROM documents),
         |red AS (
-        |  SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(t,
+        |  SELECT doc_id, t, regexp_replace(regexp_replace(regexp_replace(t,
         |    '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '[EMAIL]', 'g'),
         |    '\d{3}-555-\d{4}', '[PHONE]', 'g'),
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '[IP]', 'g') AS r
         |  FROM aug)
         |SELECT doc_id,
-        |  (length(r) - length(replace(r, '[EMAIL]', ''))) // 7 AS n_email,
-        |  (length(r) - length(replace(r, '[PHONE]', ''))) // 7 AS n_phone,
-        |  (length(r) - length(replace(r, '[IP]', ''))) // 4 AS n_ip,
+        |  (length(r) - length(replace(r, '[EMAIL]', ''))) // 7
+        |    - (length(t) - length(replace(t, '[EMAIL]', ''))) // 7 AS n_email,
+        |  (length(r) - length(replace(r, '[PHONE]', ''))) // 7
+        |    - (length(t) - length(replace(t, '[PHONE]', ''))) // 7 AS n_phone,
+        |  (length(r) - length(replace(r, '[IP]', ''))) // 4
+        |    - (length(t) - length(replace(t, '[IP]', ''))) // 4 AS n_ip,
         |  md5(r) AS red_fp
         |FROM red ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
@@ -296,18 +299,20 @@ object TextQueries {
         lpad((id % 10000).cast("string"), 4, "0"),
         lit(" ip 10."), (id % 256).cast("string"), lit(".0."),
         ((id * 7) % 256).cast("string"))
-      // counts come from the REDACTED text's markers (3 regex passes, not
-      // 6 — TextOps.markerCount is codegen'd length arithmetic); the
-      // redacted string projects to a column so the regex chain runs once
+      // counts are the marker DELTA between redacted and original text (3
+      // regex passes, not 6 — TextOps.redactedSpanCounts is codegen'd
+      // length arithmetic), so input that happens to carry a literal
+      // [EMAIL]/[PHONE]/[IP] can't inflate the counts; the redacted
+      // string projects to a column so the regex chain runs once
       // (CollapseProject declines to inline an expensive expression
       // referenced 4 times — the q46 digest pattern)
       docs(s, d).select(col("doc_id"), aug.as("t"))
-        .select(col("doc_id"), TextOps.piiRedact(col("t")).as("r"))
+        .select(col("doc_id"), col("t"), TextOps.piiRedact(col("t")).as("r"))
         .select(
           col("doc_id"),
-          TextOps.markerCount(col("r"), "[EMAIL]").as("n_email"),
-          TextOps.markerCount(col("r"), "[PHONE]").as("n_phone"),
-          TextOps.markerCount(col("r"), "[IP]").as("n_ip"),
+          TextOps.redactedSpanCounts(col("t"), col("r"), "[EMAIL]").as("n_email"),
+          TextOps.redactedSpanCounts(col("t"), col("r"), "[PHONE]").as("n_phone"),
+          TextOps.redactedSpanCounts(col("t"), col("r"), "[IP]").as("n_ip"),
           md5(col("r")).as("red_fp"))
         .orderBy("doc_id")
     },

@@ -132,13 +132,15 @@ object EventStreams {
     */
   def piiRedactStream(docs: DataFrame): DataFrame = {
     import graft.functions.TextOps
-    // q120's 3-pass shape: redact once into a column, counts from marker
-    // length arithmetic (no second set of regex scans)
-    docs.select(col("doc_id"), TextOps.piiRedact(col("text")).as("r"))
+    // q120's 3-pass shape: redact once into a column, counts from the
+    // marker DELTA vs the original (length arithmetic, no second set of
+    // regex scans, robust to pre-existing markers in the input)
+    docs.select(col("doc_id"), col("text"),
+        TextOps.piiRedact(col("text")).as("r"))
       .select(col("doc_id"),
-        TextOps.markerCount(col("r"), "[EMAIL]").as("n_email"),
-        TextOps.markerCount(col("r"), "[PHONE]").as("n_phone"),
-        TextOps.markerCount(col("r"), "[IP]").as("n_ip"),
+        TextOps.redactedSpanCounts(col("text"), col("r"), "[EMAIL]").as("n_email"),
+        TextOps.redactedSpanCounts(col("text"), col("r"), "[PHONE]").as("n_phone"),
+        TextOps.redactedSpanCounts(col("text"), col("r"), "[IP]").as("n_ip"),
         col("r").as("redacted"))
   }
 

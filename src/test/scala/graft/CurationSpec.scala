@@ -66,6 +66,43 @@ class CurationSpec extends SparkSpec {
     assert(bad.count() == 0)
   }
 
+  test("q120 law: marker-delta span counts equal independent 6-pass counts on non-nested input") {
+    // the production 3-pass shape (redact once, count marker deltas) must
+    // agree with the retained 6-pass oracle (independent regexp_extract_all
+    // per pattern) whenever no match nests inside another — which the q120
+    // corpus guarantees (emails carry no embedded IPs/phones)
+    import graft.functions.TextOps
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), concat(col("text"),
+        lit(" u"), col("doc_id").cast("string"), lit("@x.example.org"),
+        lit(" 207-555-0101 at 10.1.2."),
+        (col("doc_id") % 250).cast("string")).as("t"))
+      .select(col("doc_id"), col("t"), TextOps.piiRedact(col("t")).as("r"))
+    val Seq(e6, p6, i6) = TextOps.piiCounts(col("t"))
+    val bad = docs.filter(
+      TextOps.redactedSpanCounts(col("t"), col("r"), "[EMAIL]") =!= e6
+        || TextOps.redactedSpanCounts(col("t"), col("r"), "[PHONE]") =!= p6
+        || TextOps.redactedSpanCounts(col("t"), col("r"), "[IP]") =!= i6)
+    assert(bad.count() == 0)
+  }
+
+  test("q120 law: pre-existing literal markers do not inflate span counts") {
+    import graft.functions.TextOps
+    // input already containing [EMAIL]/[IP] text: plain markerCount over
+    // the redacted string would over-count; the delta form stays exact
+    val df = Seq(
+      ("[EMAIL] was already here, plus real a@b.co", 1L, 0L, 0L),
+      ("[IP] [IP] and 10.0.0.1", 0L, 0L, 1L),
+      ("[PHONE] only, nothing real", 0L, 0L, 0L)).toDF("t", "ne", "np", "ni")
+      .select(col("t"), col("ne"), col("np"), col("ni"),
+        TextOps.piiRedact(col("t")).as("r"))
+    val bad = df.filter(
+      TextOps.redactedSpanCounts(col("t"), col("r"), "[EMAIL]") =!= col("ne")
+        || TextOps.redactedSpanCounts(col("t"), col("r"), "[PHONE]") =!= col("np")
+        || TextOps.redactedSpanCounts(col("t"), col("r"), "[IP]") =!= col("ni"))
+    assert(bad.count() == 0)
+  }
+
   // --- q121 SemDeDup ---------------------------------------------------
 
   test("q121: pairs are within-cluster, ordered, above threshold") {
