@@ -1171,6 +1171,88 @@ object DedupQueries {
         .select(col("cluster"), col("id_a"), col("id_b"),
           (round(col("cosr"), 4) + lit(0.0)).as("sim"))
         .orderBy("cluster", "id_a", "id_b")
+    },
+
+    // Duplicated-span REMOVAL (the exact-substring dedup of Lee et al.
+    // 2022 / RefinedWeb, at 5-gram granularity): q115 only SCORES the
+    // fraction of cross-doc duplicated 5-grams — this query actually
+    // rewrites the corpus, dropping every token covered by a 5-gram that
+    // occurs in >= 2 distinct documents, and emits the cleaned text's md5
+    // plus before/after token counts. Scale shape: one tokenize ->
+    // positional 5-gram hashes (i64 via md5_prefix64 BEFORE any exchange,
+    // the q54/q109 lesson) -> distinct-per-doc df hash-agg -> gram-keyed
+    // join back -> covered positions via a bounded x5 sequence explode ->
+    // (doc, idx)-keyed LEFT ANTI against the token stream -> per-doc
+    // reassembly with ONE bounded collect_list (sorted by position).
+    // Everything is linear in corpus size; the only per-doc state is the
+    // kept-token list, bounded by document length. n_tokens is derived
+    // from the already-exploded token stream (partial+final count) so the
+    // documents table is scanned exactly twice (tokens + shingles), not
+    // three times.
+    Q(
+      "q126_dup_span_removal",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |tok AS (
+        |  SELECT doc_id, i AS idx, ws[i] AS w
+        |  FROM t, unnest(range(1, len(ws) + 1)) AS u(i)),
+        |sh AS (
+        |  SELECT doc_id, i AS start,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5(array_to_string(ws[i:i+4], ' ')), j, 1))
+        |            - 1) * 16.0 ** (8 - j))) AS BIGINT) AS g
+        |  FROM t, unnest(range(1, len(ws) - 3)) AS u(i)
+        |  WHERE len(ws) >= 5),
+        |dfd AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM sh)
+        |        GROUP BY g HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT s.doc_id, c.idx
+        |        FROM sh s JOIN dfd USING (g),
+        |             unnest(range(s.start, s.start + 5)) AS c(idx)),
+        |kept AS (SELECT tok.doc_id, tok.idx, tok.w FROM tok
+        |         ANTI JOIN cov
+        |         ON tok.doc_id = cov.doc_id AND tok.idx = cov.idx),
+        |base AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens
+        |         FROM tok GROUP BY doc_id),
+        |k AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_kept,
+        |        md5(string_agg(w, ' ' ORDER BY idx)) AS clean_md5
+        |      FROM kept GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+        |  coalesce(k.clean_md5, md5('')) AS clean_md5
+        |FROM base b LEFT JOIN k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin
+    ) { (s, d) =>
+      val tok = docs(s, d).select(col("doc_id"),
+          posexplode(TextOps.tokens(col("text"))).as(Seq("idx", "w")))
+      val sh = docs(s, d).select(col("doc_id"),
+        posexplode(transform(
+          TextOps.shingles(TextOps.tokens(col("text")), 5),
+          sg => call_function("md5_prefix64", sg))).as(Seq("start", "g")))
+      val dfd = sh.select("doc_id", "g").distinct()
+        .groupBy("g").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2).select("g")
+      // every join below keys on computed/exploded SF-scaled sides — the
+      // broadcast estimator can't be trusted there (doctrine), so each is
+      // pinned to a shuffled hash join
+      val cov = sh.join(dfd.hint("shuffle_hash"), "g")
+        .select(col("doc_id"),
+          explode(sequence(col("start"), col("start") + 4)).as("idx"))
+        .distinct()
+      val kept = tok.join(cov.hint("shuffle_hash"),
+        Seq("doc_id", "idx"), "left_anti")
+      val base = tok.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tokens"))
+      val k = kept.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_kept"),
+          md5(array_join(transform(
+            array_sort(collect_list(struct(col("idx"), col("w")))),
+            p => p("w")), " ")).as("clean_md5"))
+      base.join(k.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
+        .orderBy("doc_id")
     }
   )
 }
