@@ -933,6 +933,80 @@ object PipelineQueries {
         .agg(count(lit(1)).cast("long").as("picked"),
           sum(col("doc_id")).cast("long").as("sum_ids"))
         .orderBy("lang", "source")
+    },
+
+    // DSIR-style importance weighting (Xie et al. 2023, "Data Selection
+    // via Importance Resampling"): hashed n-gram features (unigrams +
+    // bigrams into 1024 buckets), per-bucket target/raw frequency ratios
+    // (target = the English subset), per-doc importance weight = mean
+    // bucket ratio over the doc's features, then a rank-free
+    // hash-threshold resample with P(keep) ~ weight/2. All arithmetic is
+    // integer (Q20 fixed-point ratios, add-one smoothing, BIGINT sums) so
+    // both engines select the identical set — the log-sum form of the
+    // paper is libm-dependent cross-engine; the mean-ratio form is the
+    // same signal exactly computable. Weight is capped at 4.0 (Q20
+    // 4194304) so hash·M products stay far under 2^63 at any corpus size.
+    // Scale shape: feature stream -> 1024-row bucket histogram (map-side
+    // combined, fixed cardinality) -> ratio table BROADCAST back (1024
+    // rows — genuinely fixed-size, the one join where broadcast is right
+    // by construction) -> per-doc partial+final sum. The feature stream is
+    // regenerated rather than checkpointed — a stateless codegen map over
+    // the scan is cheaper at 100 TB than materializing the exploded
+    // stream. NOTE: the synthetic corpus draws every language from one
+    // shared vocabulary, so measured weights sit near the global prior
+    // (~0.57-0.62); the gate checks the machinery, not separation.
+    Q(
+      "q127_dsir_weights",
+      """WITH t AS (SELECT doc_id, lang, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |feat AS (
+        |  SELECT doc_id, lang,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(f), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) % 1024 AS b
+        |  FROM t, unnest(list_concat(ws,
+        |    list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1]))) AS u(f)),
+        |bc AS (SELECT b,
+        |    sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS ct,
+        |    sum(CASE WHEN lang <> 'en' THEN 1 ELSE 0 END) AS cr
+        |  FROM feat GROUP BY b),
+        |r AS (SELECT b, (ct + 1) * 1048576 // (cr + 1) AS rb FROM bc),
+        |sc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS nfeat,
+        |    CAST(sum(r.rb) AS BIGINT) AS score
+        |  FROM feat f JOIN r USING (b) GROUP BY f.doc_id)
+        |SELECT doc_id, nfeat, score,
+        |  CAST(least(score // nfeat, 4194304) AS BIGINT) AS w_q20,
+        |  CAST(CASE WHEN (doc_id * 2654435761) % 1000000007 * 2097152
+        |            < least(score // nfeat, 4194304) * 1000000007
+        |       THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM sc ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps
+      val feat = docs(s, d).select(col("doc_id"), col("lang"),
+        explode(ArrayOps.bindOnce(TextOps.tokens(col("text"))) { ws =>
+          concat(ws, TextOps.shingles(ws, 2))
+        }).as("f"))
+        .select(col("doc_id"), col("lang"),
+          (call_function("md5_prefix64", col("f")) % 1024).as("b"))
+      val bc = feat.groupBy("b").agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("ct"),
+        sum(when(col("lang") =!= "en", 1L).otherwise(0L)).as("cr"))
+      val r = bc.select(col("b"),
+        expr("(ct + 1) * 1048576 div (cr + 1)").as("rb"))
+      feat.join(broadcast(r), "b")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("nfeat"),
+          sum(col("rb")).cast("long").as("score"))
+        .select(col("doc_id"), col("nfeat"), col("score"),
+          least(expr("score div nfeat"), lit(4194304L)).cast("long")
+            .as("w_q20"),
+          expr("""CAST(CASE WHEN (doc_id * 2654435761) % 1000000007
+                 |          * 2097152 < least(score div nfeat, 4194304)
+                 |          * 1000000007
+                 |     THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
+            .as("kept"))
+        .orderBy("doc_id")
     }
   )
 }
