@@ -398,6 +398,47 @@ object TextQueries {
         .agg(count(lit(1)).cast("long").as("cnt"))
         .orderBy(col("cnt").desc, col("pair"))
         .limit(20)
+    },
+
+    // Linear quality-classifier inference (the fasttext-style
+    // classifier-based filtering of GPT-3/LLaMA curation): score = sum of
+    // per-token weights from a hashed feature table, keep if the margin
+    // clears 0. Weights here are a deterministic pure function of the
+    // token hash (md5_prefix64 % 2001 - 1000 ∈ [-1000, 1000]) so the
+    // query is self-contained and oracle-exact; a trained model would
+    // swap in a broadcast weight map without changing the plan. The
+    // 100 TB story is the whole point: inference is ONE codegen'd map
+    // stage — per-row HOF aggregate over the token list, no explode, no
+    // exchange of any kind before the final sort — so it scales with scan
+    // bandwidth alone. All-integer arithmetic; kept is a BOOLEAN on both
+    // sides.
+    Q(
+      "q128_classifier_filter",
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |           FROM documents),
+        |s AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(list_sum(list_transform(ws, w ->
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) % 2001 - 1000))
+        |    AS BIGINT) AS margin
+        |  FROM t)
+        |SELECT doc_id, n_tokens, margin, margin > 0 AS kept
+        |FROM s ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps
+      docs(s, d).select(col("doc_id"),
+          ArrayOps.bindOnce(TextOps.tokens(col("text"))) { ws =>
+            struct(size(ws).cast("long").as("n_tokens"),
+              aggregate(
+                transform(ws, w =>
+                  call_function("md5_prefix64", w) % 2001L - 1000L),
+                lit(0L), (acc, x) => acc + x).as("margin"))
+          }.as("m"))
+        .select(col("doc_id"), col("m.n_tokens").as("n_tokens"),
+          col("m.margin").as("margin"),
+          (col("m.margin") > 0).as("kept"))
+        .orderBy("doc_id")
     }
   )
 }
