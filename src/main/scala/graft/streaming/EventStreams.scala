@@ -27,6 +27,27 @@ object EventStreams {
       .select(unix_timestamp(col("window.start")).as("hour_start"),
         col("event_type"), col("n"), col("sum_val"))
 
+  /** Native event-time session windows — the DECLARATIVE sessionization
+    * path, complementing `sessionize`'s explicit keyed state: Spark's
+    * `session_window` merges each event's [ts, ts+gap) interval with
+    * overlapping ones inside a dedicated session-aggregate operator, the
+    * state store holds ONE interval per open (user, session), and the
+    * watermark closes sessions and emits them in append mode. The same
+    * expression runs unchanged on a static frame (batch twin asserted in
+    * StreamingSpec against a lag-window reference). Boundary semantics:
+    * a gap EXACTLY equal to `gap` starts a new session (intervals are
+    * half-open), i.e. new-session iff diff >= gap. */
+  def sessionWindows(events: DataFrame, gap: String = "30 minutes")
+      : DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_timestamp(col("session_window.start")).as("start_s"),
+        unix_timestamp(col("session_window.end")).as("end_s"),
+        col("n_events"))
+
   /** Streaming keep-first dedup by (user_id, event_type) within the
     * watermark horizon. Batch twin: q65_event_dedup. */
   def dedupFirst(events: DataFrame): DataFrame =

@@ -335,4 +335,58 @@ class StreamingSpec extends SparkSpec {
       assert(got.contains(Session(1, 500.0, 500.0, 1)))
     } finally query.stop()
   }
+
+  test("sessionWindows (batch): native session_window = lag-window twin") {
+    // same expression as the stream, run on the static events table; the
+    // reference is the q64 lag-window form with the session_window
+    // boundary semantics (new session iff diff >= gap, half-open windows)
+    val sf = "/root/testdata/sf0.001"
+    val events = Tables.events(spark, sf)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val sec = col("ts").cast("double")
+    val prev = lag(sec, 1).over(w)
+    val expected = events
+      .withColumn("new_session",
+        when(sec - prev >= 1800 || prev.isNull, 1).otherwise(0))
+      .groupBy("user_id")
+      .agg(sum("new_session").cast("long").as("n_sessions"),
+        count(lit(1)).as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val got = EventStreams.sessionWindows(events, "30 minutes")
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"), sum("n_events").as("n_events"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got == expected)
+    assert(expected.values.exists(_._1 > 1),
+      "no user with >1 session in fixture — gate is vacuous")
+  }
+
+  test("sessionWindows (stream): append-mode sessions close via watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(java.sql.Timestamp, Long)]
+    val events = mem.toDF().toDF("ts", "user_id")
+    val sessions = EventStreams.sessionWindows(events, "100 seconds")
+
+    val query = sessions.writeStream
+      .format("memory").queryName("swin_test").outputMode("append").start()
+    try {
+      def ts(s: Long) = new java.sql.Timestamp(1704067200000L + s * 1000)
+      // user 1: burst of 2 then a lone event 200s later (> gap);
+      // user 2: one event
+      mem.addData((ts(0), 1L), (ts(50), 1L), (ts(200), 1L), (ts(10), 2L))
+      query.processAllAvailable()
+      // advance the watermark (1h delay) far past every session end
+      mem.addData((ts(8000), 99L))
+      query.processAllAvailable()
+      val got = spark.table("swin_test")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3)))
+        .toSet
+      val t0 = 1704067200L
+      assert(got == Set((1L, t0, 2L), (1L, t0 + 200, 1L), (2L, t0 + 10, 1L)),
+        s"got=$got")
+    } finally query.stop()
+  }
 }
