@@ -21,16 +21,28 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 refuses to read
-    * as a timestamp. Read it as raw nanos (legacy conf) and rebuild a
-    * microsecond timestamp with integer division (nanos exceed 2^53, so
-    * `div`, never double `/`). DuckDB does the same ns→us truncation.
+  /** `events.ts` arrives as either parquet TIMESTAMP(MICROS) (readable
+    * directly) or TIMESTAMP(NANOS), which Spark 4 refuses to read as a
+    * timestamp. For the nanos layout, read raw nanos (legacy conf) and
+    * rebuild a microsecond timestamp with integer division (nanos exceed
+    * 2^53, so `div`, never double `/`). DuckDB truncates ns→us the same
+    * way, so both generations hash identically through the gate.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.expr(
+          "timestamp_micros(ts div 1000)"))
+      case _: org.apache.spark.sql.types.TimestampNTZType =>
+        // Session TZ is pinned to UTC (GraftSession), so NTZ→LTZ is a
+        // semantic no-op; LTZ keeps epoch-arithmetic casts (ts AS DOUBLE)
+        // legal, matching the type the nanos path produces.
+        raw.withColumn("ts", raw("ts").cast(
+          org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
