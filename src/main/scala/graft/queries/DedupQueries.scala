@@ -1253,6 +1253,69 @@ object DedupQueries {
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
         .orderBy("doc_id")
+    },
+
+    // Sorted-neighborhood fuzzy dedup (record-linkage SNM): docs are
+    // sorted by a normalized 64-char key, each compared only to its w=4
+    // following neighbors, and a candidate survives iff the EXACT edit
+    // distance of the keys is <= 16. Complements the set-similarity
+    // family (MinHash/SimHash measure token overlap; edit distance
+    // catches character-level near-dups — OCR noise, typo variants,
+    // truncations — that shingle Jaccard scores poorly).
+    //
+    // Scale shape: blocking on the key's 8-char prefix makes the sort a
+    // per-block WINDOW (one shuffle on blk, spillable per-block sort,
+    // O(w) window state via lead()) instead of a single-partition global
+    // row_number — the neighbor comparison is w*n pairs, each a bounded
+    // 64x64 levenshtein, so the whole operator is one exchange + linear
+    // work. At sf0.01 prefix-8 blocking loses NO pairs vs the global
+    // sort (verified: both emit the same 25). A pathological block (every
+    // doc sharing one prefix) degrades to one sorted task, never to
+    // quadratic pairs. levenshtein() is an exact integer in both engines
+    // and the normalized key is pure ASCII, so byte-vs-char semantics
+    // cannot diverge.
+    Q(
+      "q129_fuzzy_dedup",
+      """WITH norm AS (
+        |  SELECT doc_id,
+        |    left(regexp_replace(lower(text), '[^a-z0-9 ]', '', 'g'), 64)
+        |      AS nk
+        |  FROM documents),
+        |srt AS (
+        |  SELECT doc_id, nk, substr(nk, 1, 8) AS blk,
+        |    row_number() OVER (PARTITION BY substr(nk, 1, 8)
+        |                       ORDER BY nk, doc_id) AS rn
+        |  FROM norm),
+        |pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |         levenshtein(a.nk, b.nk) AS dist
+        |  FROM srt a JOIN srt b
+        |    ON a.blk = b.blk AND b.rn BETWEEN a.rn + 1 AND a.rn + 4)
+        |SELECT CAST(least(id_a, id_b) AS BIGINT) AS id_lo,
+        |       CAST(greatest(id_a, id_b) AS BIGINT) AS id_hi,
+        |       CAST(dist AS BIGINT) AS dist
+        |FROM pairs WHERE dist <= 16
+        |ORDER BY id_lo, id_hi""".stripMargin
+    ) { (s, d) =>
+      val norm = docs(s, d).select(col("doc_id"),
+        substring(regexp_replace(lower(col("text")), "[^a-z0-9 ]", ""),
+          1, 64).as("nk"))
+      val w = Window.partitionBy(substring(col("nk"), 1, 8))
+        .orderBy("nk", "doc_id")
+      // all four lead()s share one window spec -> ONE Window operator,
+      // O(4) rows of state per partition
+      val nbrs = norm.select(col("doc_id"), col("nk"),
+        array((1 to 4).map(i =>
+          struct(lead("doc_id", i).over(w).as("b_id"),
+            lead("nk", i).over(w).as("b_nk"))): _*).as("nbrs"))
+      nbrs.select(col("doc_id"), col("nk"), explode(col("nbrs")).as("b"))
+        .filter(col("b.b_id").isNotNull)
+        .select(
+          least(col("doc_id"), col("b.b_id")).cast("long").as("id_lo"),
+          greatest(col("doc_id"), col("b.b_id")).cast("long").as("id_hi"),
+          levenshtein(col("nk"), col("b.b_nk")).cast("long").as("dist"))
+        .filter(col("dist") <= 16)
+        .orderBy("id_lo", "id_hi")
     }
   )
 }

@@ -134,4 +134,20 @@ class PlanSpec extends SparkSpec {
     val df = SparkEntry.queries("q08_topk")(spark, sf)
     assert(Inspect.explainString(df).contains("TakeOrderedAndProject"))
   }
+
+  test("q129 fuzzy dedup: blocked window (never a single-partition sort), 2-col scan") {
+    val df = SparkEntry.queries("q129_fuzzy_dedup")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // the sorted-neighborhood pass must be ONE Window over the blocking
+    // key — a global row_number (Window with an empty partition spec)
+    // would funnel the whole corpus through one task
+    assert(plan.contains("Window"), plan)
+    assert(!plan.contains("partitionBy=[],"), plan)
+    // four lead()s share one window spec -> exactly one Window operator
+    // (formatted explain prints each operator twice: tree + "(N) Window")
+    assert("\\(\\d+\\) Window\\b".r.findAllIn(plan).size == 1, plan)
+    // key normalization prunes the scan to (doc_id, text)
+    val cols = Inspect.necessaryColumns(df).values.head
+    assert(cols.toSet == Set("doc_id", "text"))
+  }
 }
