@@ -1007,6 +1007,109 @@ object PipelineQueries {
                  |     THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
             .as("kept"))
         .orderBy("doc_id")
+    },
+
+    // Spectral outlier scoring: two rounds of power iteration over the
+    // (uncentered) Gram matrix AᵀA recover the corpus's dominant
+    // embedding direction, and each vector's projection onto it ranks
+    // "spectral outliers" — the embedding-space analogue of the quality
+    // signals (a cluster of near-identical or adversarial vectors shows
+    // up as extreme |projection|). Made cross-engine EXACT by the q118
+    // discipline: embeddings quantize to round(x·1e4) BIGINT once; every
+    // per-row dot d_i = Σ v_ij·u_j stays < 2^53 so the codegen'd
+    // dot_product double sum is integer-exact; the dim-wise re-expansion
+    // w_j = Σ_i v_ij·d_i aggregates as BIGINT (order-free under any
+    // partial-agg order). The only doubles are the two normalizations
+    // w/max|w| — identical long→double casts and one IEEE division in
+    // both engines — immediately re-quantized to integers.
+    //
+    // Scale shape per round: d is a map-only stage (broadcast 1-row
+    // direction), w is ONE posexplode→partial+final agg shuffle of 64
+    // narrow (dim, x·d) integers per vector, the direction rebuild is a
+    // 64-row bounded gather, each round localCheckpoints its 1-row
+    // direction so round N+1 never re-runs round N. Overflow at scale is
+    // handled like the adaptive LSH widths: d_i shifts right by
+    // k = max(0, bitlen(n) − 16) (floor shift `>>` in BOTH engines,
+    // derived in-plan from count(*)), keeping |Σ_i v_ij·d_i| < 2^63 at
+    // any corpus size while k = 0 at every gate SF — gate outputs are
+    // byte-identical to the unshifted form. Output: top-20 |projection|
+    // vectors with their exact integer projections (scale 1e8).
+    Q(
+      "q130_power_iteration",
+      """WITH kk AS (SELECT GREATEST(0, length(bin(count(*))) - 16) AS k
+        |           FROM embeddings),
+        |ei AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |d0 AS (SELECT vec_id, v, CAST(list_sum(v) AS BIGINT) >> kk.k AS ds
+        |       FROM ei, kk),
+        |w1 AS (
+        |  SELECT u.i AS dim, sum(d0.v[u.i] * d0.ds) AS w
+        |  FROM d0, range(1, 65) u(i) GROUP BY u.i),
+        |m1 AS (SELECT GREATEST(max(abs(w)), 1) AS m FROM w1),
+        |u1 AS (SELECT list(CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+        |                    * 10000) AS BIGINT) ORDER BY dim) AS u
+        |       FROM w1, m1 GROUP BY m),
+        |d1 AS (
+        |  SELECT vec_id, v,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> v[i] * u1.u[i])) AS BIGINT) >> kk.k AS ds
+        |  FROM ei, u1, kk),
+        |w2 AS (
+        |  SELECT u.i AS dim, sum(d1.v[u.i] * d1.ds) AS w
+        |  FROM d1, range(1, 65) u(i) GROUP BY u.i),
+        |m2 AS (SELECT GREATEST(max(abs(w)), 1) AS m FROM w2),
+        |u2 AS (SELECT list(CAST(round(CAST(w AS DOUBLE) / CAST(m AS DOUBLE)
+        |                    * 10000) AS BIGINT) ORDER BY dim) AS u
+        |       FROM w2, m2 GROUP BY m),
+        |proj AS (
+        |  SELECT vec_id,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> v[i] * u2.u[i])) AS BIGINT) AS p
+        |  FROM ei, u2)
+        |SELECT CAST(vec_id AS BIGINT) AS vec_id, p AS proj
+        |FROM proj ORDER BY abs(p) DESC, vec_id LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      val kDf = emb(s, d).agg(
+        greatest(length(bin(count(lit(1)))) - 16, lit(0)).cast("int")
+          .as("k"))
+      val ei = emb(s, d).select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 10000).cast("long")).as("v"))
+        .localCheckpoint(true)
+      val vDbl = transform(col("v"), _.cast("double"))
+      // one power-iteration round: 1-row direction table -> next 1-row
+      // direction table (map-only dot + one 64-wide integer agg shuffle)
+      def iterate(uRow: DataFrame): DataFrame = {
+        val uDbl = transform(col("u"), _.cast("double"))
+        val w = ei.crossJoin(broadcast(uRow)).crossJoin(broadcast(kDf))
+          .withColumn("d",
+            call_function("dot_product", vDbl, uDbl).cast("long"))
+          .withColumn("ds", expr("shiftright(d, k)"))
+          .select(posexplode(col("v")).as(Seq("dim", "x")), col("ds"))
+          .groupBy("dim").agg(sum(col("x") * col("ds")).as("w"))
+        w.crossJoin(broadcast(
+            w.agg(greatest(max(abs(col("w"))), lit(1L)).as("m"))))
+          .select(col("dim"),
+            round(col("w").cast("double") / col("m").cast("double")
+              * 10000).cast("long").as("u"))
+          .groupBy().agg(transform(
+            sort_array(collect_list(struct(col("dim"), col("u")))),
+            r => r.getField("u")).as("u"))
+          .localCheckpoint(true)
+      }
+      val u0 = ei.limit(1).select(
+        transform(col("v"), _ => lit(1L)).as("u"))
+      val u2 = iterate(iterate(u0))
+      ei.crossJoin(broadcast(u2))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          call_function("dot_product", vDbl,
+            transform(col("u"), _.cast("double"))).cast("long").as("proj"))
+        .orderBy(abs(col("proj")).desc, col("vec_id"))
+        .limit(20)
     }
   )
 }
