@@ -276,4 +276,37 @@ object EventStreams {
           }
       }(e4, e2)
   }
+
+  final case class AttrEv(event_id: Long, user_id: Long,
+      ts: java.sql.Timestamp, value: Double)
+
+  /** Stream-stream INTERVAL join (attribution): each purchase joins the
+    * same user's views from the preceding hour. This is the streaming
+    * join shape with bounded state: BOTH inputs carry watermarks and the
+    * predicate bounds each side's event time relative to the other, so
+    * the state store can evict a buffered row as soon as the opposite
+    * side's watermark passes its last possible match — state is O(events
+    * inside the 1 h + watermark horizon) per side, independent of stream
+    * length. Without the two time bounds Spark would have to buffer both
+    * streams forever (it rejects such joins in append mode). The same
+    * expression runs unchanged on static frames — the batch twin
+    * StreamingSpec asserts equivalence against. */
+  def attributionJoin(views: DataFrame, purchases: DataFrame): DataFrame = {
+    val v = views
+      .select(col("event_id").as("view_id"), col("user_id"),
+        col("ts").as("view_ts"))
+      .withWatermark("view_ts", "1 hour")
+    val p = purchases
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"),
+        col("value"))
+      .withWatermark("purchase_ts", "1 hour")
+    v.join(p,
+        col("user_id") === col("p_user") &&
+          col("purchase_ts") >= col("view_ts") &&
+          col("purchase_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("purchase_id"), col("user_id"), col("view_id"),
+        unix_timestamp(col("view_ts")).as("view_s"),
+        unix_timestamp(col("purchase_ts")).as("purchase_s"), col("value"))
+  }
 }

@@ -389,4 +389,40 @@ class StreamingSpec extends SparkSpec {
         s"got=$got")
     } finally query.stop()
   }
+
+  test("stream-stream interval join EQUALS the batch join on the events table") {
+    // Attribution join equivalence: the same view/purchase split of the
+    // real sf0.001 events (sides by event parity), joined once as two
+    // MemoryStreams and once as static frames through the SAME
+    // attributionJoin expression. Every (purchase, view) pair must agree.
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams.AttrEv
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf).filter(col("user_id") < 40)
+      .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      .as[AttrEv].collect().toSeq
+    val (views, purchases) = evs.partition(_.event_id % 2 == 0)
+    assert(views.nonEmpty && purchases.nonEmpty)
+
+    val memV = MemoryStream[AttrEv]
+    val memP = MemoryStream[AttrEv]
+    val q = EventStreams.attributionJoin(memV.toDF(), memP.toDF())
+      .writeStream.format("memory").queryName("attr_equiv")
+      .outputMode("append").start()
+    val streamed =
+      try {
+        memV.addData(views)
+        memP.addData(purchases)
+        q.processAllAvailable()
+        spark.table("attr_equiv")
+          .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+      } finally q.stop()
+
+    val batch = EventStreams.attributionJoin(
+        views.toDF(), purchases.toDF())
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "fixture produced no attributed pairs")
+    assert(streamed == batch,
+      s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
+  }
 }
