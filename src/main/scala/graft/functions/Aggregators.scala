@@ -43,4 +43,58 @@ object Aggregators {
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
+
+  /** Misra–Gries heavy-hitters sketch: at most k counters, O(k) state per
+    * partial regardless of input size. Deterministic guarantee (no
+    * randomness, unlike count-min): every item with true frequency
+    * > n/(k+1) survives, and each reported count c satisfies
+    * true − n/(k+1) <= c <= true. The merge is Agarwal et al.'s
+    * mergeable-summaries rule — sum counters, then subtract the
+    * (k+1)-largest value and drop non-positives — which preserves the
+    * same bound under ANY partial-aggregation tree, so Spark's map-side
+    * combine + final merge costs one O(k) state per task and one O(k)
+    * row per shuffle. The vocabulary-heavy-hitters shape (what terms
+    * dominate a 100 TB corpus) without q95's full term-keyed shuffle.
+    */
+  final case class MG(k: Int, counts: Map[String, Long]) {
+    def add(item: String, w: Long): MG =
+      counts.get(item) match {
+        case Some(c) => copy(counts = counts.updated(item, c + w))
+        case None if counts.size < k =>
+          copy(counts = counts.updated(item, w))
+        case None =>
+          // decrement-all by the incoming weight, capped at the current
+          // min (the classic "cancel one occurrence of everything")
+          val d = math.min(w, counts.values.min)
+          val dec = counts.view.mapValues(_ - d).filter(_._2 > 0).toMap
+          val rest = w - d
+          if (rest > 0) MG(k, dec).add(item, rest)
+          else copy(counts = dec)
+      }
+    def ++(o: MG): MG = {
+      val sum = o.counts.foldLeft(counts) { case (m, (i, c)) =>
+        m.updated(i, m.getOrElse(i, 0L) + c)
+      }
+      if (sum.size <= k) copy(counts = sum)
+      else {
+        val d = sum.values.toSeq.sorted(Ordering[Long].reverse)(k)
+        copy(counts = sum.view.mapValues(_ - d).filter(_._2 > 0).toMap)
+      }
+    }
+  }
+  final class FreqItemsAgg(k: Int)
+      extends Aggregator[String, MG, Seq[(String, Long)]] {
+    override def zero: MG = MG(k, Map.empty)
+    override def reduce(b: MG, a: String): MG = b.add(a, 1L)
+    override def merge(x: MG, y: MG): MG = x ++ y
+    /** Survivors sorted by retained count desc, then item — determinism
+      * of the ORDER is guaranteed; the retained counts themselves are
+      * order-dependent (as for any MG), only their error bound is not. */
+    override def finish(r: MG): Seq[(String, Long)] =
+      r.counts.toSeq.sortBy { case (i, c) => (-c, i) }
+    override def bufferEncoder: Encoder[MG] = Encoders.product[MG]
+    override def outputEncoder: Encoder[Seq[(String, Long)]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[(String, Long)]]()
+  }
 }
