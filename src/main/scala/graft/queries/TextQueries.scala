@@ -439,6 +439,48 @@ object TextQueries {
           col("m.margin").as("margin"),
           (col("m.margin") > 0).as("kept"))
         .orderBy("doc_id")
+    },
+
+    // Vocabulary heavy hitters via sketch-candidates + exact rescore: a
+    // Misra–Gries k=64 sketch (Aggregators.FreqItemsAgg — O(k) state per
+    // task, ONE 64-counter row per partial, no term-keyed shuffle) finds
+    // the candidate set; the guaranteed-survival theorem (every term with
+    // count > n/(k+1) is retained under any merge tree) means candidates
+    // ⊇ the true heavy hitters, and the exact rescore — count only words
+    // matching the broadcast 64-term candidate list — trims the rest. The
+    // output is therefore DETERMINISTIC (exactly the terms with
+    // count·65 > n, with exact counts) even though the sketch's internal
+    // counters are order-dependent; the oracle computes the plain
+    // GROUP BY + HAVING form. At 100 TB the sketch pass replaces the
+    // full-vocabulary exchange with two scans + an O(64) broadcast —
+    // the candidate-pruning pattern for frequency queries at scale.
+    Q(
+      "q131_heavy_hitters",
+      """WITH w AS (SELECT unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |wf AS (SELECT w FROM w WHERE len(w) > 0),
+        |n AS (SELECT count(*) AS n FROM wf)
+        |SELECT w, CAST(count(*) AS BIGINT) AS cnt
+        |FROM wf, n GROUP BY w, n.n HAVING count(*) * 65 > n.n
+        |ORDER BY cnt DESC, w""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.Aggregators.FreqItemsAgg
+      val words = docs(s, d)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+      val cand = words.select(col("w")).as[String](
+          org.apache.spark.sql.Encoders.STRING)
+        .select(new FreqItemsAgg(64).toColumn) // typed select (TypedColumn)
+        .toDF("hh")
+        .select(explode(col("hh")).as("p"))
+        .select(col("p._1").as("w"))
+      val tot = words.agg(count(lit(1)).as("n"))
+      words.join(broadcast(cand), "w")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(tot))
+        .filter(col("cnt") * 65 > col("n"))
+        .select(col("w"), col("cnt").cast("long").as("cnt"))
+        .orderBy(desc("cnt"), col("w"))
     }
   )
 }
