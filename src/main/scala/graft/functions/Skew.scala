@@ -27,4 +27,26 @@ object Skew {
       .agg(merges.head, merges.tail: _*)
       .withColumnRenamed("__key", "key")
   }
+
+  /** Salted equi-join for a skewed LEFT (fact) side: the dimension side is
+    * replicated `saltBuckets` times (explode over the salt range — fine
+    * for dimension tables, the side that is small-per-key but too big or
+    * too key-skewed to broadcast whole), the fact side gets a
+    * DETERMINISTIC per-row salt from a row hash, and the join keys on
+    * (key, salt) — a hot key's rows now land on `saltBuckets` reducers
+    * instead of one. Semantically identical to `left.join(right, keys)`
+    * for any 1-row-per-key right side; the salt never leaves the join.
+    * This is the explicit form of what AQE skew-split does at runtime —
+    * needed when a single key exceeds what one split can absorb, or when
+    * the optimizer's stats miss the skew (computed keys).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, key: String,
+      saltBuckets: Int): DataFrame = {
+    val saltedL = left.withColumn("__salt",
+      pmod(xxhash64(left.columns.map(col).toIndexedSeq: _*),
+        lit(saltBuckets.toLong)).cast("int"))
+    val saltedR = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltBuckets - 1))))
+    saltedL.join(saltedR, Seq(key, "__salt")).drop("__salt")
+  }
 }

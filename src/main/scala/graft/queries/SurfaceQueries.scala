@@ -146,6 +146,39 @@ object SurfaceQueries {
         .orderBy("key")
     },
 
+    // Salted equi-JOIN (Skew.saltedJoin) — the join-side twin of q113's
+    // salted aggregation: the per-source dimension is replicated over 8
+    // salt values, the fact side salts deterministically by row hash, and
+    // the join keys on (source, salt) so a hot source's rows spread over
+    // 8 reducers instead of one. The oracle is the PLAIN join: salting
+    // must be semantically invisible. (At gate SF the 20-row dim would
+    // simply broadcast; the query pins the explicit salted form the way
+    // q113 pins salted agg — the tool for when AQE's skew split can't
+    // absorb one key and the dim is too large or too key-skewed to
+    // broadcast whole.)
+    Q(
+      "q132_salted_join",
+      """WITH base AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        |  FROM documents),
+        |dim AS (SELECT source, sum(toks) AS src_toks
+        |        FROM base GROUP BY source)
+        |SELECT b.doc_id, b.source, b.toks,
+        |  CAST(d.src_toks AS BIGINT) AS src_toks
+        |FROM base b JOIN dim d USING (source)
+        |ORDER BY b.doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.{Skew, TextOps}
+      val base = Tables.documents(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("toks"))
+      val dim = base.groupBy("source")
+        .agg(sum("toks").cast("long").as("src_toks"))
+      Skew.saltedJoin(base, dim, "source", saltBuckets = 8)
+        .select(col("doc_id"), col("source"), col("toks"), col("src_toks"))
+        .orderBy("doc_id")
+    },
+
     // Tagged-union round-trip (reference UnionForm; same flattening as its
     // JSONSchema export, io/json.py:867-870): build the tagged struct,
     // serialize it (nulls KEPT so the inactive variants are visible to the

@@ -481,6 +481,68 @@ object TextQueries {
         .filter(col("cnt") * 65 > col("n"))
         .select(col("w"), col("cnt").cast("long").as("cnt"))
         .orderBy(desc("cnt"), col("w"))
+    },
+
+    // Distribution-drift monitor: per-source total-variation distance of
+    // the term distribution vs the whole corpus, over 16 hashed term
+    // buckets — the "did this crawl/source shift?" signal a training
+    // pipeline watches between snapshots. All arithmetic is integer
+    // fixed-point: per-bucket shares quantize to Q20 (o·2^20 div n,
+    // floor division of non-negatives — identical in both engines) and
+    // the drift is Σ_b |p_b − q_b|, bounded by 2^21, so no double ever
+    // appears and no log/χ² libm divergence is possible. Scale shape:
+    // one explode → (source, bucket) partial+final count agg (the only
+    // corpus-sized shuffle), then 16-row and |sources|-row side tables
+    // broadcast onto the bounded grid — per-source output, O(16)
+    // state anywhere downstream of the count.
+    Q(
+      "q133_dist_drift",
+      """WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS w
+        |           FROM documents),
+        |wf AS (SELECT source,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    j -> (strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1)
+        |         * 16.0 ** (8 - j))) AS BIGINT) % 16 AS b
+        |  FROM w WHERE len(w) > 0),
+        |sb AS (SELECT source, b, CAST(count(*) AS BIGINT) AS o
+        |       FROM wf GROUP BY source, b),
+        |st AS (SELECT source, sum(o) AS n FROM sb GROUP BY source),
+        |tb AS (SELECT b, sum(o) AS t FROM sb GROUP BY b),
+        |tot AS (SELECT sum(o) AS N FROM sb),
+        |grid AS (SELECT st.source, st.n, tb.b, tb.t
+        |         FROM st CROSS JOIN tb),
+        |cells AS (
+        |  SELECT g.source, g.n, g.b, g.t, coalesce(sb.o, 0) AS o
+        |  FROM grid g LEFT JOIN sb
+        |    ON sb.source = g.source AND sb.b = g.b)
+        |SELECT c.source, CAST(c.n AS BIGINT) AS n_toks,
+        |  CAST(sum(abs(c.o * 1048576 // c.n - c.t * 1048576 // tot.N))
+        |       AS BIGINT) AS drift_q20
+        |FROM cells c, tot GROUP BY c.source, c.n
+        |ORDER BY c.source""".stripMargin
+    ) { (s, d) =>
+      val wf = docs(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .filter(length(col("w")) > 0)
+        .select(col("source"),
+          pmod(call_function("md5_prefix64", col("w")), lit(16L)).as("b"))
+      val sb = wf.groupBy("source", "b")
+        .agg(count(lit(1)).as("o"))
+      val st = sb.groupBy("source").agg(sum("o").as("n"))
+      val tb = sb.groupBy("b").agg(sum("o").as("t"))
+      val tot = sb.agg(sum("o").as("ntot"))
+      val grid = st.crossJoin(broadcast(tb))
+      val cells = grid.join(sb.hint("shuffle_hash"), Seq("source", "b"),
+          "left")
+        .select(col("source"), col("n"), col("b"), col("t"),
+          coalesce(col("o"), lit(0L)).as("o"))
+      cells.crossJoin(broadcast(tot))
+        .groupBy(col("source"), col("n"))
+        .agg(sum(abs(expr("o * 1048576 div n") -
+          expr("t * 1048576 div ntot"))).cast("long").as("drift_q20"))
+        .select(col("source"), col("n").cast("long").as("n_toks"),
+          col("drift_q20"))
+        .orderBy("source")
     }
   )
 }

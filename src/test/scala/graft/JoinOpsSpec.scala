@@ -181,4 +181,19 @@ class JoinOpsSpec extends SparkSpec {
     // [lo, hi): -7.5 and -0.1 in tier 0; 0.0 and 4.9 in tier 1
     assert(got == Set((0L, 0L), (1L, 0L), (2L, 1L), (3L, 1L)))
   }
+
+  test("saltedJoin equals the plain equi-join (salting semantically invisible)") {
+    // a pathologically hot key: 900 of 1000 fact rows share key "hot"
+    val fact = (0 until 1000).map(i =>
+      (i.toLong, if (i < 900) "hot" else s"k${i % 7}")).toDF("id", "key")
+    val dim = Seq(("hot", 1L), ("k0", 2L), ("k1", 3L), ("k2", 4L),
+      ("k3", 5L), ("k4", 6L), ("k5", 7L), ("k6", 8L)).toDF("key", "v")
+    val salted = graft.functions.Skew.saltedJoin(fact, dim, "key", 8)
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    val plain = fact.join(dim, "key")
+      .select("id", "v").collect().map(r => (r.getLong(0), r.getLong(1)))
+      .toSet
+    assert(salted == plain && salted.size == 1000)
+  }
 }
