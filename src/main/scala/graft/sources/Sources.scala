@@ -127,4 +127,40 @@ object Sources {
   /** to_text (single string column). */
   def toText(df: DataFrame, dest: String): Unit =
     df.write.mode("overwrite").text(dest)
+
+  /** ORC read — the Spark-native columnar alternative to parquet with the
+    * same optimizer surface: predicate pushdown, column pruning, and
+    * stripe/row-group skipping all arrive through the identical
+    * FileSourceScan path (SourcesSpec asserts pushdown parity with the
+    * parquet reader). `columns=` mirrors fromParquet's projection. */
+  def fromOrc(spark: SparkSession, path: String,
+      columns: Seq[String] = Nil): DataFrame = {
+    val df = spark.read.orc(path)
+    if (columns.nonEmpty) df.select(columns.map(df.col): _*) else df
+  }
+
+  /** ORC write (one file per partition, same commit protocol). */
+  def toOrc(df: DataFrame, dest: String, overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error").orc(dest)
+
+  /** CSV read: explicit `schema` skips inference (and is the scale path —
+    * inference scans the data twice); `header`/`delimiter` cover the
+    * common dialect knobs. Malformed rows follow the session's
+    * PERMISSIVE/DROPMALFORMED/FAILFAST mode option. */
+  def fromCsv(spark: SparkSession, path: String,
+      schema: Option[StructType] = None,
+      header: Boolean = true,
+      delimiter: String = ","): DataFrame = {
+    val r = spark.read
+      .option("header", header)
+      .option("delimiter", delimiter)
+      .option("inferSchema", schema.isEmpty)
+    schema.fold(r)(r.schema).csv(path)
+  }
+
+  /** CSV write. */
+  def toCsv(df: DataFrame, dest: String, header: Boolean = true,
+      overwrite: Boolean = true): Unit =
+    df.write.mode(if (overwrite) "overwrite" else "error")
+      .option("header", header).csv(dest)
 }

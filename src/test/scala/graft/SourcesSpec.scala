@@ -71,15 +71,30 @@ class SourcesSpec extends SparkSpec {
   test("ORC and CSV round-trips (format breadth beyond the reference)") {
     val data = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "s", "v")
     val orcDir = tmp("orc")
-    data.write.mode("overwrite").orc(orcDir)
-    val orcBack = spark.read.orc(orcDir).orderBy("id")
+    Sources.toOrc(data, orcDir)
+    val orcBack = Sources.fromOrc(spark, orcDir).orderBy("id")
     assert(orcBack.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
       .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // ORC rides the same FileSourceScan path as parquet: projection and
+    // predicate both reach the scan
+    val pruned = Sources.fromOrc(spark, orcDir, columns = Seq("id", "v"))
+      .filter(col("v") > 2.0)
+    assert(Inspect.necessaryColumns(pruned).values.head.toSet ==
+      Set("id", "v"))
+    assert(Inspect.pushedFilters(pruned).mkString(";").contains("v"))
+
     val csvDir = tmp("csv")
-    data.write.mode("overwrite").option("header", true).csv(csvDir)
-    val csvBack = spark.read.option("header", true).option("inferSchema", true)
-      .csv(csvDir).orderBy("id")
-    assert(csvBack.collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    Sources.toCsv(data, csvDir)
+    // explicit schema (the scale path — no inference scan)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val csvBack = Sources.fromCsv(spark, csvDir, schema = Some(schema))
+      .orderBy("id")
+    assert(csvBack.collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSeq == Seq((1L, "a", 1.5), (2L, "b", 2.5)))
+    // inferred-schema path still round-trips
+    val inferred = Sources.fromCsv(spark, csvDir).orderBy("id")
+    assert(inferred.collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
       .toSeq == Seq((1, "a", 1.5), (2, "b", 2.5)))
   }
 
