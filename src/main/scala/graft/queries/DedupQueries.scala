@@ -762,6 +762,54 @@ object DedupQueries {
         .orderBy("group_id")
     },
 
+    // Leakage-guarded train/val/test split — the reason dedup groups
+    // exist: a random per-doc split leaks near-duplicates of training
+    // docs into eval. Here the split key is the doc's connected-component
+    // label (singletons fall back to their own id), so an entire near-dup
+    // group lands in ONE split by construction; the 80/10/10 assignment
+    // is the established rank-free integer hash (functions/Mixing
+    // constants — one map stage, no per-split shuffle). Same CC machinery
+    // as q92/q111 (degree-bounded edges, checkpointed rounds); the only
+    // additions are a left join of all ids onto the group labels and a
+    // per-row hash — both scale-free.
+    Q(
+      "q134_group_split",
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id AS vec_id, min(r) AS group_id FROM reach
+        |        GROUP BY id),
+        |base AS (
+        |  SELECT e.vec_id, coalesce(g.group_id, e.vec_id) AS group_id
+        |  FROM embeddings e LEFT JOIN grp g USING (vec_id)),
+        |h AS (SELECT vec_id, group_id,
+        |        (group_id * 2654435761) % 1000000007 % 10 AS b FROM base)
+        |SELECT vec_id, group_id,
+        |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM h ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.Mixing
+      val grp = graft.functions.GraphOps
+        .connectedComponents(rpEdges(s, d), "id_a", "id_b")
+        .select(col("id").as("vec_id"), col("lbl").as("group_id"))
+      val base = emb(s, d).select(col("vec_id"))
+        .join(grp.hint("shuffle_hash"), Seq("vec_id"), "left")
+        .select(col("vec_id"),
+          coalesce(col("group_id"), col("vec_id")).as("group_id"))
+      base
+        .withColumn("b", expr(
+          s"(group_id * ${Mixing.HashMul}) % ${Mixing.HashMod} % 10"))
+        .select(col("vec_id"), col("group_id"),
+          when(col("b") < 8, "train").when(col("b") === 8, "val")
+            .otherwise("test").as("split"))
+        .orderBy("vec_id")
+    },
+
     // Capstone pipeline: the composed training-data flow — quality filter
     // -> MinHash bucket dedup (keep min doc per bucket) -> join embeddings
     // -> per-language corpus stats. One shuffle per stage boundary; every
