@@ -1364,6 +1364,113 @@ object DedupQueries {
           levenshtein(col("nk"), col("b.b_nk")).cast("long").as("dist"))
         .filter(col("dist") <= 16)
         .orderBy("id_lo", "id_hi")
+    },
+
+    // Product-quantization ANN (the storage-side scale path beyond IVF
+    // q58): split the 64-d embedding into M=4 subspaces of 16 dims, code
+    // each subvector as the argmax-dot codebook entry (K=8 deterministic
+    // seeds, vec_id < 8), and score queries against the CODES ONLY via an
+    // asymmetric lookup table — at 100 TB the corpus is touched as 4
+    // small ints per vector, not 64 floats. Plan shape: one broadcast of
+    // the 8-row codebook -> per-row subspace dots (codegen dot_product on
+    // slices) -> ONE partial+final max_by agg for the codes; the 3-row
+    // 32-entry LUT is built by a bounded collect_list and broadcast back,
+    // so ADC scoring is map-only (element_at, fixed left-to-right add
+    // order mirrored by the oracle's CASE pivot — a bare SQL sum() over
+    // the 4 subspace terms would be summation-order-nondeterministic);
+    // top-5 per query goes through WindowGroupLimit (per-task partial
+    // top-k before the 3-key exchange); exact rescore joins only the 15
+    // survivors, broadcast. Cites reference similarity scope:
+    // /root/reference/src/dask_awkward/lib/core.py (no ANN — north-star
+    // mandate operator).
+    Q(
+      "q138_pq_ann",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+        |             FROM embeddings WHERE vec_id < 8),
+        |subdots AS (
+        |  SELECT e.vec_id, c.cid, m.m,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CAST(e.embedding[m.m * 16 + i] AS DOUBLE) *
+        |           CAST(c.cv[m.m * 16 + i] AS DOUBLE))) AS d
+        |  FROM embeddings e, cent c, (SELECT unnest(range(0, 4)) AS m) m),
+        |codes AS (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |                         ORDER BY d DESC, cid) AS rn
+        |    FROM subdots) t WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS qid, s.m, s.cid, s.d FROM subdots s
+        |  WHERE s.vec_id IN (20, 21, 22)),
+        |adc AS (
+        |  SELECT l.qid, k.vec_id,
+        |    max(CASE WHEN l.m = 0 THEN l.d END) +
+        |    max(CASE WHEN l.m = 1 THEN l.d END) +
+        |    max(CASE WHEN l.m = 2 THEN l.d END) +
+        |    max(CASE WHEN l.m = 3 THEN l.d END) AS adc
+        |  FROM codes k JOIN lut l ON l.m = k.m AND l.cid = k.cid
+        |  WHERE k.vec_id != l.qid
+        |  GROUP BY l.qid, k.vec_id),
+        |top5 AS (
+        |  SELECT qid, vec_id AS cand_id, adc FROM (
+        |    SELECT qid, vec_id, adc,
+        |      row_number() OVER (PARTITION BY qid
+        |                         ORDER BY adc DESC, vec_id) AS rn
+        |    FROM adc) t WHERE rn <= 5)
+        |SELECT t.qid, t.cand_id AS vec_id, round(t.adc, 4) + 0 AS adc_dot,
+        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) *
+        |         CAST(q.embedding[i] AS DOUBLE))), 4) + 0 AS exact_dot
+        |FROM top5 t
+        |JOIN embeddings e ON e.vec_id = t.cand_id
+        |JOIN embeddings q ON q.vec_id = t.qid
+        |ORDER BY qid, adc_dot DESC, vec_id""".stripMargin
+    ) { (s, d) =>
+      val e = emb(s, d)
+      val qids = Seq(20L, 21L, 22L)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val dcols = (0 until 4).map(m => TextOps.dot(
+        slice(col("embedding"), m * 16 + 1, 16),
+        slice(col("cv"), m * 16 + 1, 16)).as(s"d$m"))
+      val withD = e.crossJoin(broadcast(cent))
+        .select(Seq(col("vec_id"), col("cid")) ++ dcols: _*)
+      val codes = withD.groupBy("vec_id").agg(
+        max_by(col("cid"), struct(col("d0"), -col("cid"))).as("c0"),
+        max_by(col("cid"), struct(col("d1"), -col("cid"))).as("c1"),
+        max_by(col("cid"), struct(col("d2"), -col("cid"))).as("c2"),
+        max_by(col("cid"), struct(col("d3"), -col("cid"))).as("c3"))
+      // 3 queries x 4 subspaces x 8 centroids -> one 32-slot array per
+      // query, slot index m*8 + cid (bounded collect_list, 32 elements)
+      val lutArr = withD.filter(col("vec_id").isin(qids: _*))
+        .selectExpr("vec_id as qid", "cid",
+          "stack(4, 0, d0, 1, d1, 2, d2, 3, d3) as (m, ld)")
+        .groupBy("qid")
+        .agg(transform(
+          array_sort(collect_list(struct(
+            (col("m") * 8 + col("cid")).cast("int").as("i"),
+            col("ld").as("v")))),
+          x => x.getField("v")).as("lut"))
+      val scored = codes.crossJoin(broadcast(lutArr))
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"),
+          (element_at(col("lut"), col("c0").cast("int") + 1) +
+            element_at(col("lut"), col("c1").cast("int") + 9) +
+            element_at(col("lut"), col("c2").cast("int") + 17) +
+            element_at(col("lut"), col("c3").cast("int") + 25)).as("adc"))
+      val topw = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
+      val top5 = scored.withColumn("rn", row_number().over(topw))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("cand_id"), col("adc"))
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("ev"))
+        .join(broadcast(top5), "cand_id")
+        .join(broadcast(e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))), "qid")
+        .select(col("qid"), col("cand_id").as("vec_id"),
+          (round(col("adc"), 4) + lit(0.0)).as("adc_dot"),
+          (round(TextOps.dot(col("ev"), col("qv")), 4) + lit(0.0))
+            .as("exact_dot"))
+        .orderBy(col("qid"), col("adc_dot").desc, col("vec_id"))
     }
   )
 }

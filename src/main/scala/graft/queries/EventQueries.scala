@@ -426,6 +426,132 @@ object EventQueries {
         .groupBy("user_id")
         .agg(count(lit(1)).cast("long").as("n_overlaps"))
         .orderBy("user_id")
+    },
+
+    // Funnel analysis: view -> click -> purchase, each stage within 7 days
+    // of the previous one, earliest-qualifying-event semantics. Three
+    // conditional min-aggregations chained by an equi-join on user_id —
+    // each stage is one hash shuffle on the same key (AQE co-partitions),
+    // never a per-user sort or collect. All arithmetic is integer
+    // microseconds (epoch_us / unix_micros), lags floored to whole seconds
+    // per user BEFORE the cross-user sum so the average is integer-exact
+    // cross-engine (Σ of per-user DOUBLES would be summation-order-
+    // dependent; Σ of BIGINTs is not).
+    Q(
+      "q135_funnel",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us FROM events),
+        |s1 AS (SELECT user_id, min(us) AS t1 FROM e
+        |       WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.us) AS t2, min(s1.t1) AS t1
+        |       FROM e JOIN s1 USING (user_id)
+        |       WHERE e.event_type = 'click' AND e.us > s1.t1
+        |         AND e.us <= s1.t1 + 604800000000 GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.us) AS t3, min(s2.t2) AS t2
+        |       FROM e JOIN s2 USING (user_id)
+        |       WHERE e.event_type = 'purchase' AND e.us > s2.t2
+        |         AND e.us <= s2.t2 + 604800000000 GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT CAST(1 AS BIGINT) AS stage_ord, 'view' AS stage,
+        |         count(*) AS n_users, CAST(0 AS BIGINT) AS avg_lag_s FROM s1
+        |  UNION ALL
+        |  SELECT 2, 'click', count(*), CAST(CASE WHEN count(*) = 0 THEN 0
+        |    ELSE sum((t2 - t1) // 1000000) // count(*) END AS BIGINT) FROM s2
+        |  UNION ALL
+        |  SELECT 3, 'purchase', count(*), CAST(CASE WHEN count(*) = 0 THEN 0
+        |    ELSE sum((t3 - t2) // 1000000) // count(*) END AS BIGINT) FROM s3
+        |) ORDER BY stage_ord""".stripMargin
+    ) { (s, d) =>
+      val e = ev(s, d).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val horizon = 604800000000L // 7 days in micros
+      val s1 = e.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("us").as("t1"))
+      val s2 = e.filter(col("event_type") === "click").join(s1, "user_id")
+        .filter(col("us") > col("t1") && col("us") <= col("t1") + horizon)
+        .groupBy("user_id").agg(min("us").as("t2"), min("t1").as("t1"))
+      val s3 = e.filter(col("event_type") === "purchase")
+        .join(s2.select("user_id", "t2"), "user_id")
+        .filter(col("us") > col("t2") && col("us") <= col("t2") + horizon)
+        .groupBy("user_id").agg(min("us").as("t3"), min("t2").as("t2"))
+      def stage(df: org.apache.spark.sql.DataFrame, ord: Int, nm: String,
+          lagSecs: org.apache.spark.sql.Column) =
+        df.agg(count(lit(1)).as("n_users"), lagSecs.as("sl"))
+          .select(lit(ord.toLong).as("stage_ord"), lit(nm).as("stage"),
+            col("n_users"),
+            when(col("n_users") === 0, 0L)
+              .otherwise(expr("sl div n_users")).as("avg_lag_s"))
+      stage(s1, 1, "view", lit(0L))
+        .unionByName(stage(s2, 2, "click",
+          sum(expr("(t2 - t1) div 1000000"))))
+        .unionByName(stage(s3, 3, "purchase",
+          sum(expr("(t3 - t2) div 1000000"))))
+        .orderBy("stage_ord")
+    },
+
+    // Weekly retention cohorts: cohort = a user's first active epoch-week,
+    // cells = distinct users active at each week offset. One exchange on
+    // user_id (whole-partition window min — no second scan or self-join),
+    // then distinct + partial/final count. Epoch-week integer bucketing
+    // (cast-to-seconds floor div 604800) sidesteps engine date_trunc /
+    // timezone divergence entirely.
+    Q(
+      "q136_retention",
+      """WITH w AS (SELECT user_id,
+        |    CAST(floor(epoch(ts)) AS BIGINT) // 604800 AS wk FROM events),
+        |c AS (SELECT user_id, wk,
+        |    min(wk) OVER (PARTITION BY user_id) AS cohort FROM w),
+        |act AS (SELECT DISTINCT user_id, cohort, wk - cohort AS offs FROM c)
+        |SELECT cohort, offs, count(*) AS n_users
+        |FROM act GROUP BY cohort, offs ORDER BY cohort, offs""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+      ev(s, d)
+        .select(col("user_id"), expr("cast(ts as long) div 604800").as("wk"))
+        .withColumn("cohort", min("wk").over(w))
+        .select(col("user_id"), col("cohort"),
+          (col("wk") - col("cohort")).as("offs"))
+        .distinct()
+        .groupBy("cohort", "offs").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "offs")
+    },
+
+    // Rolling anomaly detection: flag events whose value deviates > 3
+    // sigma from the user's own trailing-20-event baseline. The z-score
+    // test is done entirely in Q2 fixed-point integer algebra —
+    // (n·v − s)² > 9·(n·q − s²) with v = floor(100·value), s/q = window
+    // sum / sum-of-squares — so there is no sqrt, no double accumulation,
+    // and both engines agree bit-exactly regardless of their window-sum
+    // order. Partitioned by user_id (cardinality scales with the data),
+    // never by the 5-value event_type; all three window aggregates share
+    // one frame spec -> ONE Window operator.
+    Q(
+      "q137_rolling_anomaly",
+      """WITH q AS (SELECT event_id, user_id, event_type, ts,
+        |    CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |w AS (SELECT event_id, user_id, event_type, v,
+        |    sum(v) OVER win AS s, sum(v * v) OVER win AS sq,
+        |    count(*) OVER win AS n
+        |  FROM q
+        |  WINDOW win AS (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN 20 PRECEDING AND 1 PRECEDING))
+        |SELECT event_id, user_id, event_type, v
+        |FROM w WHERE n = 20
+        |  AND (20 * v - s) * (20 * v - s) > 9 * (20 * sq - s * s)
+        |ORDER BY event_id""".stripMargin
+    ) { (s, d) =>
+      val win = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        .rowsBetween(-20, -1)
+      ev(s, d)
+        .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
+          floor(col("value") * 100).cast("long").as("v"))
+        .withColumn("s", sum("v").over(win))
+        .withColumn("sq", sum(col("v") * col("v")).over(win))
+        .withColumn("n", count(lit(1)).over(win))
+        .filter(col("n") === 20 &&
+          (lit(20L) * col("v") - col("s")) * (lit(20L) * col("v") - col("s")) >
+            lit(9L) * (lit(20L) * col("sq") - col("s") * col("s")))
+        .select(col("event_id"), col("user_id"), col("event_type"), col("v"))
+        .orderBy("event_id")
     }
   )
 }
