@@ -544,8 +544,13 @@ object EventQueries {
       ev(s, d)
         .select(col("event_id"), col("user_id"), col("event_type"), col("ts"),
           floor(col("value") * 100).cast("long").as("v"))
+        // pre-project v*v so all three aggregates are over plain input
+        // columns of ONE frame spec -> Spark plans a single Window
+        // operator (a derived expression between withColumns splits it
+        // into two passes over every partition)
+        .withColumn("vv", col("v") * col("v"))
         .withColumn("s", sum("v").over(win))
-        .withColumn("sq", sum(col("v") * col("v")).over(win))
+        .withColumn("sq", sum("vv").over(win))
         .withColumn("n", count(lit(1)).over(win))
         .filter(col("n") === 20 &&
           (lit(20L) * col("v") - col("s")) * (lit(20L) * col("v") - col("s")) >
