@@ -557,6 +557,63 @@ object EventQueries {
             lit(9L) * (lit(20L) * col("sq") - col("s") * col("s")))
         .select(col("event_id"), col("user_id"), col("event_type"), col("v"))
         .orderBy("event_id")
+    },
+
+    // Event-type transition matrix (first-order Markov bigrams): per-user
+    // ordered lead() pairs -> partial+final count. The row-normalized
+    // probability is computed over the AGGREGATED k² matrix (25 rows), so
+    // the fixed-cardinality window partition never sees corpus-sized
+    // input; ppm fixed-point keeps it integer-exact.
+    Q(
+      "q139_transitions",
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS a,
+        |    lead(event_type) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS b
+        |  FROM events)
+        |SELECT a, b, count(*) AS n,
+        |  CAST(count(*) * 1000000 // sum(count(*)) OVER (PARTITION BY a)
+        |    AS BIGINT) AS p_ppm
+        |FROM seq WHERE b IS NOT NULL
+        |GROUP BY a, b ORDER BY a, b""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val counts = ev(s, d)
+        .select(col("user_id"), col("event_type").as("a"),
+          lead("event_type", 1).over(w).as("b"))
+        .filter(col("b").isNotNull)
+        .groupBy("a", "b").agg(count(lit(1)).as("n"))
+      counts
+        .withColumn("p_ppm",
+          expr("n * 1000000 div sum(n) over (partition by a)"))
+        .orderBy("a", "b")
+    },
+
+    // Fixed-domain value histogram with gap-filled empty bins (the
+    // reporting twin of q57's cosine histogram): 32 bins over [0, 330),
+    // partial+final count agg, then a left join from the 32-row bin
+    // spine (spark.range — never corpus-sized) fills gaps with 0. Bin
+    // edges exposed as exact integers (bin * 103125 div 10000).
+    Q(
+      "q140_histogram",
+      """WITH b AS (
+        |  SELECT CAST(floor(value / 10.3125) AS BIGINT) AS bin,
+        |         count(*) AS n
+        |  FROM events WHERE value >= 0 AND value < 330 GROUP BY 1),
+        |bins AS (SELECT unnest(range(0, 32)) AS bin)
+        |SELECT bins.bin, COALESCE(b.n, 0) AS n,
+        |  CAST(bins.bin * 103125 // 10000 AS BIGINT) AS lo_int
+        |FROM bins LEFT JOIN b USING (bin) ORDER BY bins.bin""".stripMargin
+    ) { (s, d) =>
+      val b = ev(s, d)
+        .filter(col("value") >= 0 && col("value") < 330)
+        .groupBy(floor(col("value") / 10.3125).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"))
+      s.range(0, 32).select(col("id").as("bin"))
+        .join(b, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
+          expr("bin * 103125 div 10000").as("lo_int"))
+        .orderBy("bin")
     }
   )
 }

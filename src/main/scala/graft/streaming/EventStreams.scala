@@ -119,6 +119,56 @@ object EventStreams {
       }
   }
 
+  final case class FunnelEv(user_id: Long, event_id: Long,
+      event_type: String, us: Long)
+  /** Stage times in epoch micros; -1 = not yet reached. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class StageReach(user_id: Long, stage: Int, lag_s: Long)
+
+  /** Streaming funnel (view -> click -> purchase, 7-day stage horizons):
+    * one tiny FunnelState record per user; a StageReach row is emitted the
+    * moment a user first reaches each stage. Exactly the batch semantics
+    * of q135_funnel (earliest-qualifying-event, integer-micro lags)
+    * under in-order (watermark-respecting) delivery — the same
+    * assumption `sessionize` makes; within a batch events are sorted by
+    * (us, event_id) so batch boundaries can never reorder a user's
+    * history. State is O(1) per user and never grows with stream length.
+    */
+  def funnelStream(events: Dataset[FunnelEv],
+      horizonUs: Long = 604800000000L)(
+      implicit e1: org.apache.spark.sql.Encoder[FunnelState],
+      e2: org.apache.spark.sql.Encoder[StageReach],
+      e3: org.apache.spark.sql.Encoder[Long]): Dataset[StageReach] = {
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, StageReach](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (user: Long, evs: Iterator[FunnelEv],
+            state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.us, e.event_id))
+          var st = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+          val out = scala.collection.mutable.ListBuffer.empty[StageReach]
+          sorted.foreach { ev =>
+            ev.event_type match {
+              case "view" if st.t1 < 0 =>
+                st = st.copy(t1 = ev.us)
+                out += StageReach(user, 1, 0L)
+              case "click" if st.t1 >= 0 && st.t2 < 0 && ev.us > st.t1 &&
+                  ev.us <= st.t1 + horizonUs =>
+                out += StageReach(user, 2, (ev.us - st.t1) / 1000000L)
+                st = st.copy(t2 = ev.us)
+              case "purchase" if st.t2 >= 0 && st.t3 < 0 && ev.us > st.t2 &&
+                  ev.us <= st.t2 + horizonUs =>
+                out += StageReach(user, 3, (ev.us - st.t2) / 1000000L)
+                st = st.copy(t3 = ev.us)
+              case _ =>
+            }
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Streaming benchmark-contamination scoring — the stream-static shape:
     * an unbounded document stream scored against a STATIC probe-shingle
     * set (batch twin: q109). The probe set arrives as a one-row static

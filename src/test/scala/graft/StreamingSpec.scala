@@ -425,4 +425,36 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch,
       s"stream-only=${streamed -- batch} batch-only=${batch -- streamed}")
   }
+
+  test("funnelStream: stage reaches equal the q135 batch funnel on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import EventStreams._
+    val sf = "/root/testdata/sf0.001"
+    // expected: the batch funnel's (stage, n_users, avg_lag_s) rows
+    val expected = SparkEntry.all.find(_.name == "q135_funnel").get
+      .fn(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq
+
+    val evs = Tables.events(spark, sf)
+      .selectExpr("user_id", "event_id", "event_type",
+        "unix_micros(ts) AS us")
+      .as[FunnelEv].collect().sortBy(e => (e.us, e.event_id))
+    val mem = MemoryStream[FunnelEv]
+    val q = EventStreams.funnelStream(mem.toDS()).writeStream
+      .format("memory").queryName("funnel_stream").outputMode("append").start()
+    try {
+      // two ts-ordered batches: state must carry stage progress across the
+      // batch boundary
+      val (b1, b2) = evs.splitAt(evs.length / 2)
+      mem.addData(b1.toIndexedSeq); q.processAllAvailable()
+      mem.addData(b2.toIndexedSeq); q.processAllAvailable()
+      val got = spark.table("funnel_stream").as[StageReach].collect()
+        .groupBy(_.stage).toSeq
+        .map { case (st, rs) =>
+          val n = rs.length.toLong
+          (st.toLong, n, rs.map(_.lag_s).sum / n) }
+        .sortBy(_._1)
+      assert(got == expected, s"streamed=$got batch=$expected")
+    } finally q.stop()
+  }
 }
