@@ -163,6 +163,12 @@ object DedupQueries {
       d: String): Long =
     embCounts.computeIfAbsent(d, dir => emb(s, dir).count())
 
+  private val docCounts =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def docCount(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    docCounts.computeIfAbsent(d, dir => docs(s, dir).count())
+
   private val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
 
   val queries: Seq[Q] = Seq(
@@ -1471,6 +1477,130 @@ object DedupQueries {
           (round(TextOps.dot(col("ev"), col("qv")), 4) + lit(0.0))
             .as("exact_dot"))
         .orderBy(col("qid"), col("adc_dot").desc, col("vec_id"))
+    },
+
+    // EXACT set-similarity join via prefix filtering (AllPairs/PPJoin
+    // family; public MapReduce adaptation: Vernica et al., SIGMOD 2010) —
+    // the deterministic counterpart to the probabilistic MinHash-LSH path
+    // (q52): every Jaccard >= 0.5 shingle-set pair, no false negatives.
+    // Each doc's hashed w-gram set is globally ordered RAREST-FIRST
+    // (df asc, hash asc); a qualifying pair must share an element inside
+    // both prefixes of length m - ceil(m/2) + 1 (pigeonhole on the
+    // required overlap ceil(m/2)), so candidate join keys are by
+    // construction LOW-frequency tokens — the opposite of a skewed
+    // shuffle key. Candidates additionally pass the PPJoin size filter
+    // (m_b in [m_a/2, 2*m_a]) and positional filter
+    // (1 + min(m_a - rn_a, m_b - rn_b) >= ceil((m_a+m_b)/3), the
+    // J >= tau iff |I| >= tau/(1+tau)*(ma+mb) bound) before the exact
+    // integer verify (3*|I| >= ma + mb — no doubles anywhere).
+    //
+    // ADAPTIVE SHINGLE WIDTH (the q88 adaptive-planes doctrine applied
+    // to prefix filtering): on a saturating vocabulary the "rarest"
+    // w-grams of every doc go common as the corpus grows, and prefix
+    // selectivity collapses — measured 40M distinct candidates for 250k
+    // true pairs at the 10x replica with fixed w=3. Width grows with
+    // corpus size, w = 3 + max(0, bitlen(n-1) - 13) div 3 (3 up to 8191
+    // docs — every gate SF, outputs byte-identical to fixed w=3 — then
+    // 4 from ~32k, 5 from ~262k), derived integer-exactly in BOTH
+    // engines; re-measured candidate mass: 253k at 10x (w=4), 27.2M at
+    // 100x (w=5) — candidates ~= true output mass, which is the floor
+    // for an exact join. Per-bucket 256 cap (by doc_id, observed
+    // metric, mirrored in the oracle) bounds any residual mega-cluster.
+    Q(
+      "q141_ppjoin",
+      """WITH wdt AS (SELECT 3 + GREATEST(0,
+        |    length(bin(count(*) - 1)) - 13) // 3 AS wd FROM documents),
+        |ws AS (SELECT doc_id, string_split(text, ' ') AS w, wd
+        |       FROM documents, wdt),
+        |sh AS (SELECT doc_id, list_distinct(list_transform(
+        |    list_transform(range(1, len(w) - wd + 2),
+        |      i -> array_to_string(w[i:i + wd - 1], ' ')),
+        |    s -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS s
+        |  FROM ws),
+        |toks AS (SELECT doc_id, len(s) AS m, unnest(s) AS h FROM sh),
+        |df AS (SELECT h, count(*) AS df FROM toks GROUP BY h),
+        |ranked AS (SELECT t.doc_id, t.m, t.h,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |                       ORDER BY d.df, t.h) AS rn
+        |  FROM toks t JOIN df d USING (h)),
+        |prefix AS (SELECT doc_id, m, h, rn FROM ranked
+        |  WHERE rn <= m - (m + 1) // 2 + 1),
+        |capped AS (SELECT doc_id, m, h, rn FROM (
+        |    SELECT doc_id, m, h, rn,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id) AS brn
+        |    FROM prefix) t WHERE brn <= 256),
+        |cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  WHERE 2 * a.m >= b.m AND 2 * b.m >= a.m
+        |    AND 1 + least(a.m - a.rn, b.m - b.rn) >= (a.m + b.m + 2) // 3),
+        |verify AS (SELECT c.id_a, c.id_b,
+        |    len(list_intersect(x.s, y.s)) AS inter,
+        |    len(x.s) + len(y.s) AS msum
+        |  FROM cand c JOIN sh x ON x.doc_id = c.id_a
+        |               JOIN sh y ON y.doc_id = c.id_b)
+        |SELECT CAST(id_a AS BIGINT) AS id_lo, CAST(id_b AS BIGINT) AS id_hi,
+        |  CAST(inter AS BIGINT) AS inter,
+        |  CAST(msum - inter AS BIGINT) AS uni
+        |FROM verify WHERE 3 * inter >= msum
+        |ORDER BY id_lo, id_hi""".stripMargin
+    ) { (s, d) =>
+      val wdt = 3 + math.max(0,
+        java.lang.Long.toBinaryString(
+          math.max(1L, docCount(s, d) - 1)).length - 13) / 3
+      // hashed shingle set, computed in its OWN projection so the size()
+      // reference below cannot re-trigger the chain (q46 CollapseProject
+      // pattern)
+      val shCol = array_distinct(transform(
+        TextOps.shingles(TextOps.tokens(col("text")), wdt),
+        sg => call_function("md5_prefix64", sg)))
+      // eager localCheckpoint: the sets table feeds THREE consumers (tok
+      // explosion and both verify sides) whose exchanges differ, so
+      // nothing else dedups the shingle+digest compute; ~8 longs/doc-KB,
+      // materializes in O(corpus scan) once (lazy persist would race
+      // AQE's concurrent map stages — q54 note)
+      val sets = docs(s, d).select(col("doc_id"), shCol.as("s"))
+        .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("m"))
+        .localCheckpoint()
+      val toks = sets.select(col("doc_id"), col("m"), explode(col("s")).as("h"))
+      val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+      val byDoc = Window.partitionBy("doc_id").orderBy("df", "h")
+      val ranked = toks.join(dfreq.hint("shuffle_hash"), "h")
+        .withColumn("rn", row_number().over(byDoc))
+      val prefix = ranked
+        .filter(col("rn") <= col("m") - expr("(m + 1) div 2") + 1)
+        .select(col("doc_id"), col("m"), col("h"), col("rn"))
+      // per-bucket cap (one observe on the SHARED subtree, before the
+      // aliases — a per-side observe would kill exchange reuse, q88 note)
+      val byBucket = Window.partitionBy("h").orderBy("doc_id")
+      val capped = prefix.withColumn("__rk", row_number().over(byBucket))
+        .observe("q141_cap",
+          sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_rows"))
+        .filter(col("__rk") <= 256).drop("__rk")
+      val cand = capped.as("a")
+        .join(capped.as("b").hint("shuffle_hash"),
+          col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
+            && lit(2) * col("a.m") >= col("b.m")
+            && lit(2) * col("b.m") >= col("a.m")
+            && lit(1) + least(col("a.m") - col("a.rn"),
+                 col("b.m") - col("b.rn")) >=
+               expr("(a.m + b.m + 2) div 3"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .distinct()
+      val verify = cand
+        .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
+          col("m").as("ma")).hint("shuffle_hash"), "id_a")
+        .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
+          col("m").as("mb")).hint("shuffle_hash"), "id_b")
+        .select(col("id_a"), col("id_b"),
+          size(array_intersect(col("sa"), col("sb"))).cast("long")
+            .as("inter"),
+          (col("ma") + col("mb")).as("msum"))
+      verify.filter(lit(3) * col("inter") >= col("msum"))
+        .select(col("id_a").as("id_lo"), col("id_b").as("id_hi"),
+          col("inter"), (col("msum") - col("inter")).as("uni"))
+        .orderBy("id_lo", "id_hi")
     }
   )
 }

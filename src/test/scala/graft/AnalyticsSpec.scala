@@ -94,4 +94,31 @@ class AnalyticsSpec extends SparkSpec {
     assert(got == expected,
       s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
   }
+
+  test("q141 PPJoin: equals brute-force all-pairs Jaccard on sf0.001") {
+    // from-scratch truth: trigram shingle sets (w=3 at this corpus size),
+    // all C(n,2) pairs, exact integer test 3*|I| >= ma+mb
+    val docs = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "split(text, ' ') AS w").collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1))
+    val sets = docs.map { case (id, w) =>
+      id -> w.sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    }.toMap
+    val ids = sets.keys.toSeq.sorted
+    val expected = (for {
+      i <- ids.indices.iterator; j <- (i + 1) until ids.length
+      a = ids(i); b = ids(j)
+      inter = (sets(a) & sets(b)).size
+      if 3 * inter >= sets(a).size + sets(b).size
+    } yield (a, b, inter.toLong,
+      (sets(a).size + sets(b).size - inter).toLong)).toSet
+    val got = q("q141_ppjoin").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // the engine intersects HASHED shingles (md5_prefix64) — identical
+    // pair membership unless a 32-bit collision lands inside one doc's
+    // set; assert pair-set equality and size agreement
+    assert(got == expected,
+      s"missing=${(expected -- got).take(3)} extra=${(got -- expected).take(3)}")
+  }
 }
