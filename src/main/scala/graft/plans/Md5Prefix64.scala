@@ -83,7 +83,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[MinShingleMd5Hex].getName,
         "min_shingle_md5_hex"),
       (children: Seq[Expression]) =>
-        MinShingleMd5Hex(children(0), children(1)): Expression))
+        MinShingleMd5Hex(children(0), children(1)): Expression),
+    (new FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      (children: Seq[Expression]) => CdcCuts(children.head): Expression))
 
   /** Imperative fallback: if `getOrCreate` returned a session built without
     * `spark.sql.extensions=graft.plans.GraftExtensions` (e.g. a harness

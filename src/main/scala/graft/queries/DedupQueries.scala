@@ -1601,6 +1601,83 @@ object DedupQueries {
         .select(col("id_a").as("id_lo"), col("id_b").as("id_hi"),
           col("inter"), (col("msum") - col("inter")).as("uni"))
         .orderBy("id_lo", "id_hi")
+    },
+
+    // Content-defined chunking dedup: split every document at rolling-
+    // window boundary positions (plans/CdcCuts — h_i = 16-char additive
+    // window sum, cut iff (h_i · 2654435761) % 64 == 0), hash each chunk,
+    // and report per-document duplicated-chunk mass. Unlike q126's fixed
+    // 5-gram spans, CDC boundaries depend only on LOCAL content, so a
+    // one-char insertion shifts at most one chunk before the hash stream
+    // re-synchronizes — the rsync/LBFS property, which is what makes
+    // sub-document dedup workable on near-identical web pages.
+    //
+    // Scale shape: chunking is ONE codegen'd O(n)-per-row expression
+    // (map-only; the declarative equivalent explodes per CHARACTER and
+    // window-sums over a doc_id exchange — the oracle does exactly that,
+    // this plan does not). Chunk hashes are fixed-width md5 hex before
+    // the only data shuffle (CLAUDE.md: never exchange computed string
+    // collections); the duplicate count is a window count over the chash
+    // exchange (no join-back, one exchange fewer than the freq-join
+    // form), then a doc_id re-agg. ~64-char expected chunks keep the
+    // exploded row count ≈ n_chars/64 — linear.
+    Q(
+      "q143_cdc_chunks",
+      """WITH ch AS (
+        |  SELECT doc_id, i, unicode(text[i]) AS code, length(text) AS n
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |), h AS (
+        |  SELECT doc_id, i, n,
+        |    sum(code) OVER (PARTITION BY doc_id ORDER BY i
+        |                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS hsum
+        |  FROM ch
+        |), cuts AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS cut FROM h
+        |  WHERE i >= 16 AND i < n AND (hsum * 2654435761) % 64 = 0
+        |  UNION ALL SELECT doc_id, 0 FROM documents
+        |  UNION ALL SELECT doc_id, length(text) FROM documents
+        |), bounds AS (
+        |  SELECT doc_id, cut AS lo,
+        |    lead(cut) OVER (PARTITION BY doc_id ORDER BY cut) AS hi
+        |  FROM cuts
+        |), chunks AS (
+        |  SELECT doc_id,
+        |    md5(substr(d.text, CAST(lo+1 AS INT), CAST(hi-lo AS INT))) AS chash,
+        |    hi-lo AS clen
+        |  FROM bounds b JOIN documents d USING (doc_id) WHERE hi IS NOT NULL
+        |), w AS (
+        |  SELECT doc_id, clen, count(*) OVER (PARTITION BY chash) AS cnt
+        |  FROM chunks
+        |)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_chunks,
+        |  CAST(sum(CASE WHEN cnt > 1 THEN clen ELSE 0 END) AS BIGINT)
+        |    AS dup_mass
+        |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val chunks = docs(s, d)
+        .select(col("doc_id"), col("text"),
+          call_function("cdc_cuts", col("text")).as("cuts"),
+          length(col("text")).cast("long").as("n"))
+        .select(col("doc_id"), col("text"),
+          concat(array(lit(0L)), col("cuts"), array(col("n"))).as("bs"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(bs) - 2), j -> named_struct(" +
+            "'chash', md5(substring(text, CAST(element_at(bs, j+1) + 1 AS INT), " +
+            "CAST(element_at(bs, j+2) - element_at(bs, j+1) AS INT))), " +
+            "'clen', element_at(bs, j+2) - element_at(bs, j+1)))")).as("c"))
+        .select(col("doc_id"), col("c.chash").as("chash"),
+          col("c.clen").as("clen"))
+      chunks
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy("chash")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_chunks"),
+          sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long")
+            .as("dup_chunks"),
+          sum(when(col("cnt") > 1, col("clen")).otherwise(0L)).cast("long")
+            .as("dup_mass"))
+        .orderBy("doc_id")
     }
   )
 }

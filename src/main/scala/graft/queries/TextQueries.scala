@@ -543,6 +543,151 @@ object TextQueries {
         .select(col("source"), col("n").cast("long").as("n_toks"),
           col("drift_q20"))
         .orderBy("source")
+    },
+
+    // Full BPE vocabulary induction — the complete tokenizer-training
+    // loop (q48 is one merge step; this is the whole inner iteration of
+    // Sennrich-style byte-pair encoding): corpus word counts → char-level
+    // symbol sequences → K rounds of (count adjacent symbol pairs weighted
+    // by word frequency, merge the argmax pair everywhere). Emits the
+    // merge table (round, pair, count) — the artifact a tokenizer ships.
+    //
+    // Scale shape: the only corpus-scale stage is the word-count
+    // aggregation (map-side partial agg + one narrow shuffle, then a
+    // bounded TakeOrderedAndProject top-V); the merge loop runs on the
+    // collected top-V vocabulary — ≤1024 (word,count) rows ≈ 16 KB of
+    // driver state INDEPENDENT of corpus size, the same
+    // bounded-state-to-driver pattern as q100's k-means seeds. Every real
+    // BPE trainer has this shape: distributed counting, V-bounded merges.
+    // Determinism: argmax ties break (count DESC, left ASC, right ASC) —
+    // ASCII lexicographic in both engines; Java String.replace and SQL
+    // replace() are both non-overlapping left-to-right scans, so greedy
+    // merge semantics agree (" l l l " -> " ll l ").
+    Q("q142_bpe_vocab", TextQueries.bpeOracle(6)) { (s, d) =>
+      val vocab = docs(s, d)
+        .select(explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
+        .orderBy(col("cnt").desc, col("w")).limit(1024)
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+      var repr: Array[(String, Long)] = vocab.map { case (w, c) =>
+        (" " + w.toCharArray.mkString(" ") + " ", c)
+      }
+      val merges =
+        scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+      for (round <- 1 to 6) {
+        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+        repr.foreach { case (rep, c) =>
+          val syms = rep.trim.split(" ")
+          var i = 0
+          while (i < syms.length - 1) {
+            val k = (syms(i), syms(i + 1))
+            counts(k) = counts.getOrElse(k, 0L) + c
+            i += 1
+          }
+        }
+        if (counts.nonEmpty) {
+          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+          merges += ((round.toLong, l, r, c))
+          repr = repr.map { case (rep, cc) =>
+            (rep.replace(" " + l + " " + r + " ", " " + l + r + " "), cc)
+          }
+        }
+      }
+      s.createDataFrame(merges.toSeq)
+        .toDF("round", "sym_l", "sym_r", "pair_cnt")
+        .orderBy("round")
+    },
+
+    // PMI collocation mining: top-50 adjacent word pairs by pointwise
+    // mutual information. Ranking metric: PMI = log(p(ab)/(p(a)p(b))) is
+    // monotone in cnt_ab·N/(cnt_a·cnt_b); N is constant across pairs, so
+    // ranking by the N-free ratio in Q20.20 fixed point —
+    // ((cnt_ab<<20)/cnt_a<<20)/cnt_b — is PMI order, integer-exact in
+    // both engines at any corpus size (max value 2^40, no overflow, no
+    // libm log). Scale shape: unigram counts are MARGINALS of the bigram
+    // count table (Σ_b pc(a,b)), so one corpus-scale explode+agg feeds
+    // everything; the two marginal aggs and joins run on the vocab²-sized
+    // pair table (shuffle_hash, never a forced broadcast — vocabulary
+    // grows with corpus).
+    Q(
+      "q144_pmi_colloc",
+      """WITH toks AS (SELECT string_split(text, ' ') AS s FROM documents),
+        |bi AS (
+        |  SELECT list_extract(s, i) AS wa, list_extract(s, i+1) AS wb
+        |  FROM toks, unnest(range(1, len(s))) AS t(i)
+        |),
+        |pc AS (SELECT wa, wb, CAST(count(*) AS BIGINT) AS cnt_ab
+        |       FROM bi GROUP BY 1, 2),
+        |ua AS (SELECT wa AS w, CAST(sum(cnt_ab) AS BIGINT) AS cnt_a
+        |       FROM pc GROUP BY 1),
+        |ub AS (SELECT wb AS w, CAST(sum(cnt_ab) AS BIGINT) AS cnt_b
+        |       FROM pc GROUP BY 1)
+        |SELECT pc.wa, pc.wb, cnt_ab,
+        |  (((cnt_ab * 1048576) // cnt_a) * 1048576) // cnt_b AS pmi_q40
+        |FROM pc JOIN ua ON pc.wa = ua.w JOIN ub ON pc.wb = ub.w
+        |ORDER BY pmi_q40 DESC, wa, wb LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val bi = docs(s, d).select(TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 2) // guard OUTSIDE: sequence(0,-1) descends
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> named_struct(" +
+            "'wa', element_at(ws, i + 1), 'wb', element_at(ws, i + 2)))"))
+          .as("p"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      val pc = bi.groupBy("wa", "wb")
+        .agg(count(lit(1)).cast("long").as("cnt_ab"))
+      val ua = pc.groupBy("wa").agg(sum("cnt_ab").cast("long").as("cnt_a"))
+        .withColumnRenamed("wa", "w_a")
+      val ub = pc.groupBy("wb").agg(sum("cnt_ab").cast("long").as("cnt_b"))
+        .withColumnRenamed("wb", "w_b")
+      pc.as("p")
+        .join(ua.as("a").hint("shuffle_hash"), col("p.wa") === col("w_a"))
+        .join(ub.as("b").hint("shuffle_hash"), col("p.wb") === col("w_b"))
+        .select(col("p.wa").as("wa"), col("p.wb").as("wb"), col("cnt_ab"),
+          expr("(((cnt_ab * 1048576) div cnt_a) * 1048576) div cnt_b")
+            .as("pmi_q40"))
+        .orderBy(col("pmi_q40").desc, col("wa"), col("wb"))
+        .limit(50)
     }
   )
+
+  /** DuckDB oracle for q142: the K-round merge loop unrolled into chained
+    * CTEs — each round extracts weighted adjacent symbol pairs, picks the
+    * (count DESC, pair ASC) argmax, and applies the merge via sentinel-
+    * delimited replace() (non-overlapping left-to-right = greedy BPE). */
+  private[queries] def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH vocab AS (
+        |  SELECT w AS word, count(*) AS cnt FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        |  ) GROUP BY 1 ORDER BY cnt DESC, word LIMIT 1024
+        |),
+        |repr0 AS (
+        |  SELECT ' ' || regexp_replace(word, '(.)', '\1 ', 'g') AS repr, cnt
+        |  FROM vocab
+        |)""".stripMargin)
+    for (r <- 0 until k) {
+      sb.append(s""",
+        |pairs$r AS (
+        |  SELECT list_extract(s, i) AS l, list_extract(s, i+1) AS r2, cnt
+        |  FROM (SELECT string_split(trim(repr), ' ') AS s, cnt FROM repr$r),
+        |       unnest(range(1, len(s))) AS t(i)
+        |),
+        |best$r AS (
+        |  SELECT CAST(${r + 1} AS BIGINT) AS round, l, r2,
+        |         CAST(sum(cnt) AS BIGINT) AS pair_cnt
+        |  FROM pairs$r GROUP BY l, r2 ORDER BY pair_cnt DESC, l, r2 LIMIT 1
+        |),
+        |repr${r + 1} AS (
+        |  SELECT replace(repr, ' ' || l || ' ' || r2 || ' ',
+        |                 ' ' || l || r2 || ' ') AS repr, cnt
+        |  FROM repr$r, best$r
+        |)""".stripMargin)
+    }
+    sb.append("\nSELECT round, l AS sym_l, r2 AS sym_r, pair_cnt FROM (\n")
+    sb.append((0 until k).map(r => s"SELECT * FROM best$r").mkString("\nUNION ALL\n"))
+    sb.append("\n) ORDER BY round")
+    sb.toString
+  }
 }

@@ -1,0 +1,126 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantic invariants for the corpus-construction operators added with
+  * q142-q144, beyond the DuckDB oracle gate: a from-scratch differential
+  * replica of the CDC boundary kernel and of the BPE merge loop (computed
+  * via a DIFFERENT representation than the engine's), the CDC re-sync
+  * property that motivates content-defined over fixed-offset chunking,
+  * and the PMI fixed-point definition.
+  */
+class CorpusOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.all.find(_.name == name).get.fn(spark, sfDir)
+
+  /** From-scratch replica of the cdc_cuts definition (window sum over code
+    * points, Knuth-mixed mod-64 gate). */
+  private def cutsRef(text: String): Seq[Long] = {
+    val cps = text.codePoints().toArray
+    (16 until cps.length).flatMap { pos => // pos is 1-based cut candidate < n
+      val h = cps.slice(pos - 16, pos).map(_.toLong).sum
+      if ((h * 2654435761L) % 64 == 0) Some(pos.toLong) else None
+    }
+  }
+
+  private def chunksOf(text: String): Seq[String] = {
+    val bounds = 0L +: cutsRef(text) :+ text.length.toLong
+    bounds.sliding(2).map { case Seq(a, b) =>
+      text.substring(a.toInt, b.toInt)
+    }.toSeq
+  }
+
+  test("cdc_cuts matches the from-scratch window-sum replica on real docs") {
+    graft.plans.GraftExtensions.install(spark)
+    val rows = Tables.documents(spark, sfDir)
+      .select(col("text"), call_function("cdc_cuts", col("text")).as("cuts"))
+      .collect()
+    assert(rows.length > 0)
+    rows.foreach { r =>
+      val expected = cutsRef(r.getString(0))
+      assert(r.getSeq[Long](1) == expected)
+    }
+    // structural: all cuts interior and ordered, first cut >= window
+    rows.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs == cs.sorted && cs.distinct == cs)
+      cs.foreach(c => assert(c >= 16 && c < r.getString(0).length))
+    }
+  }
+
+  test("CDC re-synchronizes after an insertion (the anti-q126 property)") {
+    // Take real docs, insert one char mid-document: chunk hash multisets
+    // must still share all but a bounded number of chunks (a fixed-grid
+    // chunker would shift EVERY chunk after the edit). Bound: the edit can
+    // perturb boundaries only while the 16-char window still covers the
+    // inserted char, i.e. O(1) chunks, but a destroyed/created cut merges
+    // or splits neighbors — allow <= 4 differing chunks per side.
+    val texts = Tables.documents(spark, sfDir).select("text")
+      .limit(50).collect().map(_.getString(0)).filter(_.length > 80)
+    assert(texts.nonEmpty)
+    texts.foreach { t =>
+      val mid = t.length / 2
+      val edited = t.substring(0, mid) + "X" + t.substring(mid)
+      val a = chunksOf(t).groupBy(identity).view.mapValues(_.size).toMap
+      val b = chunksOf(edited).groupBy(identity).view.mapValues(_.size).toMap
+      val onlyA = a.map { case (k, v) => v - b.getOrElse(k, 0) }
+        .filter(_ > 0).sum
+      val onlyB = b.map { case (k, v) => v - a.getOrElse(k, 0) }
+        .filter(_ > 0).sum
+      assert(onlyA <= 4 && onlyB <= 4,
+        s"edit perturbed $onlyA/$onlyB chunks of ${a.values.sum}")
+    }
+  }
+
+  test("q142 BPE merges match a symbol-list replica (no string replace)") {
+    // Different representation on purpose: token sequences as List[String]
+    // with an explicit greedy left-to-right merge walk — if the engine's
+    // sentinel-string replace() had boundary bugs, this would diverge.
+    val words = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .sortBy { case (w, c) => (-c, w) }.take(1024)
+    var seqs: Array[(List[String], Long)] =
+      words.map { case (w, c) => (w.toCharArray.map(_.toString).toList, c) }
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (round <- 1 to 6) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      seqs.foreach { case (ss, c) =>
+        ss.zip(ss.tail).foreach { p => counts(p) = counts.getOrElse(p, 0L) + c }
+      }
+      val ((l, r), c) = counts.minBy { case ((x, y), n) => (-n, x, y) }
+      expect += ((round.toLong, l, r, c))
+      def mergeWalk(ss: List[String]): List[String] = ss match {
+        case a :: b :: rest if a == l && b == r => (l + r) :: mergeWalk(rest)
+        case a :: rest => a :: mergeWalk(rest)
+        case Nil => Nil
+      }
+      seqs = seqs.map { case (ss, c2) => (mergeWalk(ss), c2) }
+    }
+    val got = q("q142_bpe_vocab").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(got.toSeq == expect.toSeq)
+  }
+
+  test("q144 PMI values satisfy the Q20.20 definition and ordering") {
+    val rows = q("q144_pmi_colloc").collect()
+    assert(rows.length == 50)
+    // recompute marginals from scratch
+    val bigrams = Tables.documents(spark, sfDir).select("text").collect()
+      .flatMap { r => val ws = r.getString(0).split(" "); ws.zip(ws.tail) }
+    val pc = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val ua = bigrams.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val ub = bigrams.groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    rows.foreach { r =>
+      val (wa, wb, cab, q40) =
+        (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))
+      assert(pc((wa, wb)) == cab)
+      assert(q40 == cab * 1048576L / ua(wa) * 1048576L / ub(wb))
+    }
+    val scores = rows.map(_.getLong(3))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
+}
