@@ -634,8 +634,13 @@ object TextQueries {
             "'wa', element_at(ws, i + 1), 'wb', element_at(ws, i + 2)))"))
           .as("p"))
         .select(col("p.wa").as("wa"), col("p.wb").as("wb"))
+      // Eager localCheckpoint: the three consumers (ua, ub, the join) are
+      // NOT deduped by AQE stage reuse (measured: 3x scan+explode+agg of
+      // the corpus without it), and pc is vocab-pair-sized — exactly the
+      // mass the joins shuffle anyway — so materializing it is free.
       val pc = bi.groupBy("wa", "wb")
         .agg(count(lit(1)).cast("long").as("cnt_ab"))
+        .localCheckpoint(true)
       val ua = pc.groupBy("wa").agg(sum("cnt_ab").cast("long").as("cnt_a"))
         .withColumnRenamed("wa", "w_a")
       val ub = pc.groupBy("wb").agg(sum("cnt_ab").cast("long").as("cnt_b"))
