@@ -1678,6 +1678,136 @@ object DedupQueries {
           sum(when(col("cnt") > 1, col("clen")).otherwise(0L)).cast("long")
             .as("dup_mass"))
         .orderBy("doc_id")
+    },
+
+    // LSH quality evaluation by sampled ground truth — the ANN-benchmark
+    // methodology applied to the q52 MinHash-LSH dedup retriever: take a
+    // FIXED probe set (doc_id < 100 — scale-invariant cardinality, so its
+    // broadcast is legitimate at any corpus size), compute EXACT
+    // Jaccard >= 1/2 pairs for the probes by one linear scan
+    // (BroadcastNestedLoopJoin of 100 probes x corpus — O(100·N), the
+    // q55 brute-force pattern), run the production LSH pipeline
+    // (signatures → banded buckets → >=2-of-4 agreement verify), and emit
+    // recall/precision in integer ppm. This is the query a pipeline
+    // operator runs before trusting an LSH threshold at 100 TB.
+    // The truth/retrieved/tp counts fuse into ONE pass over the tagged
+    // pair union (max-marker groupBy — the q109 twin-agg pattern).
+    Q(
+      "q146_lsh_recall",
+      """WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+        |            FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+2], ' ')),
+        |    s -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS sh
+        |  FROM ws),
+        |truth AS (
+        |  SELECT p.doc_id AS id_a, c.doc_id AS id_b
+        |  FROM hs p JOIN hs c ON c.doc_id > p.doc_id
+        |  WHERE p.doc_id < 100
+        |    AND 2 * len(list_intersect(p.sh, c.sh)) >=
+        |        len(list_distinct(list_concat(p.sh, c.sh)))),
+        |hv AS (
+        |  SELECT doc_id, unnest(sh) AS h FROM hs),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min((1000003 * h + 12345) % 4294967291) AS k0,
+        |    min((2000029 * h + 54321) % 4294967291) AS k1,
+        |    min((3000073 * h + 98765) % 4294967291) AS k2,
+        |    min((4000037 * h + 13579) % 4294967291) AS k3
+        |  FROM hv GROUP BY doc_id),
+        |bands AS (
+        |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
+        |         unnest([k0, k1, k2, k3]) AS key FROM sig),
+        |cand AS (
+        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM bands a JOIN bands b
+        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+        |retr AS (
+        |  SELECT id_a, id_b FROM cand
+        |  JOIN sig sa ON sa.doc_id = cand.id_a
+        |  JOIN sig sb ON sb.doc_id = cand.id_b
+        |  WHERE id_a < 100
+        |    AND (CASE WHEN sa.k0 = sb.k0 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.k1 = sb.k1 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.k2 = sb.k2 THEN 1 ELSE 0 END +
+        |         CASE WHEN sa.k3 = sb.k3 THEN 1 ELSE 0 END) >= 2),
+        |tagged AS (
+        |  SELECT id_a, id_b, 1 AS t, 0 AS r FROM truth
+        |  UNION ALL SELECT id_a, id_b, 0 AS t, 1 AS r FROM retr),
+        |pairs AS (
+        |  SELECT id_a, id_b, max(t) AS t, max(r) AS r
+        |  FROM tagged GROUP BY id_a, id_b),
+        |m AS (
+        |  SELECT CAST(sum(t) AS BIGINT) AS n_truth,
+        |         CAST(sum(r) AS BIGINT) AS n_retr,
+        |         CAST(sum(t * r) AS BIGINT) AS n_tp
+        |  FROM pairs)
+        |SELECT n_truth, n_retr, n_tp,
+        |  n_tp * 1000000 // greatest(n_truth, 1) AS recall_ppm,
+        |  n_tp * 1000000 // greatest(n_retr, 1) AS precision_ppm
+        |FROM m""".stripMargin
+    ) { (s, d) =>
+      // Shared 3-consumer shingle-set table: eager localCheckpoint (the
+      // q141 precedent — AQE does not dedup the consumers otherwise).
+      val sets = docs(s, d).select(col("doc_id"),
+          array_distinct(transform(
+            TextOps.shingles(TextOps.tokens(col("text")), 3),
+            sg => call_function("md5_prefix64", sg))).as("sh"))
+        .localCheckpoint(true)
+      val probes = sets.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id_a"), col("sh").as("sha"))
+      val truth = broadcast(probes)
+        .join(sets, col("doc_id") > col("id_a"))
+        .filter(lit(2) * size(array_intersect(col("sha"), col("sh"))) >=
+          size(array_union(col("sha"), col("sh"))))
+        .select(col("id_a"), col("doc_id").as("id_b"))
+      // Production LSH retriever (q52's plan: bucket-collect, capped).
+      val perms = Seq((1000003L, 12345L), (2000029L, 54321L),
+        (3000073L, 98765L), (4000037L, 13579L))
+      val sig = sets.select(col("doc_id"), explode(col("sh")).as("h"))
+        .groupBy("doc_id")
+        .agg(min((col("h") * perms(0)._1 + perms(0)._2) % 4294967291L).as("k0"),
+          min((col("h") * perms(1)._1 + perms(1)._2) % 4294967291L).as("k1"),
+          min((col("h") * perms(2)._1 + perms(2)._2) % 4294967291L).as("k2"),
+          min((col("h") * perms(3)._1 + perms(3)._2) % 4294967291L).as("k3"))
+      val rec = struct(col("doc_id"), col("k0"), col("k1"), col("k2"),
+        col("k3"))
+      val bands = sig.select(rec.as("rec"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+      val rk = row_number().over(
+        Window.partitionBy("band", "key").orderBy("rec"))
+      val buckets = bands.withColumn("__rk", rk)
+        .filter(col("__rk") <= 256)
+        .groupBy("band", "key")
+        .agg(sort_array(collect_list(col("rec"))).as("recs"))
+      val agree = (col("a.k0") === col("b.k0")).cast("int") +
+        (col("a.k1") === col("b.k1")).cast("int") +
+        (col("a.k2") === col("b.k2")).cast("int") +
+        (col("a.k3") === col("b.k3")).cast("int")
+      val retr = buckets
+        .select(explode(graft.functions.ArrayOps.combinations2(col("recs"),
+          fields = Seq("a", "b"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"))
+        .filter(agree >= 2)
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+        .filter(col("id_a") < 100)
+        .distinct()
+      // One-pass fused counting over the tagged union (q109 pattern).
+      val tagged = truth.withColumn("t", lit(1)).withColumn("r", lit(0))
+        .unionByName(retr.withColumn("t", lit(0)).withColumn("r", lit(1)))
+      tagged.groupBy("id_a", "id_b")
+        .agg(max("t").as("t"), max("r").as("r"))
+        .agg(sum("t").cast("long").as("n_truth"),
+          sum("r").cast("long").as("n_retr"),
+          sum(col("t") * col("r")).cast("long").as("n_tp"))
+        .select(col("n_truth"), col("n_retr"), col("n_tp"),
+          expr("n_tp * 1000000 div greatest(n_truth, 1)").as("recall_ppm"),
+          expr("n_tp * 1000000 div greatest(n_retr, 1)").as("precision_ppm"))
     }
   )
 }

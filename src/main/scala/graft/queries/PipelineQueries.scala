@@ -1110,6 +1110,91 @@ object PipelineQueries {
             transform(col("u"), _.cast("double"))).cast("long").as("proj"))
         .orderBy(abs(col("proj")).desc, col("vec_id"))
         .limit(20)
+    },
+
+    // Deterministic corpus shuffle-to-shards with per-shard manifest —
+    // the "training order" op: every epoch of LLM training reads the
+    // corpus in a seeded pseudorandom order, materialized as S shards.
+    // Key = md5(seed || doc_id) gives a uniform, reproducible permutation;
+    // shard = first hex nibble (a pure map stage — no global row_number,
+    // which would funnel 100 TB through ONE window task). The gate output
+    // is the shard MANIFEST (count, source spread, key range, doc span);
+    // the write path would add .repartition(col("shard"))
+    // .sortWithinPartitions("k") — same plan family as Sources.toParquet
+    // partitioned. One exchange (the groupBy), everything else map-side.
+    Q(
+      "q145_shuffle_shard",
+      """WITH keyed AS (
+        |  SELECT doc_id, source,
+        |         md5('seed42:' || CAST(doc_id AS VARCHAR)) AS k
+        |  FROM documents
+        |), sharded AS (
+        |  SELECT doc_id, source, k,
+        |    CAST(strpos('0123456789abcdef', substr(k, 1, 1)) - 1 AS BIGINT)
+        |      % 16 AS shard
+        |  FROM keyed
+        |)
+        |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  min(k) AS key_lo, max(k) AS key_hi,
+        |  CAST(min(doc_id) AS BIGINT) AS doc_lo,
+        |  CAST(max(doc_id) AS BIGINT) AS doc_hi
+        |FROM sharded GROUP BY shard ORDER BY shard""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          md5(concat(lit("seed42:"), col("doc_id").cast("string"))).as("k"))
+        .withColumn("shard",
+          expr("CAST(conv(substr(k, 1, 1), 16, 10) AS BIGINT) % 16"))
+        .groupBy("shard")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct("source").cast("long").as("n_sources"),
+          min("k").as("key_lo"), max("k").as("key_hi"),
+          min("doc_id").cast("long").as("doc_lo"),
+          max("doc_id").cast("long").as("doc_hi"))
+        .orderBy("shard")
+    },
+
+    // Corpus report card: the per-(source, lang) health dashboard every
+    // curation run materializes — doc/token volume, exact-duplicate rate,
+    // and a lexical-diversity quality mean. One corpus scan; the digest
+    // window (count over md5(text)) is the only corpus-keyed exchange and
+    // its key is fixed-width; quality mean is BIGINT Q20 floor arithmetic
+    // end-to-end (Σ BIGINT div n — never a cross-engine double sum).
+    Q(
+      "q147_corpus_report",
+      """WITH per_doc AS (
+        |  SELECT doc_id, source, lang, md5(text) AS dg,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      AS n_distinct
+        |  FROM documents
+        |), flagged AS (
+        |  SELECT *, count(*) OVER (PARTITION BY dg) AS dgn,
+        |    (n_distinct * 1048576) // n_words AS q20
+        |  FROM per_doc
+        |)
+        |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  sum(n_words) AS n_tokens,
+        |  CAST(sum(CASE WHEN dgn > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_docs,
+        |  sum(q20) // count(*) AS mean_quality_q20
+        |FROM flagged GROUP BY source, lang ORDER BY source, lang""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("source"), col("lang"), md5(col("text")).as("dg"),
+          size(ws).cast("long").as("n_words"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"))
+        .withColumn("q20", expr("(n_distinct * 1048576) div n_words"))
+        .withColumn("dgn", count(lit(1)).over(Window.partitionBy("dg")))
+        .groupBy("source", "lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_words").as("n_tokens"),
+          sum(when(col("dgn") > 1, 1L).otherwise(0L)).cast("long")
+            .as("dup_docs"),
+          expr("sum(q20) div count(1)").as("mean_quality_q20"))
+        .orderBy("source", "lang")
     }
   )
 }

@@ -105,6 +105,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.toSeq == expect.toSeq)
   }
 
+  test("q145 shards partition the corpus; key ranges stay in-nibble") {
+    val rows = q("q145_shuffle_shard").collect()
+    assert(rows.length == 16)
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    rows.foreach { r =>
+      val shard = r.getLong(0)
+      val nib = java.lang.Long.parseLong(r.getString(3).substring(0, 1), 16)
+      val nibHi = java.lang.Long.parseLong(r.getString(4).substring(0, 1), 16)
+      assert(nib == shard && nibHi == shard,
+        s"key range escaped shard $shard: ${r.getString(3)}..${r.getString(4)}")
+    }
+  }
+
+  test("q146 recall/precision are coherent (tp bounded, ppm in range)") {
+    val r = q("q146_lsh_recall").collect().head
+    val (t, n, tp, rec, prec) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(t > 0, "sampled truth set is empty — probe threshold too small")
+    assert(tp <= t && tp <= n)
+    assert(rec == tp * 1000000L / math.max(t, 1L))
+    assert(prec == tp * 1000000L / math.max(n, 1L))
+    assert(rec >= 0 && rec <= 1000000L && prec >= 0 && prec <= 1000000L)
+  }
+
+  test("q147 report card totals reconcile with the corpus") {
+    val rows = q("q147_corpus_report").collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(2)).sum == total)
+    // dup_docs <= n_docs per cell; quality Q20 in (0, 2^20]
+    rows.foreach { r =>
+      assert(r.getLong(4) <= r.getLong(2))
+      assert(r.getLong(5) > 0 && r.getLong(5) <= 1048576L)
+    }
+  }
+
   test("q144 PMI values satisfy the Q20.20 definition and ordering") {
     val rows = q("q144_pmi_colloc").collect()
     assert(rows.length == 50)
