@@ -1758,13 +1758,29 @@ object DedupQueries {
             TextOps.shingles(TextOps.tokens(col("text")), 3),
             sg => call_function("md5_prefix64", sg))).as("sh"))
         .localCheckpoint(true)
-      val probes = sets.filter(col("doc_id") < 100)
-        .select(col("doc_id").as("id_a"), col("sh").as("sha"))
-      val truth = broadcast(probes)
-        .join(sets, col("doc_id") > col("id_a"))
-        .filter(lit(2) * size(array_intersect(col("sha"), col("sh"))) >=
-          size(array_union(col("sha"), col("sh"))))
-        .select(col("id_a"), col("doc_id").as("id_b"))
+      // Exact truth via the inverted index, not a probes x corpus
+      // nested-loop of array_intersects: |A∩B| = count of shared shingle
+      // hashes (sets are distinct), so explode the corpus ONCE, broadcast
+      // the fixed 100-probe posting list, hash-join on h and count per
+      // pair — work ∝ pairs that actually share a shingle, each a
+      // counter bump instead of an O(|set|) intersect (measured 54.7 ->
+      // ~7 s at the 10x replica). J >= 1/2 ⇔ 3·inter >= ma+mb.
+      val sizes = sets.select(col("doc_id"), size(col("sh")).as("m"))
+      val probeEx = sets.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id_a"), explode(col("sh")).as("h"))
+      val corpusEx = sets.select(col("doc_id").as("id_b"),
+        explode(col("sh")).as("h"))
+      val inter = broadcast(probeEx)
+        .join(corpusEx, probeEx("h") === corpusEx("h")
+          && col("id_b") > col("id_a"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+      val truth = inter
+        .join(sizes.select(col("doc_id").as("id_a"), col("m").as("ma")),
+          "id_a")
+        .join(sizes.select(col("doc_id").as("id_b"), col("m").as("mb"))
+          .hint("shuffle_hash"), "id_b")
+        .filter(lit(3) * col("inter") >= col("ma") + col("mb"))
+        .select(col("id_a"), col("id_b"))
       // Production LSH retriever (q52's plan: bucket-collect, capped).
       val perms = Seq((1000003L, 12345L), (2000029L, 54321L),
         (3000073L, 98765L), (4000037L, 13579L))
