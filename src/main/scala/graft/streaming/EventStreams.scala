@@ -327,6 +327,25 @@ object EventStreams {
       }(e4, e2)
   }
 
+  /** Streaming vocabulary heavy hitters — the stream twin of q131's
+    * candidate stage: a Misra–Gries sketch maintained as streaming
+    * aggregation STATE (one O(k) buffer; each micro-batch's words reduce
+    * into it and the buffer merges across batches — the same
+    * mergeability that lets the batch form survive any partial-agg
+    * tree). Output mode complete re-emits the current candidate row per
+    * batch. The MG survival theorem (every term with count > n/(k+1) is
+    * retained under ANY merge order) therefore holds for the whole
+    * ingested prefix — StreamingSpec gates the final candidate set
+    * against exact corpus counts; the exact-rescore stage that makes
+    * q131's OUTPUT deterministic stays batch-side (it needs a second
+    * corpus pass by definition). */
+  def heavyHittersStream(words: org.apache.spark.sql.Dataset[String],
+      k: Int = 64): DataFrame =
+    words
+      .select(new graft.functions.Aggregators.FreqItemsAgg(k)
+        .toColumn.name("items"))
+      .toDF("items")
+
   final case class AttrEv(event_id: Long, user_id: Long,
       ts: java.sql.Timestamp, value: Double)
 

@@ -457,4 +457,35 @@ class StreamingSpec extends SparkSpec {
       assert(got == expected, s"streamed=$got batch=$expected")
     } finally q.stop()
   }
+
+  test("heavyHittersStream: MG survival guarantee holds across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val words = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.explode(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("w"))
+      .as[String].collect().toSeq
+    val exact = words.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = words.size.toLong
+    val k = 64
+    val mem = MemoryStream[String]
+    val q = EventStreams.heavyHittersStream(mem.toDS(), k).writeStream
+      .format("memory").queryName("hh_stream").outputMode("complete").start()
+    try {
+      // three batches: the sketch buffer must merge across micro-batches
+      val third = words.size / 3
+      mem.addData(words.take(third)); q.processAllAvailable()
+      mem.addData(words.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(words.drop(2 * third)); q.processAllAvailable()
+      val cands = spark.table("hh_stream").collect().last
+        .getSeq[org.apache.spark.sql.Row](0).map(_.getString(0)).toSet
+      assert(cands.size <= k)
+      val mustSurvive = exact.filter { case (_, c) => c * (k + 1) > n }.keySet
+      assert(mustSurvive.nonEmpty, "fixture has no heavy hitter — vacuous")
+      assert(mustSurvive.subsetOf(cands),
+        s"lost heavy hitters: ${mustSurvive.diff(cands)}")
+    } finally q.stop()
+  }
 }
