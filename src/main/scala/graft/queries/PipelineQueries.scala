@@ -1195,6 +1195,132 @@ object PipelineQueries {
             .as("dup_docs"),
           expr("sum(q20) div count(1)").as("mean_quality_q20"))
         .orderBy("source", "lang")
+    },
+
+    // Hybrid retrieval via reciprocal-rank fusion: a lexical ranker
+    // (query-term hit count over documents) and a semantic ranker
+    // (cosine to a probe embedding — doc_id and vec_id share a domain)
+    // each produce a top-50 list; RRF fuses them with
+    // Σ 1/(60 + rank) in Q20 integer arithmetic (1048576 div (60+rank)
+    // — identical floor division in both engines, no float fusion
+    // drift). Cosine rounds to 4 decimals with an id tiebreak before
+    // ranking (the q55 idiom — last-ulp libm noise cannot flip a rank).
+    // Scale: each ranker ends in a TakeOrderedAndProject top-50; the
+    // fusion join runs on 50+50 rows — driver-free, corpus touched
+    // twice (once per modality), never joined at corpus grain.
+    Q(
+      "q149_rrf_fusion",
+      """WITH probe AS (
+        |  SELECT embedding AS pv FROM embeddings WHERE vec_id = 0
+        |), lex AS (
+        |  SELECT doc_id, CAST(len(list_filter(string_split(text, ' '),
+        |      w -> w IN ('join', 'shuffle', 'hash'))) AS BIGINT) AS lscore
+        |  FROM documents
+        |), lrank AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY lscore DESC, doc_id) AS lr
+        |  FROM lex QUALIFY lr <= 50
+        |), sem AS (
+        |  SELECT e.vec_id AS doc_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(pv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(pv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) + 0
+        |      AS rcos
+        |  FROM embeddings e, probe
+        |), srank AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY rcos DESC, doc_id) AS sr
+        |  FROM sem QUALIFY sr <= 50
+        |)
+        |SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+        |  coalesce(1048576 // (60 + l.lr), 0)
+        |    + coalesce(1048576 // (60 + s.sr), 0) AS rrf_q20,
+        |  CAST(coalesce(l.lr, 0) AS BIGINT) AS lex_rank,
+        |  CAST(coalesce(s.sr, 0) AS BIGINT) AS sem_rank
+        |FROM lrank l FULL OUTER JOIN srank s ON l.doc_id = s.doc_id
+        |ORDER BY rrf_q20 DESC, doc_id LIMIT 20""".stripMargin
+    ) { (s, d) =>
+      val probe = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").as("pv"))
+      val lex = Tables.documents(s, d).select(col("doc_id"),
+        size(filter(TextOps.tokens(col("text")),
+          w => w.isin("join", "shuffle", "hash"))).cast("long").as("lscore"))
+      val lrank = lex
+        .withColumn("lr",
+          row_number().over(Window.orderBy(col("lscore").desc, col("doc_id"))))
+        .filter(col("lr") <= 50).select("doc_id", "lr")
+      val sem = Tables.embeddings(s, d).crossJoin(broadcast(probe))
+        .select(col("vec_id").as("doc_id"),
+          (round(TextOps.cosine(col("embedding"), col("pv")), 4) + lit(0.0))
+            .as("rcos"))
+      val srank = sem
+        .withColumn("sr",
+          row_number().over(Window.orderBy(col("rcos").desc, col("doc_id"))))
+        .filter(col("sr") <= 50).select(col("doc_id").as("s_doc"), col("sr"))
+      lrank.join(srank, col("doc_id") === col("s_doc"), "full_outer")
+        .select(coalesce(col("doc_id"), col("s_doc")).as("doc_id"),
+          (coalesce(expr("1048576 div (60 + lr)"), lit(0L))
+            + coalesce(expr("1048576 div (60 + sr)"), lit(0L))).as("rrf_q20"),
+          coalesce(col("lr"), lit(0)).cast("long").as("lex_rank"),
+          coalesce(col("sr"), lit(0)).cast("long").as("sem_rank"))
+        .orderBy(col("rrf_q20").desc, col("doc_id"))
+        .limit(20)
+    },
+
+    // Adaptive per-source quality gate: keep the top 75% of each source
+    // by lexical-diversity Q20 score — the per-DOMAIN quantile threshold
+    // real curation uses (a global cutoff over-prunes clean domains and
+    // under-prunes noisy ones). Exact rank arithmetic (rk·4 <= n·3), not
+    // an approximate percentile: deterministic in both engines, and the
+    // emitted cutoff_q20 documents the induced threshold per source.
+    // Scale: ONE window over the source partitioning (blocked, never
+    // global), then the grouped manifest.
+    Q(
+      "q150_adaptive_filter",
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      * 1048576)
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS q20
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source
+        |                       ORDER BY q20 DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM scored
+        |)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_total,
+        |  CAST(sum(CASE WHEN rk * 4 <= n * 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN rk * 4 <= n * 3 THEN n_words ELSE 0 END)
+        |    AS BIGINT) AS kept_tokens,
+        |  min(CASE WHEN rk * 4 <= n * 3 THEN q20 END) AS cutoff_q20
+        |FROM ranked GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      val scored = Tables.documents(s, d).select(col("doc_id"), col("source"),
+          size(ws).cast("long").as("n_words"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"))
+        .withColumn("q20", expr("(n_distinct * 1048576) div n_words"))
+      val w = Window.partitionBy("source")
+      scored
+        .withColumn("rk",
+          row_number().over(w.orderBy(col("q20").desc, col("doc_id"))))
+        .withColumn("n", count(lit(1)).over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).cast("long").as("n_total"),
+          sum(when(col("rk") * 4 <= col("n") * 3, 1L).otherwise(0L))
+            .cast("long").as("n_kept"),
+          sum(when(col("rk") * 4 <= col("n") * 3, col("n_words"))
+            .otherwise(0L)).cast("long").as("kept_tokens"),
+          min(when(col("rk") * 4 <= col("n") * 3, col("q20")))
+            .as("cutoff_q20"))
+        .orderBy("source")
     }
   )
 }

@@ -564,38 +564,42 @@ object TextQueries {
     // replace() are both non-overlapping left-to-right scans, so greedy
     // merge semantics agree (" l l l " -> " ll l ").
     Q("q142_bpe_vocab", TextQueries.bpeOracle(6)) { (s, d) =>
-      val vocab = docs(s, d)
-        .select(explode(TextOps.tokens(col("text"))).as("w"))
-        .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
-        .orderBy(col("cnt").desc, col("w")).limit(1024)
-        .collect().map(r => (r.getString(0), r.getLong(1)))
-      var repr: Array[(String, Long)] = vocab.map { case (w, c) =>
-        (" " + w.toCharArray.mkString(" ") + " ", c)
-      }
-      val merges =
-        scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
-      for (round <- 1 to 6) {
-        val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
-        repr.foreach { case (rep, c) =>
-          val syms = rep.trim.split(" ")
-          var i = 0
-          while (i < syms.length - 1) {
-            val k = (syms(i), syms(i + 1))
-            counts(k) = counts.getOrElse(k, 0L) + c
-            i += 1
-          }
-        }
-        if (counts.nonEmpty) {
-          val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
-          merges += ((round.toLong, l, r, c))
-          repr = repr.map { case (rep, cc) =>
-            (rep.replace(" " + l + " " + r + " ", " " + l + r + " "), cc)
-          }
-        }
-      }
-      s.createDataFrame(merges.toSeq)
+      s.createDataFrame(TextQueries.bpeMerges(s, d, 6))
         .toDF("round", "sym_l", "sym_r", "pair_cnt")
         .orderBy("round")
+    },
+
+    // BPE ENCODE — the inference side of q142: re-derive the merge table
+    // (same distributed count + V-bounded loop), then tokenize every
+    // document by applying the K merges IN LEARNED ORDER to each word's
+    // char sequence — one codegen'd map stage over the corpus (a chain of
+    // K replace() calls inside a per-word lambda; no shuffle before the
+    // final sort). Emits per-doc BPE token counts — the statistic every
+    // token-budget pipeline needs from its tokenizer. The oracle replays
+    // the identical replace chain with the merge pair pulled from the
+    // unrolled-CTE induction (scalar subqueries), so both engines encode
+    // with byte-identical greedy semantics.
+    Q("q148_bpe_encode", TextQueries.bpeEncodeOracle(6)) { (s, d) =>
+      val merges = TextQueries.bpeMerges(s, d, 6)
+      val encWord: Column => Column = w => {
+        val start = concat(lit(" "),
+          regexp_replace(w, "(.)", "$1 "))
+        val enc = merges.foldLeft(start) { case (c, (_, l, r, _)) =>
+          replace(c, lit(" " + l + " " + r + " "), lit(" " + l + r + " "))
+        }
+        size(split(trim(enc), " ")).cast("long")
+      }
+      docs(s, d).select(col("doc_id"),
+          graft.functions.ArrayOps.bindOnce(TextOps.tokens(col("text"))) {
+            ws =>
+              struct(
+                aggregate(transform(ws, encWord), lit(0L), (a, x) => a + x)
+                  .as("n_bpe_tokens"),
+                size(ws).cast("long").as("n_words"))
+          }.as("m"))
+        .select(col("doc_id"), col("m.n_bpe_tokens").as("n_bpe_tokens"),
+          col("m.n_words").as("n_words"))
+        .orderBy("doc_id")
     },
 
     // PMI collocation mining: top-50 adjacent word pairs by pointwise
@@ -656,11 +660,85 @@ object TextQueries {
     }
   )
 
+  /** The BPE induction loop shared by q142 (emits the merge table) and
+    * q148 (applies it to encode). Corpus-scale stage: distributed word
+    * count + top-V TakeOrderedAndProject; the merge loop then runs on
+    * <= 1024 collected (word, count) rows — driver state independent of
+    * corpus size (the k-means-seed pattern). Ties break
+    * (count DESC, left ASC, right ASC); Java String.replace is the same
+    * non-overlapping left-to-right scan as SQL replace(). */
+  private[graft] def bpeMerges(s: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): Seq[(Long, String, String, Long)] = {
+    val vocab = Tables.documents(s, d)
+      .select(explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy(col("cnt").desc, col("w")).limit(1024)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    var repr: Array[(String, Long)] = vocab.map { case (w, c) =>
+      (" " + w.toCharArray.mkString(" ") + " ", c)
+    }
+    val merges =
+      scala.collection.mutable.ArrayBuffer.empty[(Long, String, String, Long)]
+    for (round <- 1 to k) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      repr.foreach { case (rep, c) =>
+        val syms = rep.trim.split(" ")
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          counts(key) = counts.getOrElse(key, 0L) + c
+          i += 1
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((l, r), c) = counts.minBy { case ((a, b), n) => (-n, a, b) }
+        merges += ((round.toLong, l, r, c))
+        repr = repr.map { case (rep, cc) =>
+          (rep.replace(" " + l + " " + r + " ", " " + l + r + " "), cc)
+        }
+      }
+    }
+    merges.toSeq
+  }
+
+  /** DuckDB oracle for q148: the q142 induction CTE chain, then every
+    * document word encoded by the same K-replace chain (merge pairs via
+    * uncorrelated scalar subqueries on bestN), summed per doc. */
+  private[queries] def bpeEncodeOracle(k: Int): String = {
+    val chain = (0 until k).foldLeft(
+      "' ' || regexp_replace(w, '(.)', '\\1 ', 'g')") { (acc, r) =>
+      s"""replace($acc,
+         |  (SELECT ' ' || l || ' ' || r2 || ' ' FROM best$r),
+         |  (SELECT ' ' || l || r2 || ' ' FROM best$r))""".stripMargin
+    }
+    bpePrefix(k) +
+      s""",
+        |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |       FROM documents),
+        |enc AS (
+        |  SELECT doc_id,
+        |    CAST(len(string_split(trim($chain), ' ')) AS BIGINT) AS nt
+        |  FROM dw)
+        |SELECT doc_id, CAST(sum(nt) AS BIGINT) AS n_bpe_tokens,
+        |  CAST(count(*) AS BIGINT) AS n_words
+        |FROM enc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+  }
+
   /** DuckDB oracle for q142: the K-round merge loop unrolled into chained
     * CTEs — each round extracts weighted adjacent symbol pairs, picks the
     * (count DESC, pair ASC) argmax, and applies the merge via sentinel-
     * delimited replace() (non-overlapping left-to-right = greedy BPE). */
   private[queries] def bpeOracle(k: Int): String = {
+    val sb = new StringBuilder(bpePrefix(k))
+    sb.append("\nSELECT round, l AS sym_l, r2 AS sym_r, pair_cnt FROM (\n")
+    sb.append((0 until k).map(r => s"SELECT * FROM best$r").mkString("\nUNION ALL\n"))
+    sb.append("\n) ORDER BY round")
+    sb.toString
+  }
+
+  /** Shared induction CTE chain: vocab + repr0 + K rounds of
+    * pairsN/bestN/reprN+1. */
+  private def bpePrefix(k: Int): String = {
     val sb = new StringBuilder
     sb.append(
       """WITH vocab AS (
@@ -690,9 +768,6 @@ object TextQueries {
         |  FROM repr$r, best$r
         |)""".stripMargin)
     }
-    sb.append("\nSELECT round, l AS sym_l, r2 AS sym_r, pair_cnt FROM (\n")
-    sb.append((0 until k).map(r => s"SELECT * FROM best$r").mkString("\nUNION ALL\n"))
-    sb.append("\n) ORDER BY round")
     sb.toString
   }
 }

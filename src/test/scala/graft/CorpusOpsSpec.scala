@@ -141,6 +141,62 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q148 BPE encode matches a symbol-list walk of the learned merges") {
+    // independent encode path: greedy left-to-right merge WALK per word
+    // (the engine encodes via a chain of sentinel-string replaces)
+    val merges = graft.queries.TextQueries.bpeMerges(spark, sfDir, 6)
+      .map { case (_, l, r, _) => (l, r) }
+    def encode(w: String): Int = {
+      var syms = w.toCharArray.map(_.toString).toList
+      merges.foreach { case (l, r) =>
+        def walk(ss: List[String]): List[String] = ss match {
+          case a :: b :: rest if a == l && b == r => (l + r) :: walk(rest)
+          case a :: rest => a :: walk(rest)
+          case Nil => Nil
+        }
+        syms = walk(syms)
+      }
+      syms.length
+    }
+    val docsRows = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+    val expected = docsRows.map { r =>
+      val ws = r.getString(1).split(" ")
+      (r.getLong(0), ws.map(encode).map(_.toLong).sum, ws.length.toLong)
+    }.sortBy(_._1).toSeq
+    val got = q("q148_bpe_encode").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // compression sanity: words <= bpe tokens <= non-space chars
+    got.zip(docsRows.sortBy(_.getLong(0))).foreach { case ((_, nb, nw), dr) =>
+      assert(nw <= nb && nb <= dr.getString(1).count(_ != ' '))
+    }
+  }
+
+  test("q149 RRF scores decompose into the emitted ranks") {
+    val rows = q("q149_rrf_fusion").collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val (lr, sr, s) = (r.getLong(2), r.getLong(3), r.getLong(1))
+      val expect = (if (lr > 0) 1048576L / (60 + lr) else 0L) +
+        (if (sr > 0) 1048576L / (60 + sr) else 0L)
+      assert(s == expect, s"rrf mismatch at doc ${r.getLong(0)}")
+      assert(lr >= 0 && lr <= 50 && sr >= 0 && sr <= 50)
+      assert(lr > 0 || sr > 0)
+    }
+    val scores = rows.map(_.getLong(1))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)))
+  }
+
+  test("q150 keeps exactly floor(3n/4) per source with a valid cutoff") {
+    val rows = q("q150_adaptive_filter").collect()
+    rows.foreach { r =>
+      val (n, kept) = (r.getLong(1), r.getLong(2))
+      assert(kept == n * 3 / 4, s"${r.getString(0)}: kept $kept of $n")
+      assert(r.getLong(3) > 0 && r.getLong(4) > 0)
+    }
+  }
+
   test("q144 PMI values satisfy the Q20.20 definition and ordering") {
     val rows = q("q144_pmi_colloc").collect()
     assert(rows.length == 50)
