@@ -44,6 +44,13 @@ object Multimodal {
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
+    lumHistOf(img, bins)
+  }
+
+  /** Luminance histogram of one decoded frame (shared by the single-image
+    * and the multi-frame GIF paths). */
+  private[multimodal] def lumHistOf(img: java.awt.image.BufferedImage,
+      bins: Int): Array[Double] = {
     val (w, h) = (img.getWidth, img.getHeight)
     if (w <= 0 || h <= 0) return null
     val hist = new Array[Double](bins)
@@ -171,11 +178,14 @@ object Multimodal {
     * amplitude histogram over the mono-mixed [-1, 1] samples — same
     * fixed-width feature shape as images.
     *
-    * ===== STUB (video / other payloads) =====
-    * Video codecs are unavailable in this container, so every remaining
-    * payload gets a deterministic fake decode: a normalized byte
-    * histogram. Same schema either way; the plumbing (schema, batching,
-    * partitioning) is identical for all paths.
+    * Multi-frame video containers: animated GIFs decode for real via
+    * [[videoFrameFeatures]] (ImageIO frame enumeration).
+    *
+    * ===== STUB (non-GIF video / other payloads) =====
+    * MP4/WebM codecs are unavailable in this container, so every
+    * remaining payload gets a deterministic fake decode: a normalized
+    * byte histogram. Same schema either way; the plumbing (schema,
+    * batching, partitioning) is identical for all paths.
     */
   def decodeAndFeaturize(media: DataFrame, bins: Int = 8): DataFrame = {
     val enc = org.apache.spark.sql.Encoders.row(featureSchema)
@@ -306,5 +316,62 @@ object Multimodal {
       i => col("payload").substr(i * flen + 1, flen))
     media.select(col("media_id"), col("kind"),
       filter(frames, (_, i) => i % stride === 0).as("sampled_frames"))
+  }
+
+  /** GIF sniff ("GIF87a"/"GIF89a") — the one multi-frame (video-container)
+    * format the pure JDK can decode. */
+  private[graft] def looksLikeGif(p: Array[Byte]): Boolean =
+    p != null && p.length >= 4 &&
+      p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
+
+  val videoFeatureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("n_frames", LongType, nullable = true),
+    StructField("frames", ArrayType(StructType(Seq(
+      StructField("frame_idx", IntegerType, nullable = false),
+      StructField("features", ArrayType(DoubleType, containsNull = false),
+        nullable = true))), containsNull = false), nullable = true)))
+
+  /** REAL multi-frame decode for animated GIFs — the video-container path:
+    * ImageIO's GIF reader enumerates every frame (`getNumImages(true)`),
+    * the stride keeps every k-th, and each kept frame featurizes through
+    * the same luminance-histogram kernel as still images. Codec scope is
+    * honest: GIF is the only multi-frame container the pure JDK decodes —
+    * MP4/WebM payloads fall through to (id, null, null) rows, exactly like
+    * non-WAV audio (the row survives, the decode degrades). Per-partition
+    * streaming, constant memory, no shuffle — the frame fan-out stays
+    * inside the row as a nested array, so downstream frame-level ops
+    * (explode + per-frame ANN, say) pick their own parallelism. */
+  def videoFrameFeatures(media: DataFrame, stride: Int = 2, bins: Int = 8)
+      : DataFrame = {
+    require(stride > 0, "stride must be positive")
+    val enc = org.apache.spark.sql.Encoders.row(videoFeatureSchema)
+    media.select("media_id", "payload").mapPartitions { rows =>
+      rows.map { r =>
+        val id = r.getLong(0)
+        val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
+        if (!looksLikeGif(payload)) Row(id, null, null)
+        else try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(payload))
+          try {
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) Row(id, null, null)
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                val frames = (0 until n by stride).map { i =>
+                  val h = lumHistOf(reader.read(i), bins)
+                  Row(i, if (h == null) null else h.toSeq)
+                }
+                Row(id, n.toLong, frames)
+              } finally reader.dispose()
+            }
+          } finally iis.close()
+        } catch { case scala.util.control.NonFatal(_) => Row(id, null, null) }
+      }
+    }(enc)
   }
 }

@@ -205,4 +205,59 @@ class MultimodalSpec extends SparkSpec {
     val f1 = r(1).getSeq[Array[Byte]](2)
     assert(f1.length == 1 && new String(f1.head, "UTF-8") == "spark ")
   }
+
+  /** Encode an animated GIF of solid-gray frames with the JDK's own GIF
+    * sequence writer — a REAL multi-frame container payload. */
+  private def encodeAnimatedGif(grays: Seq[Int], w: Int = 8, h: Int = 8)
+      : Array[Byte] = {
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("gif").next()
+    val baos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      grays.foreach { g =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val gr = img.createGraphics()
+        gr.setColor(new java.awt.Color(g, g, g))
+        gr.fillRect(0, 0, w, h)
+        gr.dispose()
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    baos.toByteArray
+  }
+
+  test("videoFrameFeatures REALLY decodes an animated GIF's frames") {
+    val bins = 8
+    val grays = Seq(16, 80, 144, 208, 240) // bins 0, 2, 4, 6, 7
+    val gif = encodeAnimatedGif(grays)
+    assert(Multimodal.looksLikeGif(gif))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(7L, "video", gif,
+          org.apache.spark.sql.Row(8, 8, grays.length)),
+        org.apache.spark.sql.Row(8L, "video", "notagif".getBytes, // degrade
+          org.apache.spark.sql.Row(1, 1, 1))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.videoFrameFeatures(df, stride = 2, bins = bins)
+      .orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getLong(1) == grays.length)
+    val frames = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(frames.map(_.getInt(0)) == Seq(0, 2, 4)) // stride 2
+    frames.foreach { f =>
+      val idx = f.getInt(0)
+      val hist = f.getSeq[Double](1)
+      val expectBin = grays(idx) * bins / 256
+      assert(math.abs(hist(expectBin) - 1.0) < 1e-9,
+        s"frame $idx: mass not in bin $expectBin: $hist")
+    }
+    // non-GIF payload degrades to nulls, row survives
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
 }
