@@ -1656,19 +1656,7 @@ object DedupQueries {
         |    AS dup_mass
         |FROM w GROUP BY doc_id ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      val chunks = docs(s, d)
-        .select(col("doc_id"), col("text"),
-          call_function("cdc_cuts", col("text")).as("cuts"),
-          length(col("text")).cast("long").as("n"))
-        .select(col("doc_id"), col("text"),
-          concat(array(lit(0L)), col("cuts"), array(col("n"))).as("bs"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(bs) - 2), j -> named_struct(" +
-            "'chash', md5(substring(text, CAST(element_at(bs, j+1) + 1 AS INT), " +
-            "CAST(element_at(bs, j+2) - element_at(bs, j+1) AS INT))), " +
-            "'clen', element_at(bs, j+2) - element_at(bs, j+1)))")).as("c"))
-        .select(col("doc_id"), col("c.chash").as("chash"),
-          col("c.clen").as("clen"))
+      val chunks = TextOps.cdcChunkRows(docs(s, d), "doc_id", "text")
       chunks
         .withColumn("cnt", count(lit(1)).over(Window.partitionBy("chash")))
         .groupBy("doc_id")

@@ -327,6 +327,40 @@ object EventStreams {
       }(e4, e2)
   }
 
+  final case class ChunkRow(doc_id: Long, chash: String, clen: Long)
+  final case class ChunkDecision(doc_id: Long, chash: String, clen: Long,
+      first_seen: Boolean)
+
+  /** Streaming CDC chunk dedup — the stream twin of batch q143: documents
+    * arrive as an unbounded stream, are chunked by the SAME map-side
+    * codegen kernel (`TextOps.cdcChunkRows` — content-defined boundaries,
+    * so a re-crawled page with one inserted paragraph still dedups all
+    * unchanged chunks), and each chunk is flagged first-seen vs duplicate
+    * against everything ingested so far. Keyed state is ONE boolean per
+    * DISTINCT chunk hash — the inherent floor for exact dedup (state
+    * tracks content volume, not stream length; a production deployment
+    * ages it with a TTL or swaps in a Bloom filter when approximate
+    * suffices). Within a micro-batch, ties resolve by doc_id so replays
+    * and arrival order cannot flip which occurrence counts as first. */
+  def cdcDedupStream(docs: DataFrame)(
+      implicit e1: org.apache.spark.sql.Encoder[ChunkRow],
+      e2: org.apache.spark.sql.Encoder[ChunkDecision],
+      e3: org.apache.spark.sql.Encoder[String]): Dataset[ChunkDecision] = {
+    val chunks = graft.functions.TextOps.cdcChunkRows(docs, "doc_id", "text")
+      .as[ChunkRow](e1)
+    chunks.groupByKey(_.chash)(e3)
+      .flatMapGroupsWithState[Boolean, ChunkDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (h: String, it: Iterator[ChunkRow], state: GroupState[Boolean]) =>
+          val rows = it.toSeq.sortBy(_.doc_id)
+          val seen = state.exists
+          if (!seen) state.update(true)
+          rows.iterator.zipWithIndex.map { case (r, i) =>
+            ChunkDecision(r.doc_id, r.chash, r.clen, !seen && i == 0)
+          }
+      }(org.apache.spark.sql.Encoders.scalaBoolean, e2)
+  }
+
   /** Streaming vocabulary heavy hitters — the stream twin of q131's
     * candidate stage: a Misra–Gries sketch maintained as streaming
     * aggregation STATE (one O(k) buffer; each micro-batch's words reduce

@@ -458,6 +458,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcDedupStream: per-chunk first/dup decisions match batch counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    graft.plans.GraftExtensions.install(spark)
+    val sf = "/root/testdata/sf0.001"
+    val docRows = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // batch expectation: per chash, total count and total length
+    val batchCounts = graft.functions.TextOps
+      .cdcChunkRows(Tables.documents(spark, sf), "doc_id", "text")
+      .groupBy("chash")
+      .agg(count(lit(1)).as("n"), sum("clen").as("mass"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.cdcDedupStream(mem.toDF().toDF("doc_id", "text"))
+      .writeStream.format("memory").queryName("cdc_stream")
+      .outputMode("append").start()
+    try {
+      val (b1, b2) = docRows.splitAt(docRows.size / 2)
+      mem.addData(b1); q.processAllAvailable()
+      mem.addData(b2); q.processAllAvailable()
+      val out = spark.table("cdc_stream")
+        .as[EventStreams.ChunkDecision].collect()
+      // every batch-known chunk hash appears with the exact batch count
+      val byHash = out.groupBy(_.chash)
+      assert(byHash.keySet == batchCounts.keySet)
+      byHash.foreach { case (h, rs) =>
+        assert(rs.length == batchCounts(h), s"count drift for $h")
+        assert(rs.count(_.first_seen) == 1,
+          s"chunk $h: ${rs.count(_.first_seen)} first_seen rows")
+      }
+      // duplicate mass identity: non-first rows = (cnt - 1) per hash
+      val dupRows = out.count(!_.first_seen)
+      assert(dupRows == batchCounts.values.map(_ - 1).sum)
+    } finally q.stop()
+  }
+
   test("heavyHittersStream: MG survival guarantee holds across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
