@@ -1321,6 +1321,121 @@ object PipelineQueries {
           min(when(col("rk") * 4 <= col("n") * 3, col("q20")))
             .as("cutoff_q20"))
         .orderBy("source")
+    },
+
+    // Hard-negative mining for contrastive training: for each probe
+    // vector, the top-3 most-similar vectors with a DIFFERENT label —
+    // the pairs a contrastive loss learns most from. Fixed probe set
+    // (vec_id < 5) → broadcast; one linear corpus scan scores and the
+    // label filter is pushed into the join condition so same-label
+    // vectors never reach the ranker. Rounded-cosine + id tiebreak (q55
+    // idiom) keeps ranks libm-safe; per-probe top-3 is WindowGroupLimit
+    // (bounded heap), never a full sort.
+    Q(
+      "q151_hard_negatives",
+      """WITH q AS (
+        |  SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        |  FROM embeddings WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.qid, e.vec_id,
+        |    round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |        i -> CAST(e.embedding[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)))
+        |      / (sqrt(list_sum(list_transform(e.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 4) + 0
+        |      AS rcos
+        |  FROM embeddings e, q
+        |  WHERE e.vec_id != q.qid AND e.label != q.qlabel
+        |), ranked AS (
+        |  SELECT qid, vec_id, rcos,
+        |    row_number() OVER (PARTITION BY qid
+        |                       ORDER BY rcos DESC, vec_id) AS rn
+        |  FROM scored)
+        |SELECT qid, vec_id AS neg_id, rcos, CAST(rn AS BIGINT) AS rn
+        |FROM ranked WHERE rn <= 3 ORDER BY qid, rn""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d)
+      val probes = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+          col("label").as("qlabel"))
+      val scored = emb.join(broadcast(probes),
+          col("vec_id") =!= col("qid") && col("label") =!= col("qlabel"))
+        .select(col("qid"), col("vec_id"),
+          (round(TextOps.cosine(col("embedding"), col("qv")), 4) + lit(0.0))
+            .as("rcos"))
+      val w = Window.partitionBy("qid").orderBy(col("rcos").desc,
+        col("vec_id"))
+      scored.withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("qid"), col("vec_id").as("neg_id"), col("rcos"),
+          col("rn").cast("long").as("rn"))
+        .orderBy("qid", "rn")
+    },
+
+    // Curriculum deciles: partition the corpus into 10 difficulty bands
+    // by quality score WITHOUT a global row_number (which would funnel
+    // 100 TB through one window task). Scale shape = the Quantiles
+    // doctrine: (1) histogram the DISTINCT Q20 scores (partial+final
+    // HashAggregate — map-side combine collapses the corpus before the
+    // exchange), (2) one window over the histogram (input = distinct
+    // values, never raw rows) finds the 9 exact rank-selection
+    // thresholds t_k = value at rank (k·n) div 10, (3) broadcast the
+    // 9-row threshold list and assign decile = #{k: t_k < q20} in a pure
+    // map stage. Ties share a decile by construction on both engines.
+    Q(
+      "q152_curriculum",
+      """WITH scored AS (
+        |  SELECT doc_id,
+        |    (CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT)
+        |      * 1048576)
+        |      // CAST(len(string_split(text, ' ')) AS BIGINT) AS q20,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT q20, row_number() OVER (ORDER BY q20, doc_id) AS rk,
+        |         count(*) OVER () AS n
+        |  FROM scored
+        |), th AS (
+        |  SELECT q20 AS t FROM ranked, unnest(range(1, 10)) AS g(k)
+        |  WHERE rk = (k * n) // 10
+        |), assigned AS (
+        |  SELECT doc_id, q20, n_words,
+        |    (SELECT count(*) FROM th WHERE t < scored.q20) AS decile
+        |  FROM scored)
+        |SELECT decile, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(q20) AS q20_lo, max(q20) AS q20_hi,
+        |  CAST(sum(n_words) AS BIGINT) AS tokens
+        |FROM assigned GROUP BY decile ORDER BY decile""".stripMargin
+    ) { (s, d) =>
+      val ws = TextOps.tokens(col("text"))
+      val scored = Tables.documents(s, d).select(col("doc_id"),
+          size(ws).cast("long").as("n_words"),
+          size(array_distinct(ws)).cast("long").as("n_distinct"))
+        .withColumn("q20", expr("(n_distinct * 1048576) div n_words"))
+        .select("doc_id", "q20", "n_words")
+      val hist = scored.groupBy("q20").agg(count(lit(1)).as("c"))
+      val wCum = Window.orderBy("q20")
+      val wAll = Window.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      val th = hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(wAll))
+        .select(col("q20").as("t"), col("cum"), col("c"), col("n"),
+          explode(sequence(lit(1), lit(9))).as("k"))
+        .filter(col("cum") - col("c") < expr("(k * n) div 10") &&
+          expr("(k * n) div 10") <= col("cum"))
+        .select("t")
+      val ts = th.agg(sort_array(collect_list("t")).as("ts"))
+      scored.crossJoin(broadcast(ts))
+        .select(col("doc_id"), col("q20"), col("n_words"),
+          size(filter(col("ts"), t => t < col("q20"))).cast("long")
+            .as("decile"))
+        .groupBy("decile")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min("q20").as("q20_lo"), max("q20").as("q20_hi"),
+          sum("n_words").cast("long").as("tokens"))
+        .orderBy("decile")
     }
   )
 }

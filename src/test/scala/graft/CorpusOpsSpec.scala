@@ -197,6 +197,44 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("q151 hard negatives never share the probe's label") {
+    val labels = Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = q("q151_hard_negatives").collect()
+    assert(rows.nonEmpty && rows.length % 3 == 0)
+    rows.foreach { r =>
+      val (qid, neg) = (r.getLong(0), r.getLong(1))
+      assert(labels(qid) != labels(neg),
+        s"negative $neg shares label ${labels(qid)} with probe $qid")
+      assert(neg != qid)
+    }
+    // per-probe: ranks are exactly 1..3 with non-increasing similarity
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == Seq(1L, 2L, 3L))
+      val sims = sorted.map(_.getDouble(2))
+      assert(sims.sliding(2).forall(p => p(0) >= p(1)))
+    }
+  }
+
+  test("q152 deciles partition the corpus into disjoint ordered bands") {
+    val rows = q("q152_curriculum").collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getLong(1)).sum == total)
+    assert(rows.map(_.getLong(0)).toSeq == rows.map(_.getLong(0)).toSeq.sorted)
+    // bands are disjoint value ranges in decile order (ties share deciles)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(a.getLong(3) < b.getLong(2),
+          s"decile ${a.getLong(0)} hi ${a.getLong(3)} overlaps " +
+            s"${b.getLong(0)} lo ${b.getLong(2)}")
+      case _ =>
+    }
+    // roughly balanced: no decile holds more than 3x its fair share
+    rows.foreach(r => assert(r.getLong(1) <= 3 * total / 10 + 1))
+  }
+
   test("q144 PMI values satisfy the Q20.20 definition and ordering") {
     val rows = q("q144_pmi_colloc").collect()
     assert(rows.length == 50)
