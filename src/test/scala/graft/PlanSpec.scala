@@ -150,4 +150,43 @@ class PlanSpec extends SparkSpec {
     val cols = Inspect.necessaryColumns(df).values.head
     assert(cols.toSet == Set("doc_id", "text"))
   }
+
+  test("q143 CDC: map-only chunking (no per-char explode), pruned scan") {
+    val df = SparkEntry.queries("q143_cdc_chunks")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // the chunking kernel must appear (codegen'd expression), and the
+    // only Generate is the per-CHUNK explode — a per-character explode
+    // would make the Generate's output ~64x wider and shuffle it
+    assert(plan.contains("cdc_cuts"), plan)
+    assert("\\(\\d+\\) Generate\\b".r.findAllIn(plan).size == 1, plan)
+    // chash window is partitioned (no global window)
+    assert(!plan.contains("partitionBy=[],"), plan)
+    assert(Inspect.necessaryColumns(df).values.head.toSet ==
+      Set("doc_id", "text"))
+  }
+
+  test("q148 BPE encode: no data exchange before the final sort") {
+    val df = SparkEntry.queries("q148_bpe_encode")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // encode is one map stage: the ONLY exchange is the output sort's
+    // rangepartitioning — any hashpartitioning would mean the corpus
+    // shuffled for a per-row computation
+    assert(!plan.contains("hashpartitioning"), plan)
+    assert("rangepartitioning".r.findAllIn(plan).size >= 1, plan)
+  }
+
+  test("q152 curriculum: windows run over the histogram, not raw rows") {
+    val df = SparkEntry.queries("q152_curriculum")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // the (empty-partition) threshold window is legal ONLY because its
+    // input is the distinct-score histogram: assert an Aggregate sits
+    // below the Window in the tree (HashAggregate appears before Window
+    // in bottom-up formatted order means the window consumes agg output)
+    assert(plan.contains("Window"), plan)
+    val aggIdx = plan.indexOf("HashAggregate")
+    assert(aggIdx >= 0, plan)
+    // decile assignment is a broadcast join, not a shuffle of the corpus
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"), plan)
+  }
 }
