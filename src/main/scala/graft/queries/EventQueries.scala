@@ -614,6 +614,66 @@ object EventQueries {
         .select(col("bin"), coalesce(col("n"), lit(0L)).as("n"),
           expr("bin * 103125 div 10000").as("lo_int"))
         .orderBy("bin")
+    },
+
+    // Engagement-weighted corpus selection — the cross-table op a
+    // product-data pipeline runs: user events carry an item key in their
+    // JSON props; aggregate per-item engagement (view +1, purchase +5,
+    // error -2 — all-integer weights) and join back to the documents
+    // those items reference, ranking training data by real usage. Scale
+    // shape: JSON extraction is map-side, engagement collapses in a
+    // partial+final agg BEFORE the join (the join's left side is
+    // item-cardinality, not event-cardinality), and the doc join is an
+    // ordinary shuffled equi-join on the pruned (doc_id, text) scan;
+    // top-50 is a TakeOrderedAndProject heap.
+    Q(
+      "q153_engagement_select",
+      """WITH ev AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |         event_type
+        |  FROM events
+        |), eng AS (
+        |  SELECT item,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS views,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchases,
+        |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS errors,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1
+        |              WHEN event_type = 'purchase' THEN 5
+        |              WHEN event_type = 'error' THEN -2 ELSE 0 END)
+        |      AS BIGINT) AS engagement
+        |  FROM ev GROUP BY item
+        |)
+        |SELECT d.doc_id, views, purchases, errors, engagement,
+        |  CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words
+        |FROM eng JOIN documents d ON d.doc_id = eng.item
+        |ORDER BY engagement DESC, doc_id LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val eng = ev(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("item"),
+          col("event_type"))
+        .groupBy("item")
+        .agg(
+          sum(when(col("event_type") === "view", 1L).otherwise(0L))
+            .cast("long").as("views"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .cast("long").as("purchases"),
+          sum(when(col("event_type") === "error", 1L).otherwise(0L))
+            .cast("long").as("errors"),
+          sum(when(col("event_type") === "view", 1L)
+            .when(col("event_type") === "purchase", 5L)
+            .when(col("event_type") === "error", -2L).otherwise(0L))
+            .cast("long").as("engagement"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+          .as("n_words"))
+        .join(eng, col("doc_id") === col("item"))
+        .select(col("doc_id"), col("views"), col("purchases"),
+          col("errors"), col("engagement"), col("n_words"))
+        .orderBy(col("engagement").desc, col("doc_id"))
+        .limit(50)
     }
   )
 }
