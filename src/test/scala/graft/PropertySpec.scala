@@ -352,4 +352,52 @@ class PropertySpec extends SparkSpec {
     assert(base.nonEmpty)
     assert(topk(7) == base && topk(32) == base)
   }
+
+  test("law: cdc_cuts boundaries are shift-stable beyond a window") {
+    // For random ASCII strings s and any prefix edit, cuts strictly past
+    // (edit position + window) in the edited string correspond 1:1 to
+    // cuts in the original shifted by the length delta — the re-sync law
+    // that makes CDC dedup correct under insertions, checked on random
+    // inputs (CorpusOpsSpec checks real docs).
+    val asciiText = Gen.chooseNum(40, 200).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(32, 126).map(_.toChar)).map(_.mkString))
+    forAll(asciiText, n = 10) { s =>
+      def cuts(t: String): Seq[Long] = {
+        val cps = t.codePoints().toArray
+        (16 until cps.length).flatMap { pos =>
+          val h = cps.slice(pos - 16, pos).map(_.toLong).sum
+          if ((h * 2654435761L) % 64 == 0) Some(pos.toLong) else None
+        }
+      }
+      val p = s.length / 3
+      val edited = s.substring(0, p) + "XY" + s.substring(p)
+      val horizon = p + 2 + 16
+      val after = cuts(edited).filter(_ > horizon)
+      val expect = cuts(s).filter(_ > p + 16).map(_ + 2).filter(_ > horizon)
+      assert(after == expect, s"re-sync violated at p=$p for ${s.take(20)}…")
+    }
+  }
+
+  test("law: BPE encode never increases token count round over round") {
+    // each merge round weakly decreases every word's symbol count, and
+    // the final sequence concatenates to the original word
+    val word = Gen.chooseNum(1, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val merges = Seq(("a", "b"), ("ab", "c"), ("c", "c"), ("a", "a"))
+    def walk(ss: List[String], l: String, r: String): List[String] =
+      ss match {
+        case x :: y :: rest if x == l && y == r => (l + r) :: walk(rest, l, r)
+        case x :: rest => x :: walk(rest, l, r)
+        case Nil => Nil
+      }
+    forAll(word, n = 20) { w =>
+      var syms = w.toCharArray.map(_.toString).toList
+      merges.foreach { case (l, r) =>
+        val next = walk(syms, l, r)
+        assert(next.length <= syms.length)
+        assert(next.mkString == w)
+        syms = next
+      }
+    }
+  }
 }
