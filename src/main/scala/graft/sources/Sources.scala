@@ -163,4 +163,22 @@ object Sources {
       overwrite: Boolean = true): Unit =
     df.write.mode(if (overwrite) "overwrite" else "error")
       .option("header", header).csv(dest)
+
+  /** Idempotent micro-batch parquet writer — the exactly-once file-sink
+    * contract for streaming ingestion: each micro-batch lands in its own
+    * `__batch_id=N` partition via DYNAMIC partition overwrite, so a
+    * REPLAYED batch (at-least-once source, recovery after a crash between
+    * write and checkpoint commit) overwrites its earlier attempt instead
+    * of appending duplicates. Write is idempotent per (batch_id,
+    * contents); readers see `dest` as ordinary partitioned parquet and
+    * can prune on `__batch_id`. Use from `writeStream.foreachBatch(
+    * Sources.idempotentBatchWriter(dest))`. The same mechanism serves
+    * batch backfills: re-running a failed backfill slice replaces it. */
+  def idempotentBatchWriter(dest: String)
+      : (DataFrame, Long) => Unit = { (df, batchId) =>
+    df.sparkSession.conf
+      .set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    df.withColumn("__batch_id", org.apache.spark.sql.functions.lit(batchId))
+      .write.mode("overwrite").partitionBy("__batch_id").parquet(dest)
+  }
 }

@@ -142,4 +142,24 @@ class SourcesSpec extends SparkSpec {
     // report is queryable SQL, the reference's whole point
     assert(report.where(col("exception").isNotNull).count() == 1)
   }
+
+  test("idempotentBatchWriter: a replayed micro-batch does not duplicate") {
+    val dest = tmp("sink")
+    val w = Sources.idempotentBatchWriter(dest)
+    w(Seq((1L, "a"), (2L, "b")).toDF("id", "s"), 0L)
+    w(Seq((3L, "c")).toDF("id", "s"), 1L)
+    // crash-recovery replay of batch 1 (same id, same contents)
+    w(Seq((3L, "c")).toDF("id", "s"), 1L)
+    val back = spark.read.parquet(dest)
+    assert(back.count() == 3, "replayed batch appended instead of replacing")
+    assert(back.select("__batch_id").distinct().count() == 2)
+    // a REVISED replay (source re-sent corrected rows) replaces too
+    w(Seq((3L, "c2"), (4L, "d")).toDF("id", "s"), 1L)
+    val back2 = spark.read.parquet(dest)
+    assert(back2.count() == 4)
+    assert(back2.where(col("id") === 3L).select("s").collect()
+      .head.getString(0) == "c2")
+    // batch 0 untouched by batch 1's overwrite (dynamic mode)
+    assert(back2.where(col("__batch_id") === 0).count() == 2)
+  }
 }
