@@ -1812,6 +1812,48 @@ object DedupQueries {
         .select(col("n_truth"), col("n_retr"), col("n_tp"),
           expr("n_tp * 1000000 div greatest(n_truth, 1)").as("recall_ppm"),
           expr("n_tp * 1000000 div greatest(n_retr, 1)").as("precision_ppm"))
+    },
+
+    // Cross-source duplicate report — split-hygiene scan: documents whose
+    // LEADING-CONTENT fingerprint (md5 of the first 80 chars — the
+    // boilerplate/header signal; exact full-text dup is a special case)
+    // appears in MORE THAN ONE source. If train and eval splits are drawn
+    // by source, every row here is a leakage channel. Scale shape: one
+    // map-side fingerprint, one fixed-width-keyed partial+final agg
+    // (collect_set bounded by the source universe, which is
+    // low-cardinality by definition), filter on the grouped row — no
+    // joins, no windows.
+    Q(
+      "q154_cross_source_dups",
+      """WITH dg AS (
+        |  SELECT md5(substr(text, 1, 80)) AS digest, source, doc_id
+        |  FROM documents
+        |), grp AS (
+        |  SELECT digest,
+        |    CAST(count(*) AS BIGINT) AS n_docs,
+        |    CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |    array_to_string(list_sort(list_distinct(list(source))), ',')
+        |      AS sources,
+        |    CAST(min(doc_id) AS BIGINT) AS first_doc
+        |  FROM dg GROUP BY digest
+        |)
+        |SELECT substr(digest, 1, 16) AS digest16, n_docs, n_sources,
+        |       sources, first_doc
+        |FROM grp WHERE n_sources > 1 ORDER BY digest16""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .select(md5(substring(col("text"), 1, 80)).as("digest"),
+          col("source"), col("doc_id"))
+        .groupBy("digest")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct("source").cast("long").as("n_sources"),
+          concat_ws(",", sort_array(collect_set(col("source"))))
+            .as("sources"),
+          min("doc_id").cast("long").as("first_doc"))
+        .filter(col("n_sources") > 1)
+        .select(substring(col("digest"), 1, 16).as("digest16"),
+          col("n_docs"), col("n_sources"), col("sources"), col("first_doc"))
+        .orderBy("digest16")
     }
   )
 }
