@@ -495,6 +495,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("cdcDedupStream state survives a checkpointed stop/restart") {
+    // fault-tolerance proof: keyed dedup state must come back from the
+    // state store after the query is STOPPED and a new query restarts
+    // from the same checkpoint — chunks first seen before the restart
+    // must be flagged duplicates after it.
+    import spark.implicits._
+    val base = java.nio.file.Files
+      .createTempDirectory("graft-cdc-restart").toString
+    val srcDir = s"$base/src"
+    val ckpt = s"$base/ckpt"
+    val docsAll = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "text").limit(60).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val (a, b) = docsAll.splitAt(30)
+    // phase 2 re-sends ten phase-1 docs under new ids: all their chunks
+    // must come back dup
+    val replayed = a.take(10).map { case (id, t) => (id + 100000L, t) }
+    val collected =
+      java.util.Collections.synchronizedList(
+        new java.util.ArrayList[EventStreams.ChunkDecision]())
+    def runPhase(rows: Seq[(Long, String)], file: String): Unit = {
+      spark.createDataset(rows).toDF("doc_id", "text")
+        .write.mode("append").parquet(srcDir)
+      val stream = spark.readStream
+        .schema("doc_id LONG, text STRING").parquet(srcDir)
+      val q = EventStreams.cdcDedupStream(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch { (df: org.apache.spark.sql.Dataset[EventStreams.ChunkDecision], _: Long) =>
+          df.collect().foreach(collected.add)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runPhase(a.toSeq, "a")
+    val phase1 = collected.size
+    assert(phase1 > 0)
+    runPhase((b ++ replayed).toSeq, "b")
+    import scala.jdk.CollectionConverters._
+    val all = collected.asScala.toSeq
+    val phase1Hashes = all.take(phase1).map(_.chash).toSet
+    val phase2 = all.drop(phase1)
+    assert(phase2.nonEmpty)
+    // every phase-2 chunk whose hash was seen in phase 1 must NOT be
+    // first_seen — only possible if state survived the restart
+    val carried = phase2.filter(c => phase1Hashes.contains(c.chash))
+    assert(carried.nonEmpty, "fixture produced no cross-phase chunk overlap")
+    assert(carried.forall(!_.first_seen),
+      s"${carried.count(_.first_seen)} pre-restart chunks re-flagged first_seen")
+  }
+
   test("heavyHittersStream: MG survival guarantee holds across batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
