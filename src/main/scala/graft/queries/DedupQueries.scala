@@ -42,8 +42,10 @@ object DedupQueries {
   /** Per-bucket membership cap (mirrors q52's doctrine): a pathological
     * mega-cluster otherwise turns one bucket into an O(m²) pair factory.
     * Deterministic (lowest vec_ids kept); the dropped-row count surfaces
-    * as the `rp_cap` observed metric. CANNOT engage at gate SF (max bucket
-    * occupancy at sf0.1 is 75), so the oracle need not model it. */
+    * as the `rp_cap` observed metric. Cannot engage at gate SF (max bucket
+    * occupancy at sf0.1 is 75) but DOES at the 10x replica (3933
+    * rows/side dropped), so the oracle models it too — the round-6
+    * replica gate caught q111/q134 diverging when it didn't. */
   private val RpBucketCap = 256
 
   /** q88/q92/q111 shared candidate-pair builder: adaptive random-projection
@@ -87,9 +89,14 @@ object DedupQueries {
   }
 
   /** One bucketed side of [[rpPairsSql]] with the adaptive plane count
-    * derived in SQL (integer-exact twin of [[adaptivePlanes]]). */
+    * derived in SQL (integer-exact twin of [[adaptivePlanes]]) and the
+    * 256-per-bucket cap mirrored (row_number by vec_id — identical to the
+    * Spark side's deterministic truncation). */
   private def rpSideSql: String =
-    """(SELECT vec_id, embedding,
+    """(SELECT vec_id, embedding, bucket FROM (
+      |  SELECT vec_id, embedding, bucket,
+      |    row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS __rk
+      |  FROM (SELECT vec_id, embedding,
       |    CAST(list_sum(list_transform(range(0, p.np), j ->
       |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
       |        CAST(embedding[i + 1] AS DOUBLE) *
@@ -97,10 +104,11 @@ object DedupQueries {
       |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
       |  FROM embeddings,
       |    (SELECT GREATEST(8, length(bin(count(*) - 1)) - 3) AS np
-      |     FROM embeddings) p)""".stripMargin
+      |     FROM embeddings) p) rawb) cappedb
+      |WHERE __rk <= 256)""".stripMargin
 
-  /** The oracle-SQL twin of [[rpPairs]] (no ORDER BY; composable in CTEs).
-    * The bucket cap is not modeled — it cannot engage at gate SF. */
+  /** The oracle-SQL twin of [[rpPairs]] (no ORDER BY; composable in CTEs),
+    * cap included via [[rpSideSql]]. */
   private val rpPairsSql: String =
     s"""SELECT a.vec_id AS id_a, b.vec_id AS id_b,
       |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
@@ -250,10 +258,11 @@ object DedupQueries {
     //     docs would still emit O(m²) pairs from its bucket; buckets are
     //     truncated to the first 256 docs (by doc_id — deterministic) and
     //     the dropped-doc count surfaces as the `q52_cap` observed metric
-    //     (GraftSession logs it to stderr). The cap CANNOT engage at gate
-    //     SF (max bucket occupancy is 7 at sf0.01), so the oracle need
-    //     not model it; at 100 TB it bounds the worst bucket while the
-    //     metric makes the truncation visible instead of silent.
+    //     (GraftSession logs it to stderr). The cap cannot engage at gate
+    //     SF (max bucket occupancy is 7 at sf0.01) but does on the
+    //     10x-skew replica's mega cluster, so the oracle models it
+    //     identically (row_number by doc_id <= 256); at 100 TB it bounds
+    //     the worst bucket while the metric makes the truncation visible.
     Q(
       "q52_lsh_pairs",
       """WITH shr AS (
@@ -273,9 +282,15 @@ object DedupQueries {
         |    min((3000073 * h + 98765) % 4294967291) AS k2,
         |    min((4000037 * h + 13579) % 4294967291) AS k3
         |  FROM hv GROUP BY doc_id),
-        |bands AS (
+        |braw AS (
         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
         |         unnest([k0, k1, k2, k3]) AS key FROM sig),
+        |bands AS (
+        |  SELECT doc_id, band, key FROM (
+        |    SELECT doc_id, band, key,
+        |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+        |        AS rk
+        |    FROM braw) t WHERE rk <= 256),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
@@ -618,20 +633,26 @@ object DedupQueries {
     // when similarity clears a threshold. Sign-bit count is ADAPTIVE
     // (max(6, bitlen(n-1) - 5) — exactly 6 at every gate SF, one more bit
     // per corpus doubling beyond 4096 vectors) and buckets are capped at
-    // 256 members (q52 doctrine; CANNOT engage at gate SF where max
-    // occupancy is 46): the fixed-6-bit form measured 40x runtime for 10x
-    // data on the round-6 100x skew rehearsal — 64 fixed buckets are the
-    // `% 256` lesson again.
+    // 256 members (q52 doctrine; mirrored in the oracle — cannot engage
+    // at gate SF where max occupancy is 46, but does on big replicas):
+    // the fixed-6-bit form measured 40x runtime for 10x data on the
+    // round-6 100x skew rehearsal — 64 fixed buckets are the `% 256`
+    // lesson again.
     Q(
       "q59_cosine_dups",
-      """WITH b AS (
+      """WITH braw AS (
         |  SELECT vec_id, embedding,
         |    CAST(list_sum(list_transform(range(0, p.nb), i ->
         |      CASE WHEN embedding[i + 1] > 0 THEN 1 << i ELSE 0 END)) AS BIGINT)
         |      AS bucket
         |  FROM embeddings,
         |    (SELECT GREATEST(6, length(bin(count(*) - 1)) - 5) AS nb
-        |     FROM embeddings) p)
+        |     FROM embeddings) p),
+        |b AS (
+        |  SELECT vec_id, embedding, bucket FROM (
+        |    SELECT vec_id, embedding, bucket,
+        |      row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+        |    FROM braw) t WHERE rk <= 256)
         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
         |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
         |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
@@ -675,21 +696,11 @@ object DedupQueries {
     // share. Same scale shape as q59: bucket-equi-join, never all-pairs.
     Q(
       "q88_rp_neardup",
-      """WITH b AS (
-        |  SELECT vec_id, embedding,
-        |    CAST(list_sum(list_transform(range(0, 8), j ->
-        |      CASE WHEN list_sum(list_transform(range(0, 64), i ->
-        |        CAST(embedding[i + 1] AS DOUBLE) *
-        |        ((1103515245 * (j * 64 + i) + 12345) % 100003 - 50001)
-        |      )) > 0 THEN 1 << j ELSE 0 END)) AS BIGINT) AS bucket
-        |  FROM embeddings)
-        |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |  round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0
-        |    AS rdot
-        |FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |WHERE round(list_sum(list_transform(range(1, len(a.embedding) + 1),
-        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))), 4) + 0 > 0.15
+      // The oracle is the shared rpPairsSql twin — adaptive plane count
+      // AND the 256-per-bucket cap, exactly what the Spark side runs (an
+      // earlier fixed-8-plane inline form matched at every gate SF but
+      // diverged on the 10x replica where adaptivity and the cap engage).
+      s"""SELECT id_a, id_b, rdot FROM ($rpPairsSql) pairs
         |ORDER BY id_a, id_b""".stripMargin
     ) { (s, d) =>
       rpPairs(s, d).orderBy("id_a", "id_b")
@@ -966,8 +977,9 @@ object DedupQueries {
     // (never a fixed-cardinality fold) -> new-vs-old equi-join with the
     // OLD side per-bucket-capped at 256 (q52 doctrine: a mega-cluster
     // bucket otherwise multiplies every matching new doc by m old docs;
-    // deterministic lowest-doc_id keep, `q116_cap` observed metric, cannot
-    // engage at gate SF — old-side band buckets hold <= 2 docs at sf0.1).
+    // deterministic lowest-doc_id keep, `q116_cap` observed metric,
+    // mirrored in the oracle — cannot engage at gate SF, where old-side
+    // band buckets hold <= 2 docs at sf0.1, but does on big replicas).
     // Neither side broadcasts: both are SF-scaled. Per-(new, old) agree
     // counts are bounded by 4; output is linear in the flagged mass.
     Q(
@@ -995,10 +1007,16 @@ object DedupQueries {
         |    CASE b.band WHEN 0 THEN k0 WHEN 1 THEN k1
         |      WHEN 2 THEN k2 ELSE k3 END AS mh
         |  FROM sig CROSS JOIN (SELECT unnest(range(0, 4)) AS band) b),
+        |oldc AS (
+        |  SELECT doc_id, band, mh FROM (
+        |    SELECT doc_id, band, mh,
+        |      row_number() OVER (PARTITION BY band, mh ORDER BY doc_id)
+        |        AS rk
+        |    FROM bands WHERE source = 'src0') t WHERE rk <= 256),
         |cand AS (
         |  SELECT n.doc_id AS new_id, o.doc_id AS old_id, count(*) AS agree
-        |  FROM bands n JOIN bands o ON n.band = o.band AND n.mh = o.mh
-        |  WHERE n.source <> 'src0' AND o.source = 'src0'
+        |  FROM bands n JOIN oldc o ON n.band = o.band AND n.mh = o.mh
+        |  WHERE n.source <> 'src0'
         |  GROUP BY 1, 2)
         |SELECT new_id, min(old_id) AS dup_of,
         |  CAST(max(agree) AS BIGINT) AS max_agree
@@ -1707,9 +1725,15 @@ object DedupQueries {
         |    min((3000073 * h + 98765) % 4294967291) AS k2,
         |    min((4000037 * h + 13579) % 4294967291) AS k3
         |  FROM hv GROUP BY doc_id),
-        |bands AS (
+        |braw AS (
         |  SELECT doc_id, unnest([0, 1, 2, 3]) AS band,
         |         unnest([k0, k1, k2, k3]) AS key FROM sig),
+        |bands AS (
+        |  SELECT doc_id, band, key FROM (
+        |    SELECT doc_id, band, key,
+        |      row_number() OVER (PARTITION BY band, key ORDER BY doc_id)
+        |        AS rk
+        |    FROM braw) t WHERE rk <= 256),
         |cand AS (
         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
         |  FROM bands a JOIN bands b
