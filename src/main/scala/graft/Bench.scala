@@ -50,17 +50,20 @@ object Bench {
     // last line as JSON (BENCH_r01/r02 both recorded a 2000-byte tail with
     // the metric line truncated mid-key -> "parsed": null). So the metric
     // line must be compact: qNN prefix keys (unique across the suite) and
-    // millisecond precision keep it ~1 KB. The full-name map goes to
-    // stderr for humans/bench_guard notes.
+    // centisecond per-query precision (139 queries at 3 decimals measured
+    // 1798 bytes — one round of new queries from the limit; the exact
+    // 3-decimal map still goes to stderr for humans/bench_guard notes).
     // Locale.ROOT: the default-locale interpolator would print "1,374"
     // under a comma-decimal locale and corrupt the JSON
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    def cs(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.length == shortKeys.length,
       "duplicate qNN prefixes would silently collapse metric-line keys: " +
         shortKeys.diff(shortKeys.distinct).mkString(","))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ms(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
       .mkString("{", ",", "}")
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")

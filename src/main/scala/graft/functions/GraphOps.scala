@@ -230,4 +230,53 @@ object GraphOps {
     nodes.unpersist()
     out
   }
+
+  /** Deterministic fixed-iteration PageRank in INTEGER fixed-point — the
+    * graph-centrality reducer of the family (CC gives membership, this
+    * gives importance: source/document authority weighting for corpus
+    * curation). All arithmetic is scaled-long floor division, so the
+    * result is bit-identical across engines and partitionings (a double
+    * PageRank is summation-order-dependent — never gate-checkable):
+    * total mass `totScale` (1e12 — quotient precision ~1e-12 of total),
+    * r0 = totScale/n, and per iteration
+    * r'(v) = (15% of totScale)/n + 85% * Σ_{u→v} (r(u) div outdeg(u)),
+    * every div a floor. Dangling mass simply decays (no redistribution)
+    * — the oracle applies the identical rule, and ranking is unaffected
+    * for the curation use case.
+    *
+    * Scale shape: edge+degree table built once and checkpointed; each
+    * iteration is ONE shuffle join (ranks onto edges by src) + one
+    * partial+final sum agg + a left join back onto the node set, with an
+    * eager localCheckpoint cutting lineage per round (the CC lesson: a
+    * persist-only loop doubles the plan every round). Iterations are
+    * FIXED (not convergence-tested): deterministic cost, and an exactly
+    * unrollable oracle. */
+  def pageRank(edges: DataFrame, iters: Int = 3,
+      totScale: Long = 1000000000000L): DataFrame = {
+    val e = edges.select(col("src").cast("long").as("src"),
+      col("dst").cast("long").as("dst")).distinct()
+    val deg = e.groupBy("src").agg(count(lit(1)).as("outd"))
+    // one (src, dst, outd) table feeds every round
+    val ed = e.join(deg, "src").localCheckpoint(true)
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id"))).distinct()
+      .localCheckpoint(true)
+    val n = nodes.count()
+    require(n > 0, "pageRank on an empty graph")
+    val base = totScale * 15L / 100L / n
+    var ranks = nodes.select(col("id"), lit(totScale / n).as("r"))
+    for (_ <- 1 to iters) {
+      val contribs = ed
+        .join(ranks.withColumnRenamed("id", "src").hint("shuffle_hash"),
+          "src")
+        .select(col("dst").as("id"), expr("r div outd").as("c"))
+        .groupBy("id").agg(sum("c").as("m"))
+      ranks = nodes.join(contribs, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) + expr("85 * coalesce(m, CAST(0 AS BIGINT)) div 100"))
+            .as("r"))
+        .localCheckpoint(true)
+    }
+    ranks
+  }
 }

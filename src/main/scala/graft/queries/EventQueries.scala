@@ -674,6 +674,63 @@ object EventQueries {
           col("errors"), col("engagement"), col("n_words"))
         .orderBy(col("engagement").desc, col("doc_id"))
         .limit(50)
+    },
+
+    // Graph centrality over the user->item engagement graph
+    // (GraphOps.pageRank): 3 fixed iterations of integer fixed-point
+    // PageRank — the authority signal a curation pipeline uses to weight
+    // sources by real usage rather than raw counts (an item clicked by
+    // heavy multi-item users ranks below one owning a dedicated
+    // audience). Node ids prefix-code the bipartition (user*2, item*2+1)
+    // so the spaces can't collide. All-integer floor-div arithmetic makes
+    // the ranks bit-exact cross-engine (a double PageRank never is —
+    // summation order); the oracle unrolls the 3 iterations as CTEs.
+    // Scale shape: per iteration ONE shuffle join of the rank table onto
+    // the checkpointed (src, dst, outd) edge table + partial+final sum;
+    // top-50 is a TakeOrderedAndProject heap.
+    Q(
+      "q155_pagerank",
+      """WITH e AS (
+        |  SELECT DISTINCT user_id * 2 AS src,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) * 2 + 1 AS dst
+        |  FROM events),
+        |nodes AS (SELECT DISTINCT id FROM
+        |  (SELECT src AS id FROM e UNION ALL SELECT dst FROM e)),
+        |p AS (SELECT count(*) AS n FROM nodes),
+        |deg AS (SELECT src, count(*) AS outd FROM e GROUP BY src),
+        |r0 AS (SELECT id, 1000000000000 // p.n AS r FROM nodes, p),
+        |s1 AS (SELECT e.dst AS id, sum(r0.r // d.outd) AS m
+        |       FROM e JOIN deg d USING (src) JOIN r0 ON r0.id = e.src
+        |       GROUP BY e.dst),
+        |r1 AS (SELECT nodes.id, 1000000000000 * 15 // 100 // p.n
+        |         + 85 * coalesce(s1.m, 0) // 100 AS r
+        |       FROM nodes LEFT JOIN s1 USING (id), p),
+        |s2 AS (SELECT e.dst AS id, sum(r1.r // d.outd) AS m
+        |       FROM e JOIN deg d USING (src) JOIN r1 ON r1.id = e.src
+        |       GROUP BY e.dst),
+        |r2 AS (SELECT nodes.id, 1000000000000 * 15 // 100 // p.n
+        |         + 85 * coalesce(s2.m, 0) // 100 AS r
+        |       FROM nodes LEFT JOIN s2 USING (id), p),
+        |s3 AS (SELECT e.dst AS id, sum(r2.r // d.outd) AS m
+        |       FROM e JOIN deg d USING (src) JOIN r2 ON r2.id = e.src
+        |       GROUP BY e.dst),
+        |r3 AS (SELECT nodes.id, 1000000000000 * 15 // 100 // p.n
+        |         + 85 * coalesce(s3.m, 0) // 100 AS r
+        |       FROM nodes LEFT JOIN s3 USING (id), p)
+        |SELECT CAST(id % 2 AS BIGINT) AS is_item,
+        |  CAST(id // 2 AS BIGINT) AS node_id, CAST(r AS BIGINT) AS rank_pico
+        |FROM r3 ORDER BY rank_pico DESC, is_item, node_id
+        |LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val edges = ev(s, d).select(
+        (col("user_id") * 2).as("src"),
+        (get_json_object(col("props"), "$.k").cast("long") * 2 + 1)
+          .as("dst"))
+      graft.functions.GraphOps.pageRank(edges, iters = 3)
+        .select((col("id") % 2).as("is_item"),
+          expr("id div 2").as("node_id"), col("r").as("rank_pico"))
+        .orderBy(col("rank_pico").desc, col("is_item"), col("node_id"))
+        .limit(50)
     }
   )
 }

@@ -88,4 +88,44 @@ class GraphOpsSpec extends SparkSpec {
     assert(cl == components(loops))
     assert(cl(9L) == 9L)
   }
+
+  test("pageRank matches a scalar reference implementation exactly") {
+    // star (hub 1 -> 2,3,4), chain 2->5->6, and a sink-only node 6:
+    // exercises fan-out division, multi-hop mass flow, and dangling decay
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 5L), (5L, 6L),
+      (3L, 2L))
+    val got = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // scalar reference: identical integer fixed-point recurrence
+    val tot = 1000000000000L
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val out = edges.groupBy(_._1).map { case (s, es) => s -> es.size.toLong }
+    val base = tot * 15L / 100L / n
+    var r = nodes.map(_ -> tot / n).toMap
+    (1 to 3).foreach { _ =>
+      val m = scala.collection.mutable.HashMap.empty[Long, Long]
+        .withDefaultValue(0L)
+      edges.foreach { case (s, d) => m(d) += r(s) / out(s) }
+      r = nodes.map(v => v -> (base + 85L * m(v) / 100L)).toMap
+    }
+    assert(got == r)
+    // mass decays (dangling node 6 leaks) but stays positive everywhere
+    assert(got.values.forall(_ > 0))
+    // hub targets with equal in-structure tie exactly (3 and 4 both get
+    // only 1/3 of node 1's mass each round)
+    assert(got(3L) == got(4L))
+  }
+
+  test("pageRank is partitioning-invariant (integer arithmetic)") {
+    val rng = new scala.util.Random(11)
+    val edges = Seq.fill(300)((rng.nextInt(40).toLong,
+      rng.nextInt(40).toLong)).filter(e => e._1 != e._2)
+    val a = GraphOps.pageRank(edges.toDF("src", "dst"), iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = GraphOps.pageRank(edges.toDF("src", "dst").repartition(13),
+        iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a == b)
+  }
 }

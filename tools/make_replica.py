@@ -103,20 +103,19 @@ def main():
         FROM {embs}""")
 
     evs = f"'{src}/events.parquet'"
-    # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS) and
-    # Tables.events converts it (`timestamp_micros(ts div 1000)` with
-    # nanosAsLong). DuckDB 1.0 reads NANOS as micro TIMESTAMP and cannot
-    # write NANOS back, so a naive copy changes the column's parquet type
-    # and every ts-arithmetic Spark query on the replica fails at ANALYSIS
-    # time (this silently zeroed the first round-5 10x numbers for the
-    # event queries — Bench reports failures on stderr only). Writing raw
-    # INT64 nanos (epoch_ns) keeps Spark's read path identical: a plain
-    # INT64 column arrives as long, exactly like the NANOS column under
-    # nanosAsLong.
+    # The driver's events.parquet stores ts as INT64 TIMESTAMP(NANOS),
+    # which DuckDB 1.0 reads as a micro TIMESTAMP but cannot write back as
+    # NANOS. Write a native micro TIMESTAMP (parquet TIMESTAMP_NTZ):
+    # Tables.events sniffs the column type and casts NTZ -> LTZ under the
+    # UTC session, the exact same ns->us truncation as its nanos path —
+    # so Spark runs unchanged AND DuckDB can evaluate epoch(ts)-style
+    # oracle SQL directly against the replica (the earlier raw-INT64-nanos
+    # layout kept Spark's read path identical but made every ts-bearing
+    # oracle binder-fail, leaving event queries unchecked at scale).
     con.sql("SET TimeZone = 'UTC'")
     replicate("events", f"""
         SELECT event_id + {{i}} * CAST(100000000 AS BIGINT) AS event_id,
-               epoch_ns(ts) AS ts,
+               CAST(ts AS TIMESTAMP) AS ts,
                user_id + {{i}} * CAST(10000000 AS BIGINT) AS user_id,
                event_type, value, props
         FROM {evs}""")
