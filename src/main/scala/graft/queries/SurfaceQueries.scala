@@ -209,5 +209,72 @@ object SurfaceQueries {
           "l" -> (c => c.cast("string")),
           "b" -> (c => c.cast("string")))).as("matched"))
         .orderBy("doc_id")
+    },
+
+    // PIVOT (long -> wide): RelationalGroupedDataset.pivot with an
+    // EXPLICIT value list — the explicit list matters at scale: without
+    // it Spark runs an extra distinct-collect job over the pivot column
+    // and caps cardinality at spark.sql.pivotMaxValues; with it the whole
+    // pivot compiles to ONE pass of conditional partial+final aggregates
+    // (PivotFirst never materializes the wide row per input row). Oracle:
+    // the same conditional aggregation spelled out (DuckDB's PIVOT is
+    // sugar for exactly this). Sums of nonneg values — no -0.0 hazard.
+    Q(
+      "q156_pivot",
+      """SELECT user_id,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS click_n,
+        |  round(sum(CASE WHEN event_type = 'click' THEN value ELSE 0 END),
+        |    2) AS click_sv,
+        |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS purchase_n,
+        |  round(sum(CASE WHEN event_type = 'purchase' THEN value ELSE 0
+        |    END), 2) AS purchase_sv,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS view_n,
+        |  round(sum(CASE WHEN event_type = 'view' THEN value ELSE 0 END),
+        |    2) AS view_sv
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sv"))
+        .select(col("user_id"),
+          col("click_n"), col("click_sv"),
+          col("purchase_n"), col("purchase_sv"),
+          col("view_n"), col("view_sv"))
+        .orderBy("user_id")
+    },
+
+    // UNPIVOT (wide -> long, Dataset.unpivot / SQL melt): the inverse
+    // reshape, here melting a per-user event-type count matrix back to
+    // (user, kind, n) rows. Unpivot is a zero-shuffle generator (each
+    // input row fans out to k output rows map-side), so the only
+    // exchange is the upstream pivot agg. Oracle: DuckDB UNPIVOT of the
+    // equivalent conditional agg ('vw' not 'view' — reserved word there).
+    Q(
+      "q157_unpivot",
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS click,
+        |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS purchase,
+        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS vw
+        |  FROM events GROUP BY user_id)
+        |SELECT user_id, kind, n FROM w
+        |UNPIVOT (n FOR kind IN (click, purchase, vw))
+        |ORDER BY user_id, kind""".stripMargin
+    ) { (s, d) =>
+      Tables.events(s, d)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "purchase", "view"))
+        .agg(count(lit(1)))
+        .withColumnRenamed("view", "vw")
+        .unpivot(Array(col("user_id")),
+          Array(col("click"), col("purchase"), col("vw")), "kind", "n")
+        .orderBy("user_id", "kind")
     })
 }
