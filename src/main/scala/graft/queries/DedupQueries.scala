@@ -1878,6 +1878,167 @@ object DedupQueries {
         .select(substring(col("digest"), 1, 16).as("digest16"),
           col("n_docs"), col("n_sources"), col("sources"), col("first_doc"))
         .orderBy("digest16")
+    },
+
+    // INCREMENTAL near-dup check: a new shard arrives and must be
+    // deduplicated against the EXISTING corpus without recomputing
+    // corpus-internal pairs — the day-2 shape of every production dedup
+    // (q52 is the day-0 full-corpus pass). Incoming docs (~1/8 by a
+    // doc_id hash split; in production the shard boundary is the
+    // ingestion batch) probe the corpus's banded minhash index: band
+    // match -> candidate, then the q52 verify stage (signature agreement
+    // >= 2 of 4 ~ Jaccard >= 0.5) confirms. Scale shape: ONE shingle ->
+    // md5 -> 4-min signature pipeline feeds both sides below a shared
+    // partial-agg exchange (computed once); the corpus band index is
+    // capped at 256 docs/bucket BEFORE the join (same mega-cluster bound
+    // as q52, mirrored in the oracle) and its cap window's (band, key)
+    // exchange doubles as the join-side partitioning, so the probe is
+    // one shuffle-hash equi-join on fixed-width keys — never a
+    // corpus-sized broadcast. Output is per-incoming-doc (is_dup,
+    // n_matches, best_match): shard-linear, not pair-quadratic.
+    Q(
+      "q159_incremental_dedup",
+      """WITH shr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+        |hv AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |sig AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(doc_id AS VARCHAR)), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) % 8 = 0 AS incoming,
+        |    min((1000003 * h + 12345) % 4294967291) AS k0,
+        |    min((2000029 * h + 54321) % 4294967291) AS k1,
+        |    min((3000073 * h + 98765) % 4294967291) AS k2,
+        |    min((4000037 * h + 13579) % 4294967291) AS k3
+        |  FROM hv GROUP BY doc_id),
+        |braw AS (
+        |  SELECT doc_id, incoming, k0, k1, k2, k3,
+        |         unnest([0, 1, 2, 3]) AS band,
+        |         unnest([k0, k1, k2, k3]) AS key FROM sig),
+        |corpus AS (
+        |  SELECT doc_id, band, key, k0, k1, k2, k3 FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY band, key
+        |      ORDER BY doc_id) AS rk
+        |    FROM braw WHERE NOT incoming) t WHERE rk <= 256),
+        |hits AS (
+        |  SELECT DISTINCT i.doc_id, c.doc_id AS match_id
+        |  FROM braw i JOIN corpus c ON i.band = c.band AND i.key = c.key
+        |  WHERE i.incoming
+        |    AND (CASE WHEN i.k0 = c.k0 THEN 1 ELSE 0 END +
+        |         CASE WHEN i.k1 = c.k1 THEN 1 ELSE 0 END +
+        |         CASE WHEN i.k2 = c.k2 THEN 1 ELSE 0 END +
+        |         CASE WHEN i.k3 = c.k3 THEN 1 ELSE 0 END) >= 2),
+        |agg AS (
+        |  SELECT doc_id, count(*) AS n_matches, min(match_id) AS best_match
+        |  FROM hits GROUP BY doc_id)
+        |SELECT s.doc_id,
+        |  CAST(CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS BIGINT)
+        |    AS is_dup,
+        |  CAST(coalesce(a.n_matches, 0) AS BIGINT) AS n_matches,
+        |  CAST(a.best_match AS BIGINT) AS best_match
+        |FROM sig s LEFT JOIN agg a USING (doc_id)
+        |WHERE s.incoming ORDER BY s.doc_id""".stripMargin
+    ) { (s, d) =>
+      val shingleRows = docs(s, d).select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      val h = call_function("md5_prefix64", col("sh"))
+      val sig = shingleRows.select(col("doc_id"), h.as("h"))
+        .groupBy("doc_id")
+        .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
+          min((col("h") * 2000029L + 54321L) % 4294967291L).as("k1"),
+          min((col("h") * 3000073L + 98765L) % 4294967291L).as("k2"),
+          min((col("h") * 4000037L + 13579L) % 4294967291L).as("k3"))
+        .withColumn("incoming",
+          call_function("md5_prefix64", col("doc_id").cast("string"))
+            % 8L === 0L)
+      val bands = sig.select(col("doc_id"), col("incoming"),
+        col("k0"), col("k1"), col("k2"), col("k3"),
+        posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
+          .as(Seq("band", "key")))
+      val rkw = row_number().over(
+        Window.partitionBy("band", "key").orderBy("doc_id"))
+      val corpus = bands.filter(!col("incoming"))
+        .withColumn("__rk", rkw)
+        .observe("q159_cap",
+          sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_docs"))
+        .filter(col("__rk") <= 256)
+        .select(col("doc_id").as("c_doc"), col("band"), col("key"),
+          col("k0").as("c0"), col("k1").as("c1"),
+          col("k2").as("c2"), col("k3").as("c3"))
+      val agree = (col("k0") === col("c0")).cast("int") +
+        (col("k1") === col("c1")).cast("int") +
+        (col("k2") === col("c2")).cast("int") +
+        (col("k3") === col("c3")).cast("int")
+      val hits = bands.filter(col("incoming"))
+        .hint("shuffle_hash")
+        .join(corpus, Seq("band", "key"))
+        .filter(agree >= 2)
+        .select(col("doc_id"), col("c_doc"))
+        .distinct()
+      val agg = hits.groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_matches"),
+          min("c_doc").cast("long").as("best_match"))
+      sig.filter(col("incoming"))
+        .join(agg, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          col("n_matches").isNotNull.cast("long").as("is_dup"),
+          coalesce(col("n_matches"), lit(0L)).as("n_matches"),
+          col("best_match"))
+        .orderBy("doc_id")
+    },
+
+    // Per-document NOVELTY score vs the rest of the corpus: the fraction
+    // of a doc's distinct 3-gram shingles owned by no other document —
+    // the memorization-risk / information-content signal that complements
+    // within-doc repetition (q97) and external-probe contamination
+    // (q109). Scale shape: shingles -> codegen md5 -> DISTINCT (doc, h)
+    // (one exchange on fixed-width keys), the shingle occurrence table is
+    // a reuse of that distinct's exchange (groupBy h), and the h-keyed
+    // shuffle-hash join back is docs·shingles-linear; final partial+final
+    // agg by doc_id. Novelty is an exact integer ppm (floor division of
+    // nonneg ints — identical in both engines).
+    Q(
+      "q160_novelty",
+      """WITH shr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws FROM documents) t),
+        |dh AS (
+        |  SELECT DISTINCT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |occ AS (SELECT h, count(*) AS nd FROM dh GROUP BY h)
+        |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+        |  CAST(sum(CASE WHEN o.nd = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_novel,
+        |  CAST(1000000 * sum(CASE WHEN o.nd = 1 THEN 1 ELSE 0 END)
+        |    // count(*) AS BIGINT) AS novelty_ppm
+        |FROM dh d JOIN occ o USING (h)
+        |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val dh = docs(s, d).select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+        .select(col("doc_id"),
+          call_function("md5_prefix64", col("sh")).as("h"))
+        .distinct()
+      val occ = dh.groupBy("h").agg(count(lit(1)).as("nd"))
+      dh.hint("shuffle_hash").join(occ, Seq("h"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_shingles"),
+          sum((col("nd") === 1).cast("long")).cast("long").as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          expr("1000000 * n_novel div n_shingles").as("novelty_ppm"))
+        .orderBy("doc_id")
     }
   )
 }

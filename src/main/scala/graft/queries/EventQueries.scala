@@ -731,6 +731,48 @@ object EventQueries {
           expr("id div 2").as("node_id"), col("r").as("rank_pico"))
         .orderBy(col("rank_pico").desc, col("is_item"), col("node_id"))
         .limit(50)
+    },
+
+    // Sequence-model training pairs from the event log: per user, the
+    // (last-3-items context, next item) examples a next-item-prediction
+    // or session-LM trainer consumes — the events-to-training-examples
+    // materialization step. Scale shape: filter + JSON extract map-side,
+    // then ONE window shuffle keyed by user_id (millions of users -> no
+    // funnel; frame is 3 lags, O(1) state per row), final global sort is
+    // the gate's determinism only. event_id is the within-user order key
+    // (assigned in ingestion order; using it instead of ts sidesteps
+    // equal-timestamp ties). All-BIGINT output.
+    Q(
+      "q161_next_item_pairs",
+      """WITH it AS (
+        |  SELECT user_id, event_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events
+        |  WHERE event_type IN ('view', 'click', 'purchase')
+        |    AND json_extract(props, '$.k') IS NOT NULL),
+        |seq AS (
+        |  SELECT user_id, event_id, item,
+        |    lag(item, 1) OVER w AS c1,
+        |    lag(item, 2) OVER w AS c2,
+        |    lag(item, 3) OVER w AS c3
+        |  FROM it WINDOW w AS (PARTITION BY user_id ORDER BY event_id))
+        |SELECT user_id, event_id, c1, c2, c3, item AS target
+        |FROM seq WHERE c1 IS NOT NULL
+        |ORDER BY user_id, event_id""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id").orderBy("event_id")
+      ev(s, d)
+        .filter(col("event_type").isin("view", "click", "purchase"))
+        .select(col("user_id"), col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .select(col("user_id"), col("event_id"),
+          lag("item", 1).over(w).as("c1"),
+          lag("item", 2).over(w).as("c2"),
+          lag("item", 3).over(w).as("c3"),
+          col("item").as("target"))
+        .filter(col("c1").isNotNull)
+        .orderBy("user_id", "event_id")
     }
   )
 }

@@ -1436,6 +1436,53 @@ object PipelineQueries {
           min("q20").as("q20_lo"), max("q20").as("q20_hi"),
           sum("n_words").cast("long").as("tokens"))
         .orderBy("decile")
+    },
+
+    // Hashed-linear quality-classifier INFERENCE (the fastText-style
+    // serving shape: every production corpus filter ends as "score each
+    // doc with a trained linear model over hashed bag-of-words features
+    // and keep score > τ"). The model here is a deterministic stand-in —
+    // weight(bucket) = Knuth-mix(bucket) in [0, 1996], bucket =
+    // md5_prefix64(token) % 4096 — because shipping real trained weights
+    // is environment, not engine; the ENGINE shape is exactly serving:
+    // tokenize -> hash to 2^12 buckets -> weight lookup as pure
+    // arithmetic -> per-doc sum. Scale: explode -> codegen'd md5 kernel
+    // -> map arithmetic -> ONE partial+final hash agg by doc_id; no
+    // joins, no broadcast table, linear in corpus size. All-integer
+    // (score = sum_w - 998·n is exact; no division), so the gate is
+    // bit-exact cross-engine.
+    Q(
+      "q158_classifier",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |wt AS (
+        |  SELECT doc_id,
+        |    (CAST(list_sum(list_transform(range(1, 9),
+        |       j -> (strpos('0123456789abcdef', substr(md5(w), j, 1)) - 1)
+        |            * 16.0 ** (8 - j))) AS BIGINT) % 4096)
+        |      * 2654435761 % 1997 AS w998
+        |  FROM tok)
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tok,
+        |  CAST(sum(w998) AS BIGINT) AS sum_w,
+        |  CAST(sum(w998) - 998 * count(*) AS BIGINT) AS score,
+        |  CAST(CASE WHEN sum(w998) - 998 * count(*) > 0 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS keep
+        |FROM wt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val w998 = (call_function("md5_prefix64", col("w")) % 4096L) *
+        2654435761L % 1997L
+      docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("w"))
+        .select(col("doc_id"), w998.as("w998"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tok"),
+          sum("w998").cast("long").as("sum_w"))
+        .select(col("doc_id"), col("n_tok"), col("sum_w"),
+          (col("sum_w") - lit(998L) * col("n_tok")).as("score"),
+          (col("sum_w") - lit(998L) * col("n_tok") > 0).cast("long")
+            .as("keep"))
+        .orderBy("doc_id")
     }
   )
 }

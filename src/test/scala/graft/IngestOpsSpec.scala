@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Round-11 ingestion/serving operators: hashed-linear classifier
+  * inference (q158), incremental shard dedup (q159), corpus novelty
+  * (q160), next-item training pairs (q161). Value-level cross-engine
+  * checks are the DuckDB oracle gate; these pin the semantic invariants
+  * the gate can't see (order invariance, exact-dup guarantees, sequence
+  * coherence).
+  */
+class IngestOpsSpec extends SparkSpec {
+
+  private val sfDir = "/root/testdata/sf0.001"
+  private def q(name: String) =
+    SparkEntry.queries(name)(spark, sfDir)
+
+  // --- q158 classifier -------------------------------------------------
+
+  test("q158: score is token-order invariant (bag-of-words model)") {
+    val w998 = (call_function("md5_prefix64", col("w")) % 4096L) *
+      2654435761L % 1997L
+    def score(text: org.apache.spark.sql.Column) =
+      Tables.documents(spark, sfDir)
+        .select(col("doc_id"), explode(split(text, " ")).as("w"))
+        .select(col("doc_id"), w998.as("w998"))
+        .groupBy("doc_id").agg(sum("w998").as("s"))
+    val fwd = score(col("text"))
+    val rev = score(concat_ws(" ", reverse(split(col("text"), " "))))
+    assert(fwd.join(rev.withColumnRenamed("s", "s2"), "doc_id")
+      .filter(col("s") =!= col("s2")).count() == 0)
+  }
+
+  test("q158: keep is exactly score > 0 and n_tok matches token count") {
+    val r = q("q158_classifier")
+    assert(r.filter((col("score") > 0).cast("long") =!= col("keep"))
+      .count() == 0)
+    val n = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), size(split(col("text"), " ")).cast("long")
+        .as("n"))
+    assert(r.join(n, "doc_id").filter(col("n_tok") =!= col("n"))
+      .count() == 0)
+  }
+
+  // --- q159 incremental dedup -----------------------------------------
+
+  test("q159: differential vs brute-force signature comparison") {
+    // with the 256 cap disengaged (observed q159_cap = 0 at this sf), an
+    // incoming doc is flagged iff some corpus doc agrees on >= 2 of 4
+    // minhashes: agreement >= 2 implies a shared band (the candidate
+    // gate) and is the verify threshold itself. Recompute that set by
+    // brute force over all incoming x corpus signature pairs.
+    import graft.functions.TextOps
+    val sig = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"),
+        call_function("md5_prefix64", col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
+        min((col("h") * 2000029L + 54321L) % 4294967291L).as("k1"),
+        min((col("h") * 3000073L + 98765L) % 4294967291L).as("k2"),
+        min((col("h") * 4000037L + 13579L) % 4294967291L).as("k3"))
+      .withColumn("incoming",
+        call_function("md5_prefix64", col("doc_id").cast("string"))
+          % 8L === 0L)
+    val inc = sig.filter(col("incoming"))
+    val cor = sig.filter(!col("incoming"))
+      .select(col("doc_id").as("c_doc"), col("k0").as("c0"),
+        col("k1").as("c1"), col("k2").as("c2"), col("k3").as("c3"))
+    val agree = (col("k0") === col("c0")).cast("int") +
+      (col("k1") === col("c1")).cast("int") +
+      (col("k2") === col("c2")).cast("int") +
+      (col("k3") === col("c3")).cast("int")
+    val expect = inc.crossJoin(cor).filter(agree >= 2)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("e_matches"),
+        min("c_doc").cast("long").as("e_best"))
+    val got = q("q159_incremental_dedup")
+    assert(got.filter(col("is_dup") === 1).count() > 0) // path exercised
+    val joined = got.join(expect, Seq("doc_id"), "left")
+    assert(joined.filter(
+      col("is_dup") =!= col("e_matches").isNotNull.cast("long") ||
+        coalesce(col("n_matches"), lit(0L)) =!=
+          coalesce(col("e_matches"), lit(0L)) ||
+        !(col("best_match") <=> col("e_best"))).count() == 0)
+  }
+
+  test("q159: best_match is a corpus-side doc, never self or incoming") {
+    val r = q("q159_incremental_dedup").filter(col("is_dup") === 1)
+    val bad = r.filter(
+      call_function("md5_prefix64", col("best_match").cast("string"))
+        % 8L === 0L || col("best_match") === col("doc_id"))
+    assert(bad.count() == 0)
+    // non-dups carry no match info
+    assert(q("q159_incremental_dedup").filter(col("is_dup") === 0)
+      .filter(col("n_matches") =!= 0 || col("best_match").isNotNull)
+      .count() == 0)
+  }
+
+  // --- q160 novelty ----------------------------------------------------
+
+  test("q160: novelty_ppm bounded on the corpus") {
+    val r = q("q160_novelty")
+    assert(r.count() > 0)
+    assert(r.filter(col("novelty_ppm") < 0 || col("novelty_ppm") > 1000000)
+      .count() == 0)
+  }
+
+  test("q160: hand-computed novelty on a constructed corpus") {
+    import spark.implicits._
+    import graft.functions.TextOps
+    // doc 1 == doc 2 (exact dup -> novelty 0); doc 3 shares exactly one
+    // of its four shingles ("a b c") -> 750000; doc 4 all-novel -> 1e6
+    val docs = Seq(
+      (1L, "a b c d e"), (2L, "a b c d e"),
+      (3L, "a b c x y z"), (4L, "p q r s"))
+      .toDF("doc_id", "text")
+    val dh = docs.select(col("doc_id"),
+      explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
+      .select(col("doc_id"),
+        call_function("md5_prefix64", col("sh")).as("h"))
+      .distinct()
+    val occ = dh.groupBy("h").agg(count(lit(1)).as("nd"))
+    val got = dh.join(occ, Seq("h"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_shingles"),
+        sum((col("nd") === 1).cast("long")).cast("long").as("n_novel"))
+      .select(col("doc_id"),
+        expr("1000000 * n_novel div n_shingles").as("ppm"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 750000L, 4L -> 1000000L))
+  }
+
+  // --- q161 next-item pairs -------------------------------------------
+
+  test("q161: contexts shift coherently along each user's sequence") {
+    val r = q("q161_next_item_pairs")
+    val w = Window.partitionBy("user_id").orderBy("event_id")
+    // consecutive output rows are consecutive sequence positions, so the
+    // context window slides by one: c2 = prev c1, c3 = prev c2, and the
+    // previous target is the current c1
+    val shifted = r.select(col("user_id"), col("event_id"),
+      col("c1"), col("c2"), col("c3"),
+      lag("c1", 1).over(w).as("p1"),
+      lag("c2", 1).over(w).as("p2"),
+      lag("target", 1).over(w).as("pt"))
+      .filter(col("p1").isNotNull)
+    assert(shifted.filter(col("c2") =!= col("p1") ||
+      col("c1") =!= col("pt")).count() == 0)
+    assert(shifted.filter(col("p2").isNotNull)
+      .filter(col("c3") =!= col("p2")).count() == 0)
+    assert(r.filter(col("c1").isNull).count() == 0)
+  }
+}
