@@ -1950,6 +1950,13 @@ object DedupQueries {
       val shingleRows = docs(s, d).select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
       val h = call_function("md5_prefix64", col("sh"))
+      // eager localCheckpoint (q144 doctrine): three consumers (incoming
+      // bands, corpus bands, final left join) would otherwise each
+      // re-run the scan+shingle+md5 pipeline — Catalyst pushes the
+      // incoming/corpus filters below the explode, so the subtrees
+      // differ per branch and exchange reuse can't fire. sig is
+      // doc-count x 5 longs: cheap to materialize, and every consumer
+      // then reads the checkpointed table.
       val sig = shingleRows.select(col("doc_id"), h.as("h"))
         .groupBy("doc_id")
         .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
@@ -1959,6 +1966,7 @@ object DedupQueries {
         .withColumn("incoming",
           call_function("md5_prefix64", col("doc_id").cast("string"))
             % 8L === 0L)
+        .localCheckpoint(true)
       val bands = sig.select(col("doc_id"), col("incoming"),
         col("k0"), col("k1"), col("k2"), col("k3"),
         posexplode(array(col("k0"), col("k1"), col("k2"), col("k3")))
@@ -2026,13 +2034,17 @@ object DedupQueries {
         |FROM dh d JOIN occ o USING (h)
         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin
     ) { (s, d) =>
+      // occurrence count as count-over-window keyed by h rather than a
+      // groupBy+join-back: ONE subtree (the join form re-ran the whole
+      // scan+shingle+distinct pipeline per side — branch-dependent filter
+      // placement defeated exchange reuse), one extra h-keyed exchange.
       val dh = docs(s, d).select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
         .select(col("doc_id"),
           call_function("md5_prefix64", col("sh")).as("h"))
         .distinct()
-      val occ = dh.groupBy("h").agg(count(lit(1)).as("nd"))
-      dh.hint("shuffle_hash").join(occ, Seq("h"))
+      dh.withColumn("nd",
+        count(lit(1)).over(Window.partitionBy("h")))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_shingles"),
           sum((col("nd") === 1).cast("long")).cast("long").as("n_novel"))
