@@ -1483,6 +1483,143 @@ object PipelineQueries {
           (col("sum_w") - lit(998L) * col("n_tok") > 0).cast("long")
             .as("keep"))
         .orderBy("doc_id")
+    },
+
+    // Greedy k-center CORESET selection (farthest-point sampling) over
+    // the embedding corpus — the diverse-subset curation op (coreset /
+    // facility-location selection for training-data diversity). Vectors
+    // are quantized qv_i = floor(64·e_i) (exact in IEEE: a power-of-two
+    // scale then floor), distances are integer-valued squared Euclidean
+    // computed as norm2_a - 2·dot(a,c) + norm2_c on the codegen'd
+    // dot_product kernel (all values integer-valued doubles < 2^53 ->
+    // bit-exact cross-engine). Scale shape: the quantized base table is
+    // localCheckpoint'ed once; each of the 6 greedy rounds is ONE
+    // map-stage mind2 update (least of the running column and the
+    // distance to the newly selected center, a broadcast-literal) plus a
+    // TakeOrderedAndProject(1) argmax — K linear passes, O(1) driver
+    // state per round, no K×n materialization. The oracle unrolls the
+    // same 6 rounds as chained CTEs.
+    Q(
+      "q163_kcenter_coreset",
+      KCenterOracle.sql(rounds = 6)
+    ) { (s, d) =>
+      import org.apache.spark.sql.Row
+      val base = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 64).cast("double")).as("qv"))
+        .withColumn("norm2",
+          call_function("dot_product", col("qv"), col("qv")))
+        .localCheckpoint(true)
+      def d2(cQv: Seq[Double], cN2: Double) =
+        col("norm2") -
+          lit(2.0) * call_function("dot_product", col("qv"),
+            lit(cQv.toArray)) + lit(cN2)
+      val seed = base.filter(col("vec_id") === 0L)
+        .select("qv", "norm2").head()
+      var df = base.withColumn("mind2",
+        d2(seed.getSeq[Double](0), seed.getDouble(1)))
+      val picked = Seq.newBuilder[(Long, Long, Long)]
+      for (r <- 1 to 6) {
+        val top = df.orderBy(col("mind2").desc, col("vec_id"))
+          .select("vec_id", "mind2", "qv", "norm2").head()
+        picked += ((r.toLong, top.getLong(0), top.getDouble(1).toLong))
+        df = df.withColumn("mind2",
+          least(col("mind2"), d2(top.getSeq[Double](2), top.getDouble(3))))
+      }
+      val out = picked.result().map { case (r, v, m) => Row(r, v, m) }
+      s.createDataFrame(
+        s.sparkContext.parallelize(out, 1),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("round",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("vec_id",
+            org.apache.spark.sql.types.LongType, nullable = false),
+          org.apache.spark.sql.types.StructField("radius2",
+            org.apache.spark.sql.types.LongType, nullable = false))))
+        .orderBy("round")
+    },
+
+    // Per-domain diversity cap (the C4/RefinedWeb "no domain dominates"
+    // rule): keep at most 3 docs per domain, preferring longer docs
+    // (n_chars as the quality proxy, doc_id tie-break). The corpus has
+    // no URL column, so a deterministic domain is synthesized from
+    // (source, doc_id % 5) — ~100 domains at gate SF; real domain
+    // cardinality scales WITH the corpus, so the per-domain window has
+    // no reducer funnel and Spark plans the rank filter as
+    // WindowGroupLimit (a bounded top-k heap per group before the full
+    // sort — the q95 machinery). One shuffle on the domain key.
+    Q(
+      "q164_domain_cap",
+      """WITH u AS (
+        |  SELECT doc_id, n_chars,
+        |    source || '-' || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        |      AS domain
+        |  FROM documents),
+        |ranked AS (
+        |  SELECT doc_id, domain, n_chars,
+        |    row_number() OVER (PARTITION BY domain
+        |      ORDER BY n_chars DESC, doc_id) AS rk
+        |  FROM u)
+        |SELECT doc_id, domain, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(rk AS BIGINT) AS rk
+        |FROM ranked WHERE rk <= 3 ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val rk = row_number().over(
+        Window.partitionBy("domain")
+          .orderBy(col("n_chars").desc, col("doc_id")))
+      docs(s, d)
+        .select(col("doc_id"), col("n_chars"),
+          concat(col("source"), lit("-"),
+            (col("doc_id") % 5).cast("string"), lit(".example.com"))
+            .as("domain"))
+        .withColumn("rk", rk.cast("long"))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("domain"),
+          col("n_chars").cast("long").as("n_chars"), col("rk"))
+        .orderBy("doc_id")
     }
   )
+}
+
+/** Unrolled DuckDB oracle for q163: the same greedy farthest-point
+  * rounds as chained CTEs (seed = vec_id 0, argmax ties break on the
+  * smaller vec_id, distances in exact integer arithmetic).
+  */
+private object KCenterOracle {
+  def sql(rounds: Int): String = {
+    val sb = new StringBuilder
+    sb.append(
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |c0 AS (SELECT qv AS cv FROM q WHERE vec_id = 0),
+        |m1 AS (SELECT vec_id, qv,
+        |  list_sum(list_transform(range(1, 65),
+        |    i -> (qv[i] - cv[i]) * (qv[i] - cv[i]))) AS mind2
+        |  FROM q, c0)""".stripMargin)
+    for (r <- 2 to rounds) {
+      sb.append(s""",
+        |p${r - 1}x AS (SELECT vec_id FROM m${r - 1}
+        |  ORDER BY mind2 DESC, vec_id LIMIT 1),
+        |c${r - 1} AS (SELECT qv AS cv FROM q
+        |  WHERE vec_id = (SELECT vec_id FROM p${r - 1}x)),
+        |m$r AS (SELECT m${r - 1}.vec_id, m${r - 1}.qv,
+        |  least(m${r - 1}.mind2, list_sum(list_transform(range(1, 65),
+        |    i -> (qv[i] - cv[i]) * (qv[i] - cv[i])))) AS mind2
+        |  FROM m${r - 1}, c${r - 1})""".stripMargin)
+    }
+    val picks = (1 to rounds).map { r =>
+      s"""SELECT $r AS round, vec_id, mind2 FROM
+         |  (SELECT vec_id, mind2 FROM m$r
+         |   ORDER BY mind2 DESC, vec_id LIMIT 1)""".stripMargin
+    }
+    sb.append(s"""
+      |SELECT CAST(round AS BIGINT) AS round,
+      |  CAST(vec_id AS BIGINT) AS vec_id,
+      |  CAST(mind2 AS BIGINT) AS radius2
+      |FROM (${picks.mkString(" UNION ALL ")})
+      |ORDER BY round""".stripMargin)
+    sb.toString
+  }
 }

@@ -657,6 +657,64 @@ object TextQueries {
             .as("pmi_q40"))
         .orderBy(col("pmi_q40").desc, col("wa"), col("wb"))
         .limit(50)
+    },
+
+    // HTML boilerplate extraction — the FIRST stage of every web-corpus
+    // pipeline (raw crawl markup -> text). The corpus has no markup, so
+    // each doc is wrapped in a deterministic HTML shell (title + script
+    // + footer; doc_id % 3 == 0 docs additionally get per-word <p>
+    // segmentation — the q120 augmentation pattern), then stripped with
+    // a 3-pass regex chain in the Java∩RE2 subset (script elements,
+    // all tags, whitespace collapse). Map-only: zero shuffles before
+    // the gate's determinism sort; at 100 TB this runs at scan speed.
+    // Gate compares exact cleaned-text md5 + integer text-to-markup
+    // ratio, so any cross-engine regex divergence would hash-fail.
+    Q(
+      "q162_boilerplate",
+      """WITH aug AS (
+        |  SELECT doc_id,
+        |    '<html><head><title>doc' || CAST(doc_id AS VARCHAR) ||
+        |    '</title><script>var x=1;</script></head><body><p>' ||
+        |    replace(text, ' ',
+        |      CASE WHEN doc_id % 3 = 0 THEN '</p><p>' ELSE ' ' END) ||
+        |    '</p><div class="footer">&copy; example</div></body></html>'
+        |      AS html
+        |  FROM documents),
+        |stripped AS (
+        |  SELECT doc_id, html,
+        |    trim(regexp_replace(regexp_replace(regexp_replace(html,
+        |      '<script[^<]*</script>', ' ', 'g'),
+        |      '<[^>]*>', ' ', 'g'),
+        |      ' +', ' ', 'g')) AS clean
+        |  FROM aug)
+        |SELECT doc_id, CAST(length(html) AS BIGINT) AS n_html,
+        |  CAST(length(clean) AS BIGINT) AS n_clean,
+        |  CAST(1000000 * length(clean) // length(html) AS BIGINT)
+        |    AS text_ratio_ppm,
+        |  substr(md5(clean), 1, 16) AS clean_fp
+        |FROM stripped ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val html = concat(
+        lit("<html><head><title>doc"), col("doc_id").cast("string"),
+        lit("</title><script>var x=1;</script></head><body><p>"),
+        when(col("doc_id") % 3 === 0,
+          regexp_replace(col("text"), lit(" "), lit("</p><p>")))
+          .otherwise(col("text")),
+        lit("</p><div class=\"footer\">&copy; example</div></body></html>"))
+      val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+        col("html"), lit("<script[^<]*</script>"), lit(" ")),
+        lit("<[^>]*>"), lit(" ")),
+        lit(" +"), lit(" ")))
+      docs(s, d)
+        .select(col("doc_id"), html.as("html"))
+        .select(col("doc_id"), col("html"), clean.as("clean"))
+        .select(col("doc_id"),
+          length(col("html")).cast("long").as("n_html"),
+          length(col("clean")).cast("long").as("n_clean"),
+          expr("(1000000L * cast(length(clean) as bigint)) div " +
+            "cast(length(html) as bigint)").as("text_ratio_ppm"),
+          substring(md5(col("clean")), 1, 16).as("clean_fp"))
+        .orderBy("doc_id")
     }
   )
 

@@ -153,4 +153,65 @@ class IngestOpsSpec extends SparkSpec {
       .filter(col("c3") =!= col("p2")).count() == 0)
     assert(r.filter(col("c1").isNull).count() == 0)
   }
+
+  // --- q162 boilerplate ------------------------------------------------
+
+  test("q162: stripping is a fixpoint and clean never exceeds html") {
+    val r = q("q162_boilerplate")
+    assert(r.filter(col("n_clean") > col("n_html")).count() == 0)
+    assert(r.filter(col("text_ratio_ppm") < 0 ||
+      col("text_ratio_ppm") > 1000000).count() == 0)
+    // rebuild the cleaned text and assert no tag characters survive
+    val html = concat(
+      lit("<html><head><title>doc"), col("doc_id").cast("string"),
+      lit("</title><script>var x=1;</script></head><body><p>"),
+      when(col("doc_id") % 3 === 0,
+        regexp_replace(col("text"), lit(" "), lit("</p><p>")))
+        .otherwise(col("text")),
+      lit("</p><div class=\"footer\">&copy; example</div></body></html>"))
+    val clean = trim(regexp_replace(regexp_replace(regexp_replace(
+      html, lit("<script[^<]*</script>"), lit(" ")),
+      lit("<[^>]*>"), lit(" ")),
+      lit(" +"), lit(" ")))
+    val leftover = Tables.documents(spark, sfDir)
+      .select(clean.as("clean"))
+      .filter(col("clean").contains("<") || col("clean").contains(">"))
+    assert(leftover.count() == 0)
+  }
+
+  // --- q163 k-center coreset ------------------------------------------
+
+  test("q163: selections distinct, radii non-increasing (greedy law)") {
+    val rows = q("q163_kcenter_coreset").orderBy("round").collect()
+    assert(rows.length == 6)
+    val ids = rows.map(_.getLong(1))
+    assert(ids.distinct.length == ids.length && !ids.contains(0L))
+    val radii = rows.map(_.getLong(2))
+    assert(radii.zip(radii.tail).forall { case (a, b) => b <= a },
+      s"radii must be non-increasing: ${radii.mkString(",")}")
+    assert(radii.last > 0)
+  }
+
+  // --- q164 domain cap -------------------------------------------------
+
+  test("q164: at most 3 per domain and kept docs dominate their domain") {
+    val r = q("q164_domain_cap")
+    assert(r.groupBy("domain").count().filter(col("count") > 3)
+      .count() == 0)
+    assert(r.filter(col("rk") < 1 || col("rk") > 3).count() == 0)
+    // every kept doc is at least as long as every dropped doc of its
+    // domain (ties broken by doc_id, so compare against the 4th-ranked)
+    val all = Tables.documents(spark, sfDir)
+      .select(col("doc_id").as("d2"), col("n_chars").as("nc2"),
+        concat(col("source"), lit("-"),
+          (col("doc_id") % 5).cast("string"), lit(".example.com"))
+          .as("domain"))
+    val minKept = r.groupBy("domain")
+      .agg(min("n_chars").as("min_kept"), count(lit(1)).as("nk"))
+    val dropped = all.join(r.select(col("doc_id").as("d2")),
+      Seq("d2"), "left_anti")
+    val viol = dropped.join(minKept, "domain")
+      .filter(col("nk") === 3 && col("nc2") > col("min_kept"))
+    assert(viol.count() == 0)
+  }
 }
