@@ -773,6 +773,51 @@ object EventQueries {
           col("item").as("target"))
         .filter(col("c1").isNotNull)
         .orderBy("user_id", "event_id")
+    },
+
+    // Freshness-weighted item authority: engagement with exponential
+    // time decay — the recency signal a curation pipeline uses to
+    // prefer currently-relevant sources over historically-popular ones.
+    // Decay is EXACT integer arithmetic: age in whole days from the
+    // corpus max timestamp (floor of a microsecond difference — no
+    // calendar functions, so both engines agree), weight = Q20 >> age
+    // (a right shift halves per day; clamped at 20 so the shift stays
+    // defined). Scale shape: one all-reduce for max(ts) broadcast back
+    // as a literal-sized row, then a pure map stage + ONE partial+final
+    // hash agg by item; top-50 is a TakeOrderedAndProject heap.
+    Q(
+      "q165_decayed_engagement",
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |e AS (
+        |  SELECT CAST(json_extract(props, '$.k') AS BIGINT) AS item,
+        |    least((mx.m - epoch_us(ts)) // 86400000000, 20) AS age_d,
+        |    CASE event_type WHEN 'purchase' THEN 5 WHEN 'click' THEN 2
+        |      WHEN 'view' THEN 1 ELSE 0 END AS base
+        |  FROM events, mx
+        |  WHERE json_extract(props, '$.k') IS NOT NULL)
+        |SELECT item, CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(base * (1048576 >> age_d)) AS BIGINT) AS decayed_q20
+        |FROM e GROUP BY item
+        |ORDER BY decayed_q20 DESC, item LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val ev0 = ev(s, d)
+      val mx = ev0.agg(max(unix_micros(col("ts"))).as("m"))
+      ev0.filter(get_json_object(col("props"), "$.k").isNotNull)
+        .crossJoin(broadcast(mx))
+        .select(
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          least(expr("(m - unix_micros(ts)) div 86400000000"),
+            lit(20L)).cast("int").as("age_d"),
+          when(col("event_type") === "purchase", 5L)
+            .when(col("event_type") === "click", 2L)
+            .when(col("event_type") === "view", 1L)
+            .otherwise(0L).as("base"))
+        .groupBy("item")
+        .agg(count(lit(1)).cast("long").as("n_events"),
+          sum(col("base") * expr("shiftright(1048576L, age_d)"))
+            .cast("long").as("decayed_q20"))
+        .orderBy(col("decayed_q20").desc, col("item"))
+        .limit(50)
     }
   )
 }

@@ -1577,8 +1577,129 @@ object PipelineQueries {
         .select(col("doc_id"), col("domain"),
           col("n_chars").cast("long").as("n_chars"), col("rk"))
         .orderBy("doc_id")
+    },
+
+    // MMR (maximal marginal relevance) diverse re-ranking: for each
+    // probe, greedily select 4 of its top-12 relevance candidates
+    // maximizing rel − max-sim-to-already-selected (λ = 0.5, scaled ×2
+    // so scores stay integer) — the diversity-aware retrieval/selection
+    // op (dedup-aware RAG ranking, diverse few-shot example picking).
+    // Exactness: the q163 quantization (floor(64·e), integer dots via
+    // the codegen dot_product kernel). Scale shape: relevance is a
+    // map stage against the 3 broadcast probe rows; top-12 per probe is
+    // WindowGroupLimit — everything after that is a CORPUS-SIZE-
+    // INDEPENDENT 36-row problem, solved greedily on the driver (the
+    // bounded-driver-state pattern of q142/q163; the alternative — 3
+    // more unrolled distributed argmax rounds over 12 rows — would add
+    // 3 barriers to save nothing). The oracle unrolls the same 4
+    // rounds as chained CTEs.
+    Q(
+      "q166_mmr_rerank",
+      MmrOracle.sql
+    ) { (s, d) =>
+      import org.apache.spark.sql.Row
+      val base = emb(s, d).select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast("double") * 64).cast("double")).as("qv"))
+      val probes = broadcast(base.filter(col("vec_id") < 3)
+        .select(col("vec_id").as("p"), col("qv").as("pqv")))
+      val rel = base.crossJoin(probes)
+        .filter(col("vec_id") =!= col("p"))
+        .select(col("p"), col("vec_id").as("cid"), col("qv"),
+          call_function("dot_product", col("qv"), col("pqv"))
+            .cast("long").as("rel"))
+      val rk = row_number().over(Window.partitionBy("p")
+        .orderBy(col("rel").desc, col("cid")))
+      val cand = rel.withColumn("rk", rk).filter(col("rk") <= 12)
+        .select("p", "cid", "rel", "qv")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getSeq[Double](3).map(_.toLong).toArray))
+      def dot(a: Array[Long], b: Array[Long]): Long =
+        a.iterator.zip(b.iterator).map { case (x, y) => x * y }.sum
+      val out = cand.groupBy(_._1).toSeq.flatMap { case (p, cs) =>
+        var remaining = cs.toList
+        var selected = List.empty[(Long, Array[Long])]
+        (1 to 4).map { r =>
+          val scored = remaining.map { case (_, cid, rel0, qv) =>
+            val msim =
+              if (selected.isEmpty) 0L
+              else selected.map(sv => dot(qv, sv._2)).max
+            (cid, rel0 - msim, qv)
+          }
+          val best = scored.minBy { case (cid, score, _) => (-score, cid) }
+          remaining = remaining.filterNot(_._2 == best._1)
+          selected ::= (best._1, best._3)
+          Row(p, r.toLong, best._1, best._2)
+        }
+      }
+      val schema = org.apache.spark.sql.types.StructType(
+        Seq("probe", "sel_round", "vec_id", "mmr_score").map(n =>
+          org.apache.spark.sql.types.StructField(n,
+            org.apache.spark.sql.types.LongType, nullable = false)))
+      s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
+        .orderBy("probe", "sel_round")
     }
   )
+}
+
+/** Unrolled DuckDB oracle for q166: quantize -> relevance vs the 3
+  * probes -> top-12 candidates per probe -> 4 greedy MMR rounds as
+  * chained CTEs (score = rel − running max-sim, ties on the smaller
+  * vec_id; all-integer arithmetic).
+  */
+private object MmrOracle {
+  private def dot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, 65), i -> $a[i] * $b[i]))"
+  val sql: String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH q AS (
+      |  SELECT vec_id, list_transform(embedding,
+      |    x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)) AS qv
+      |  FROM embeddings),
+      |pr AS (SELECT vec_id AS p, qv AS pqv FROM q WHERE vec_id < 3),
+      |rel AS (
+      |  SELECT p, c.vec_id AS cid, c.qv AS cqv,
+      |    ${dot("pqv", "c.qv")} AS rel
+      |  FROM pr, q c WHERE c.vec_id <> p),
+      |cand AS (
+      |  SELECT p, cid, cqv, rel FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p
+      |      ORDER BY rel DESC, cid) AS rk FROM rel) t WHERE rk <= 12),
+      |s1 AS (
+      |  SELECT p, cid, rel AS score, cqv FROM (
+      |    SELECT *, row_number() OVER (PARTITION BY p
+      |      ORDER BY rel DESC, cid) AS rk FROM cand) t WHERE rk = 1),
+      |m1 AS (
+      |  SELECT c.p, c.cid, c.cqv, c.rel,
+      |    ${dot("c.cqv", "s1.cqv")} AS msim
+      |  FROM cand c JOIN s1 ON s1.p = c.p AND c.cid <> s1.cid)"""
+      .stripMargin)
+    for (r <- 2 to 4) {
+      sb.append(s""",
+        |s$r AS (
+        |  SELECT p, cid, rel - msim AS score, cqv FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY p
+        |      ORDER BY rel - msim DESC, cid) AS rk FROM m${r - 1}) t
+        |  WHERE rk = 1)""".stripMargin)
+      if (r < 4) sb.append(s""",
+        |m$r AS (
+        |  SELECT c.p, c.cid, c.cqv, c.rel,
+        |    greatest(c.msim, ${dot("c.cqv", s"s$r.cqv")}) AS msim
+        |  FROM m${r - 1} c JOIN s$r ON s$r.p = c.p AND c.cid <> s$r.cid)"""
+        .stripMargin)
+    }
+    sb.append("""
+      |SELECT CAST(p AS BIGINT) AS probe, CAST(r AS BIGINT) AS sel_round,
+      |  CAST(cid AS BIGINT) AS vec_id, CAST(score AS BIGINT) AS mmr_score
+      |FROM (
+      |  SELECT p, 1 AS r, cid, score FROM s1
+      |  UNION ALL SELECT p, 2, cid, score FROM s2
+      |  UNION ALL SELECT p, 3, cid, score FROM s3
+      |  UNION ALL SELECT p, 4, cid, score FROM s4)
+      |ORDER BY probe, sel_round""".stripMargin)
+    sb.toString
+  }
 }
 
 /** Unrolled DuckDB oracle for q163: the same greedy farthest-point

@@ -214,4 +214,48 @@ class IngestOpsSpec extends SparkSpec {
       .filter(col("nk") === 3 && col("nc2") > col("min_kept"))
     assert(viol.count() == 0)
   }
+
+  // --- q165 decayed engagement ----------------------------------------
+
+  test("q165: decayed weight bounded by the undecayed Q20 engagement") {
+    val r = q("q165_decayed_engagement")
+    assert(r.count() == 50)
+    // each event contributes at most base * 2^20 (age 0) and at least
+    // base * 1 (age clamp 20); purchase base is the max (5)
+    assert(r.filter(col("decayed_q20") > col("n_events") * 5L * 1048576L)
+      .count() == 0)
+    assert(r.filter(col("decayed_q20") < 0).count() == 0)
+  }
+
+  // --- q166 MMR re-rank ------------------------------------------------
+
+  test("q166: 4 distinct picks per probe; round 1 is the rel argmax") {
+    val r = q("q166_mmr_rerank")
+    assert(r.count() == 12)
+    assert(r.groupBy("probe").agg(countDistinct("vec_id").as("n"))
+      .filter(col("n") =!= 4).count() == 0)
+    // recompute relevance independently: round-1 pick per probe must be
+    // the max-rel candidate (empty selected set -> MMR = rel)
+    val base = Tables.embeddings(spark, sfDir).select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast("double") * 64).cast("double")).as("qv"))
+    val probes = broadcast(base.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("p"), col("qv").as("pqv")))
+    val top1 = base.crossJoin(probes)
+      .filter(col("vec_id") =!= col("p"))
+      .select(col("p"),
+        org.apache.spark.sql.functions.struct(
+          call_function("dot_product", col("qv"), col("pqv"))
+            .cast("long").as("rel"),
+          (-col("vec_id")).as("negid")).as("sc"),
+        col("vec_id"))
+      .groupBy("p")
+      .agg(max_by(col("vec_id"), col("sc")).as("exp_id"),
+        max(col("sc.rel")).as("exp_rel"))
+    val got1 = r.filter(col("sel_round") === 1)
+      .select(col("probe").as("p"), col("vec_id"), col("mmr_score"))
+    assert(got1.join(top1, "p")
+      .filter(col("vec_id") =!= col("exp_id") ||
+        col("mmr_score") =!= col("exp_rel")).count() == 0)
+  }
 }
