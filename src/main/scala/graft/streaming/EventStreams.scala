@@ -412,4 +412,51 @@ object EventStreams {
         unix_timestamp(col("view_ts")).as("view_s"),
         unix_timestamp(col("purchase_ts")).as("purchase_s"), col("value"))
   }
+
+  final case class DomDoc(doc_id: Long, domain: String, n_chars: Long)
+  final case class CapDecision(domain: String, doc_id: Long,
+      n_chars: Long, admitted: Boolean)
+
+  /** Streaming per-domain diversity cap — the stream twin of q164: a
+    * running top-k (by n_chars desc, doc_id asc) per domain maintained
+    * as keyed state (k pairs per domain — O(k) state per key). Append
+    * mode cannot retract, so the operator emits ADMISSION events: a doc
+    * that enters the current top-k emits `admitted = true`, and the doc
+    * it displaces emits a later `admitted = false` row. The final kept
+    * set (admitted minus later-displaced) is EXACTLY the batch top-k —
+    * StreamingSpec gates that equivalence against the q164 window.
+    * Within-batch arrival order is canonicalized (n_chars desc, doc_id)
+    * so replays cannot flip decisions. */
+  def domainCapStream(docs: Dataset[DomDoc], k: Int = 3)(
+      implicit e1: org.apache.spark.sql.Encoder[List[(Long, Long)]],
+      e2: org.apache.spark.sql.Encoder[CapDecision],
+      e3: org.apache.spark.sql.Encoder[String]): Dataset[CapDecision] =
+    docs.groupByKey(_.domain)(e3)
+      .flatMapGroupsWithState[List[(Long, Long)], CapDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (domain: String, it: Iterator[DomDoc],
+            state: GroupState[List[(Long, Long)]]) =>
+          // state: (n_chars, doc_id) of the current top-k
+          var top = state.getOption.getOrElse(Nil)
+          // (a beats b) under the batch ordering n_chars desc, doc_id asc
+          def beats(a: (Long, Long), b: (Long, Long)): Boolean =
+            a._1 > b._1 || (a._1 == b._1 && a._2 < b._2)
+          val out = List.newBuilder[CapDecision]
+          it.toSeq.sortBy(d => (-d.n_chars, d.doc_id)).foreach { d =>
+            val cand = (d.n_chars, d.doc_id)
+            if (top.size < k) {
+              top = cand :: top
+              out += CapDecision(domain, d.doc_id, d.n_chars, true)
+            } else {
+              val worst = top.reduce((a, b) => if (beats(a, b)) b else a)
+              if (beats(cand, worst)) {
+                top = cand :: top.filterNot(_ == worst)
+                out += CapDecision(domain, d.doc_id, d.n_chars, true)
+                out += CapDecision(domain, worst._2, worst._1, false)
+              }
+            }
+          }
+          state.update(top)
+          out.result().iterator
+      }(e1, e2)
 }

@@ -575,4 +575,49 @@ class StreamingSpec extends SparkSpec {
         s"lost heavy hitters: ${mustSurvive.diff(cands)}")
     } finally q.stop()
   }
+
+  test("domainCapStream: final kept set EQUALS the batch top-3 window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    // same synthesized domain as q164
+    val docRows = Tables.documents(spark, sf)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.col("source"),
+          org.apache.spark.sql.functions.lit("-"),
+          (org.apache.spark.sql.functions.col("doc_id") % 5).cast("string"),
+          org.apache.spark.sql.functions.lit(".example.com")).as("domain"),
+        org.apache.spark.sql.functions.col("n_chars"))
+      .collect()
+      .map(r => EventStreams.DomDoc(r.getLong(0), r.getString(1),
+        r.getLong(2))).toSeq
+    // batch expectation: q164's kept (doc_id) set
+    val batchKept = SparkEntry.queries("q164_domain_cap")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val mem = MemoryStream[EventStreams.DomDoc]
+    val q = EventStreams.domainCapStream(mem.toDS(), k = 3).writeStream
+      .format("memory").queryName("cap_stream").outputMode("append").start()
+    try {
+      // adversarial batch split: ascending n_chars, so later batches keep
+      // displacing earlier admissions
+      val ordered = docRows.sortBy(d => (d.n_chars, d.doc_id))
+      val third = ordered.size / 3
+      mem.addData(ordered.take(third)); q.processAllAvailable()
+      mem.addData(ordered.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
+      val out = spark.table("cap_stream")
+        .as[EventStreams.CapDecision].collect()
+      // final kept = admitted docs never later displaced; displacement
+      // count identity: every false row pairs an earlier true row
+      val lastState = out.groupBy(d => (d.domain, d.doc_id))
+        .map { case (_, rs) => rs.last }
+      val streamKept = lastState.filter(_.admitted).map(_.doc_id).toSet
+      assert(out.count(!_.admitted) ==
+        out.count(_.admitted) - streamKept.size)
+      assert(streamKept == batchKept,
+        s"stream/batch divergence: extra=${streamKept.diff(batchKept)} " +
+          s"missing=${batchKept.diff(streamKept)}")
+    } finally q.stop()
+  }
 }
