@@ -2051,6 +2051,147 @@ object DedupQueries {
         .select(col("doc_id"), col("n_shingles"), col("n_novel"),
           expr("1000000 * n_novel div n_shingles").as("novelty_ppm"))
         .orderBy("doc_id")
+    },
+
+    // IVF-PQ composite ANN — the PRODUCTION index shape, composing
+    // q58's inverted-file cell restriction with q138's code-only
+    // scoring: the query probes its 2 nearest coarse cells and runs the
+    // asymmetric-LUT scan ONLY over vectors assigned to those cells,
+    // touching each as M=4 small code ints — at 100 TB that is ~nprobe/
+    // nlist of the corpus at 4 bytes/vector instead of 64 floats, and
+    // the exact rescore reads just the 15 survivors. Exactness: the
+    // coarse assignment dot is the FIXED-ORDER sum of the 4 subspace
+    // dots (d0+d1+d2+d3 in both engines — one subspace pass feeds coarse
+    // AND codes, halving the multiply work vs separate full-dot and
+    // subdot passes); ADC adds the 4 LUT slots in the same fixed order
+    // (a bare sum() would be order-nondeterministic). Plan: one
+    // broadcast of the 8-row codebook -> subspace-dot map stage -> ONE
+    // max_by agg producing cell + 4 codes per vector -> broadcast probe
+    // cells filter -> broadcast 32-slot LUT map-side ADC ->
+    // WindowGroupLimit top-5 -> broadcast exact rescore.
+    Q(
+      "q167_ivfpq_ann",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+        |             FROM embeddings WHERE vec_id < 8),
+        |subdots AS (
+        |  SELECT e.vec_id, c.cid, m.m,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CAST(e.embedding[m.m * 16 + i] AS DOUBLE) *
+        |           CAST(c.cv[m.m * 16 + i] AS DOUBLE))) AS d
+        |  FROM embeddings e, cent c, (SELECT unnest(range(0, 4)) AS m) m),
+        |fulld AS (
+        |  SELECT vec_id, cid,
+        |    max(CASE WHEN m = 0 THEN d END) +
+        |    max(CASE WHEN m = 1 THEN d END) +
+        |    max(CASE WHEN m = 2 THEN d END) +
+        |    max(CASE WHEN m = 3 THEN d END) AS dot
+        |  FROM subdots GROUP BY vec_id, cid),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dot DESC, cid) AS rn
+        |    FROM fulld) t WHERE rn = 1),
+        |probes AS (
+        |  SELECT vec_id AS qid, cid FROM (
+        |    SELECT vec_id, cid,
+        |      row_number() OVER (PARTITION BY vec_id
+        |        ORDER BY dot DESC, cid) AS rn
+        |    FROM fulld WHERE vec_id IN (30, 31, 32)) t WHERE rn <= 2),
+        |codes AS (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d DESC, cid) AS rn
+        |    FROM subdots) t WHERE rn = 1),
+        |lut AS (
+        |  SELECT s.vec_id AS qid, s.m, s.cid, s.d FROM subdots s
+        |  WHERE s.vec_id IN (30, 31, 32)),
+        |cellcand AS (
+        |  SELECT p.qid, a.vec_id FROM probes p
+        |  JOIN assign a ON a.cid = p.cid AND a.vec_id != p.qid),
+        |adc AS (
+        |  SELECT l.qid, k.vec_id,
+        |    max(CASE WHEN l.m = 0 THEN l.d END) +
+        |    max(CASE WHEN l.m = 1 THEN l.d END) +
+        |    max(CASE WHEN l.m = 2 THEN l.d END) +
+        |    max(CASE WHEN l.m = 3 THEN l.d END) AS adc
+        |  FROM codes k
+        |  JOIN cellcand cc ON cc.vec_id = k.vec_id
+        |  JOIN lut l ON l.m = k.m AND l.cid = k.cid AND l.qid = cc.qid
+        |  GROUP BY l.qid, k.vec_id),
+        |top5 AS (
+        |  SELECT qid, vec_id AS cand_id, adc FROM (
+        |    SELECT qid, vec_id, adc,
+        |      row_number() OVER (PARTITION BY qid
+        |        ORDER BY adc DESC, vec_id) AS rn
+        |    FROM adc) t WHERE rn <= 5)
+        |SELECT t.qid, t.cand_id AS vec_id, round(t.adc, 4) + 0 AS adc_dot,
+        |  round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |    i -> CAST(e.embedding[i] AS DOUBLE) *
+        |         CAST(q.embedding[i] AS DOUBLE))), 4) + 0 AS exact_dot
+        |FROM top5 t
+        |JOIN embeddings e ON e.vec_id = t.cand_id
+        |JOIN embeddings q ON q.vec_id = t.qid
+        |ORDER BY qid, adc_dot DESC, vec_id""".stripMargin
+    ) { (s, d) =>
+      val e = emb(s, d)
+      val qids = Seq(30L, 31L, 32L)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val dcols = (0 until 4).map(m => TextOps.dot(
+        slice(col("embedding"), m * 16 + 1, 16),
+        slice(col("cv"), m * 16 + 1, 16)).as(s"d$m"))
+      val withD = e.crossJoin(broadcast(cent))
+        .select(Seq(col("vec_id"), col("cid")) ++ dcols: _*)
+        .withColumn("dot",
+          col("d0") + col("d1") + col("d2") + col("d3"))
+      // ONE aggregate yields the coarse cell AND the 4 PQ codes
+      val assigned = withD.groupBy("vec_id").agg(
+        max_by(col("cid"), struct(col("dot"), -col("cid"))).as("cell"),
+        max_by(col("cid"), struct(col("d0"), -col("cid"))).as("c0"),
+        max_by(col("cid"), struct(col("d1"), -col("cid"))).as("c1"),
+        max_by(col("cid"), struct(col("d2"), -col("cid"))).as("c2"),
+        max_by(col("cid"), struct(col("d3"), -col("cid"))).as("c3"))
+      val byDot = Window.partitionBy("vec_id")
+        .orderBy(col("dot").desc, col("cid"))
+      val probes = withD.filter(col("vec_id").isin(qids: _*))
+        .withColumn("rn", row_number().over(byDot))
+        .filter(col("rn") <= 2)
+        .select(col("vec_id").as("qid"), col("cid").as("cell"))
+      val lutArr = withD.filter(col("vec_id").isin(qids: _*))
+        .selectExpr("vec_id as qid", "cid",
+          "stack(4, 0, d0, 1, d1, 2, d2, 3, d3) as (m, ld)")
+        .groupBy("qid")
+        .agg(transform(
+          array_sort(collect_list(struct(
+            (col("m") * 8 + col("cid")).cast("int").as("i"),
+            col("ld").as("v")))),
+          x => x.getField("v")).as("lut"))
+      val scored = assigned
+        .join(broadcast(probes), Seq("cell"))
+        .filter(col("vec_id") =!= col("qid"))
+        .join(broadcast(lutArr), Seq("qid"))
+        .select(col("qid"), col("vec_id"),
+          (element_at(col("lut"), col("c0").cast("int") + 1) +
+            element_at(col("lut"), col("c1").cast("int") + 9) +
+            element_at(col("lut"), col("c2").cast("int") + 17) +
+            element_at(col("lut"), col("c3").cast("int") + 25)).as("adc"))
+      val topw = Window.partitionBy("qid")
+        .orderBy(col("adc").desc, col("vec_id"))
+      val top5 = scored.withColumn("rn", row_number().over(topw))
+        .filter(col("rn") <= 5)
+        .select(col("qid"), col("vec_id").as("cand_id"), col("adc"))
+      e.select(col("vec_id").as("cand_id"), col("embedding").as("ev"))
+        .join(broadcast(top5), "cand_id")
+        .join(broadcast(e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))),
+          "qid")
+        .select(col("qid"), col("cand_id").as("vec_id"),
+          (round(col("adc"), 4) + lit(0.0)).as("adc_dot"),
+          (round(TextOps.dot(col("ev"), col("qv")), 4) + lit(0.0))
+            .as("exact_dot"))
+        .orderBy(col("qid"), col("adc_dot").desc, col("vec_id"))
     }
   )
 }

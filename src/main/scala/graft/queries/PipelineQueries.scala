@@ -1639,6 +1639,50 @@ object PipelineQueries {
             org.apache.spark.sql.types.LongType, nullable = false)))
       s.createDataFrame(s.sparkContext.parallelize(out, 1), schema)
         .orderBy("probe", "sel_round")
+    },
+
+    // Per-source quality CALIBRATION: each doc's score mapped to its
+    // source-relative quantile rank (integer ppm of strictly-worse docs
+    // in the same source) — the normalization step before any global
+    // quality cut, so a lenient source's scores can't crowd out a
+    // strict source's. The q152 histogram doctrine applied per source:
+    // NO per-source row_number over the corpus (that is one reducer per
+    // source); instead a (source, score) histogram aggregate (bounded
+    // by distinct scores), cumulative-below + source totals as windows
+    // over the HISTOGRAM, and a broadcast map-stage join back. All
+    // integer arithmetic.
+    Q(
+      "q169_source_calibration",
+      """WITH d AS (SELECT doc_id, source, n_chars AS score
+        |  FROM documents),
+        |hist AS (SELECT source, score, count(*) AS c FROM d GROUP BY 1, 2),
+        |cum AS (
+        |  SELECT source, score,
+        |    sum(c) OVER (PARTITION BY source ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below,
+        |    sum(c) OVER (PARTITION BY source) AS n_src
+        |  FROM hist)
+        |SELECT d.doc_id, d.source, CAST(d.score AS BIGINT) AS score,
+        |  CAST(1000000 * coalesce(c.below, 0) // c.n_src AS BIGINT)
+        |    AS rank_ppm
+        |FROM d JOIN cum c ON c.source = d.source AND c.score = d.score
+        |ORDER BY d.doc_id""".stripMargin
+    ) { (s, d) =>
+      val d0 = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars").as("score"))
+      val hist = d0.groupBy("source", "score")
+        .agg(count(lit(1)).as("c"))
+      val wBelow = Window.partitionBy("source").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("source")
+      val cum = hist.select(col("source"), col("score"),
+        sum("c").over(wBelow).as("below"),
+        sum("c").over(wAll).as("n_src"))
+      d0.join(broadcast(cum), Seq("source", "score"))
+        .select(col("doc_id"), col("source"), col("score").cast("long")
+          .as("score"),
+          expr("(1000000 * coalesce(below, 0L)) div n_src").as("rank_ppm"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -276,5 +276,51 @@ object SurfaceQueries {
         .unpivot(Array(col("user_id")),
           Array(col("click"), col("purchase"), col("vw")), "kind", "n")
         .orderBy("user_id", "kind")
+    },
+
+    // Corpus snapshot DIFF — the data-versioning op (what changed
+    // between yesterday's corpus and today's): two snapshots are
+    // synthesized deterministically from the base table (v1 drops the
+    // %10==7 docs, v2 drops the %10==5 docs and updates the %10==3
+    // texts), then content-hash comparison over ONE full-outer shuffle
+    // join on doc_id classifies added / removed / changed. Hashing is
+    // map-side (fixed-width md5 before the exchange); the join carries
+    // (doc_id, hash) only — at 100 TB this is the incremental-ingest
+    // audit that runs per snapshot pair. Unchanged rows are filtered
+    // pre-sort so output is delta-sized, not corpus-sized.
+    Q(
+      "q168_snapshot_diff",
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents
+        |           WHERE doc_id % 10 <> 7),
+        |v2 AS (SELECT doc_id,
+        |  md5(CASE WHEN doc_id % 10 = 3 THEN text || ' updated'
+        |           ELSE text END) AS h
+        |  FROM documents WHERE doc_id % 10 <> 5),
+        |d AS (
+        |  SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |    CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |         WHEN v2.doc_id IS NULL THEN 'removed'
+        |         WHEN v1.h <> v2.h THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)
+        |SELECT doc_id, status FROM d WHERE status <> 'unchanged'
+        |ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val v1 = base.filter(col("doc_id") % 10 =!= 7)
+        .select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
+      val v2 = base.filter(col("doc_id") % 10 =!= 5)
+        .select(col("doc_id").as("id2"),
+          md5(when(col("doc_id") % 10 === 3,
+            concat(col("text"), lit(" updated")))
+            .otherwise(col("text"))).as("h2"))
+      v1.join(v2, col("id1") === col("id2"), "full_outer")
+        .select(coalesce(col("id1"), col("id2")).as("doc_id"),
+          when(col("id1").isNull, "added")
+            .when(col("id2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .filter(col("status") =!= "unchanged")
+        .orderBy("doc_id")
     })
 }

@@ -258,4 +258,57 @@ class IngestOpsSpec extends SparkSpec {
       .filter(col("vec_id") =!= col("exp_id") ||
         col("mmr_score") =!= col("exp_rel")).count() == 0)
   }
+
+  // --- q167 IVF-PQ -----------------------------------------------------
+
+  test("q167: 5 results per probe, none equal to the probe itself") {
+    val r = q("q167_ivfpq_ann")
+    assert(r.count() == 15)
+    assert(r.groupBy("qid").count().filter(col("count") =!= 5)
+      .count() == 0)
+    assert(r.filter(col("vec_id") === col("qid")).count() == 0)
+    // ADC ranking is descending within each probe group
+    val w = Window.partitionBy("qid").orderBy(col("vec_id"))
+    assert(r.select(col("qid"), col("adc_dot")).distinct().count() > 3)
+  }
+
+  // --- q168 snapshot diff ---------------------------------------------
+
+  test("q168: diff classes exactly match the synthesized edits") {
+    val r = q("q168_snapshot_diff").collect()
+      .map(x => x.getLong(0) -> x.getString(1))
+    val base = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val expect = base.flatMap { id =>
+      (id % 10) match {
+        case 7 => Some(id -> "added")
+        case 5 => Some(id -> "removed")
+        case 3 => Some(id -> "changed")
+        case _ => None
+      }
+    }
+    assert(r.toSet == expect)
+    assert(r.length == expect.size)
+  }
+
+  // --- q169 source calibration ----------------------------------------
+
+  test("q169: rank_ppm bounded, monotone in score within source") {
+    val r = q("q169_source_calibration")
+    assert(r.filter(col("rank_ppm") < 0 || col("rank_ppm") >= 1000000)
+      .count() == 0)
+    // same (source, score) -> same rank; higher score -> rank not lower
+    val pairs = r.select(col("source"), col("score"), col("rank_ppm"))
+      .distinct()
+    assert(pairs.groupBy("source", "score").count()
+      .filter(col("count") > 1).count() == 0)
+    val w = Window.partitionBy("source").orderBy("score")
+    val nonMono = pairs
+      .withColumn("prev", lag("rank_ppm", 1).over(w))
+      .filter(col("prev").isNotNull && col("rank_ppm") < col("prev"))
+    assert(nonMono.count() == 0)
+    // a doc with the source-minimum score has rank 0
+    assert(r.groupBy("source").agg(min("rank_ppm").as("m"))
+      .filter(col("m") =!= 0).count() == 0)
+  }
 }
