@@ -818,6 +818,110 @@ object EventQueries {
             .cast("long").as("decayed_q20"))
         .orderBy(col("decayed_q20").desc, col("item"))
         .limit(50)
+    },
+
+    // Deterministic NEGATIVE sampling for implicit-feedback training:
+    // per user, 2 non-engaged items drawn by integer hash slots — the
+    // (user, positive, negative) triple generator every recsys /
+    // contrastive trainer needs. Rejection sampling without iteration:
+    // 6 fixed hash slots per user (Knuth-mix of (user, slot) mod the
+    // item universe), positives knocked out by ONE left-anti join on
+    // (user, item), first 2 surviving slots kept (slot order — replays
+    // can't flip the draw). Scale: slots are a map-side generator
+    // (6 rows per user), the anti-join is the only corpus-keyed
+    // exchange, the keep is a per-user window over <= 6 rows.
+    Q(
+      "q171_negative_sampling",
+      """WITH pos AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |ni AS (SELECT max(item) + 1 AS n FROM pos),
+        |slots AS (
+        |  SELECT u.user_id, s.j,
+        |    (u.user_id * 2654435761 + s.j * 40503) % ni.n AS cand
+        |  FROM (SELECT DISTINCT user_id FROM pos) u,
+        |       (SELECT unnest(range(1, 7)) AS j) s, ni),
+        |neg AS (
+        |  SELECT user_id, j, cand FROM slots
+        |  WHERE NOT EXISTS (SELECT 1 FROM pos p
+        |    WHERE p.user_id = slots.user_id AND p.item = slots.cand)),
+        |keep AS (
+        |  SELECT user_id, cand, j FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY j) AS rk FROM neg) t WHERE rk <= 2)
+        |SELECT user_id, CAST(cand AS BIGINT) AS neg_item,
+        |  CAST(j AS BIGINT) AS slot
+        |FROM keep ORDER BY user_id, slot""".stripMargin
+    ) { (s, d) =>
+      val pos = ev(s, d)
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .distinct()
+      val ni = pos.agg((max("item") + 1L).as("n"))
+      val slots = pos.select("user_id").distinct()
+        .crossJoin(broadcast(ni))
+        .select(col("user_id"), col("n"),
+          explode(sequence(lit(1L), lit(6L))).as("j"))
+        .select(col("user_id"), col("j"),
+          ((col("user_id") * 2654435761L + col("j") * 40503L) % col("n"))
+            .as("cand"))
+      val neg = slots.join(pos
+          .select(col("user_id"), col("item").as("cand")),
+        Seq("user_id", "cand"), "left_anti")
+      val rk = row_number().over(
+        Window.partitionBy("user_id").orderBy("j"))
+      neg.withColumn("rk", rk).filter(col("rk") <= 2)
+        .select(col("user_id"), col("cand").as("neg_item"),
+          col("j").as("slot"))
+        .orderBy("user_id", "slot")
+    },
+
+    // Item-item co-engagement similarity — the collaborative-filtering
+    // precompute (items sharing audiences): per-user engaged-item sets
+    // CAPPED at 32 (by engagement count desc, item asc — the bounded-
+    // state rule: an uncapped power user would emit O(m²) pairs),
+    // bucket-collected as a narrow long array (within the narrow-payload
+    // doctrine), pair-exploded via combinations2, ONE partial+final agg
+    // by pair, top-50 heap. Cap mirrored exactly in the oracle.
+    Q(
+      "q172_item_cooccurrence",
+      """WITH ui AS (
+        |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT)
+        |    AS item, count(*) AS n
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |capped AS (
+        |  SELECT user_id, item FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY user_id
+        |      ORDER BY n DESC, item) AS rk FROM ui) t WHERE rk <= 32),
+        |pairs AS (
+        |  SELECT a.item AS item_a, b.item AS item_b
+        |  FROM capped a JOIN capped b
+        |    ON a.user_id = b.user_id AND a.item < b.item)
+        |SELECT item_a, item_b, CAST(count(*) AS BIGINT) AS n_users
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_users DESC, item_a, item_b LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val ui = ev(s, d)
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .groupBy("user_id", "item").agg(count(lit(1)).as("n"))
+      val rk = row_number().over(Window.partitionBy("user_id")
+        .orderBy(col("n").desc, col("item")))
+      val capped = ui.withColumn("rk", rk).filter(col("rk") <= 32)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("item"))).as("items"))
+      capped
+        .select(explode(graft.functions.ArrayOps.combinations2(
+          col("items"), fields = Seq("a", "b"))).as("p"))
+        .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(count(lit(1)).cast("long").as("n_users"))
+        .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
+        .limit(50)
     }
   )
 }

@@ -1683,6 +1683,64 @@ object PipelineQueries {
           .as("score"),
           expr("(1000000 * coalesce(below, 0L)) div n_src").as("rank_ppm"))
         .orderBy("doc_id")
+    },
+
+    // Multi-epoch REPETITION schedule (the data-recipe op: high-quality
+    // data is repeated across epochs, low-quality seen once — the
+    // materialized form of "3/2/1 epochs by quality tercile"). Tercile
+    // thresholds come from the q152 histogram doctrine (distinct-score
+    // histogram, cumulative window over the HISTOGRAM, exact integer
+    // rank-selection — no global row_number); the epoch expansion is a
+    // map-side sequence+explode generator, so output mass is exactly
+    // the epoch-weighted corpus and the only exchanges are the
+    // histogram aggregate and the determinism sort. All-integer
+    // thresholds keep both engines bit-equal.
+    Q(
+      "q170_epoch_schedule",
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    len(string_split(text, ' ')) AS n_tok FROM documents),
+        |hist AS (SELECT n_chars AS score, count(*) AS c FROM d GROUP BY 1),
+        |tot AS (SELECT sum(c) AS n FROM hist),
+        |cum AS (SELECT score,
+        |    sum(c) OVER (ORDER BY score
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS below
+        |  FROM hist),
+        |th AS (SELECT
+        |    min(CASE WHEN coalesce(below, 0) * 3 >= (SELECT n FROM tot)
+        |        THEN score END) AS t1,
+        |    min(CASE WHEN coalesce(below, 0) * 3 >= 2 * (SELECT n FROM tot)
+        |        THEN score END) AS t2
+        |  FROM cum),
+        |ep AS (SELECT d.doc_id, d.n_tok,
+        |    CASE WHEN d.n_chars >= th.t2 THEN 3
+        |         WHEN d.n_chars >= th.t1 THEN 2 ELSE 1 END AS epochs
+        |  FROM d, th)
+        |SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+        |  CAST(epochs AS BIGINT) AS epochs,
+        |  CAST(unnest(range(1, epochs + 1)) AS BIGINT) AS epoch
+        |FROM ep ORDER BY doc_id, epoch""".stripMargin
+    ) { (s, d) =>
+      val d0 = docs(s, d).select(col("doc_id"), col("n_chars"),
+        size(split(col("text"), " ")).cast("long").as("n_tok"))
+      val hist = d0.groupBy(col("n_chars").as("score"))
+        .agg(count(lit(1)).as("c"))
+      val cum = hist.select(col("score"),
+        sum("c").over(Window.orderBy("score")
+          .rowsBetween(Window.unboundedPreceding, -1)).as("below"))
+      val tot = hist.agg(sum("c").as("n"))
+      val th = cum.crossJoin(broadcast(tot)).agg(
+        min(when(coalesce(col("below"), lit(0L)) * 3 >= col("n"),
+          col("score"))).as("t1"),
+        min(when(coalesce(col("below"), lit(0L)) * 3 >= col("n") * 2,
+          col("score"))).as("t2"))
+      d0.crossJoin(broadcast(th))
+        .select(col("doc_id"), col("n_tok"),
+          when(col("n_chars") >= col("t2"), 3L)
+            .when(col("n_chars") >= col("t1"), 2L)
+            .otherwise(1L).as("epochs"))
+        .select(col("doc_id"), col("n_tok"), col("epochs"),
+          explode(sequence(lit(1L), col("epochs"))).as("epoch"))
+        .orderBy("doc_id", "epoch")
     }
   )
 }

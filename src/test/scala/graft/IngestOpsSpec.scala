@@ -311,4 +311,58 @@ class IngestOpsSpec extends SparkSpec {
     assert(r.groupBy("source").agg(min("rank_ppm").as("m"))
       .filter(col("m") =!= 0).count() == 0)
   }
+
+  // --- q170 epoch schedule --------------------------------------------
+
+  test("q170: each doc appears exactly `epochs` times, epochs 1..3") {
+    val r = q("q170_epoch_schedule")
+    assert(r.filter(col("epochs") < 1 || col("epochs") > 3).count() == 0)
+    // sequence law: per doc, rows = epochs and epoch values are 1..epochs
+    val per = r.groupBy("doc_id", "epochs")
+      .agg(count(lit(1)).as("n"), min("epoch").as("mn"),
+        max("epoch").as("mx"))
+    assert(per.filter(col("n") =!= col("epochs") ||
+      col("mn") =!= 1 || col("mx") =!= col("epochs")).count() == 0)
+    // all three tiers are populated (fixture non-degenerate)
+    assert(r.select("epochs").distinct().count() == 3)
+  }
+
+  // --- q171 negative sampling -----------------------------------------
+
+  test("q171: negatives are never positives; slots match the hash") {
+    val r = q("q171_negative_sampling")
+    val pos = Tables.events(spark, sfDir)
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("neg_item"))
+      .distinct()
+    assert(r.join(pos, Seq("user_id", "neg_item"), "left_semi")
+      .count() == 0)
+    assert(r.groupBy("user_id").count().filter(col("count") > 2)
+      .count() == 0)
+    // recompute the slot hash: neg_item == mix(user, slot) % n_items
+    val n = pos.agg(max("neg_item")).head().getLong(0) + 1
+    assert(r.filter(col("neg_item") =!=
+      (col("user_id") * 2654435761L + col("slot") * 40503L) % n)
+      .count() == 0)
+  }
+
+  // --- q172 item co-occurrence ----------------------------------------
+
+  test("q172: pair support bounded by each item's audience") {
+    val r = q("q172_item_cooccurrence")
+    assert(r.filter(col("item_a") >= col("item_b")).count() == 0)
+    val audience = Tables.events(spark, sfDir)
+      .filter(get_json_object(col("props"), "$.k").isNotNull)
+      .select(col("user_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("item"))
+      .distinct()
+      .groupBy("item").agg(count(lit(1)).as("aud"))
+    val withA = r.join(audience.withColumnRenamed("item", "item_a"),
+      "item_a").withColumnRenamed("aud", "aud_a")
+      .join(audience.withColumnRenamed("item", "item_b"), "item_b")
+      .withColumnRenamed("aud", "aud_b")
+    assert(withA.filter(col("n_users") > least(col("aud_a"),
+      col("aud_b"))).count() == 0)
+  }
 }
