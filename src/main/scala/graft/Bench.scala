@@ -50,15 +50,19 @@ object Bench {
     // last line as JSON (BENCH_r01/r02 both recorded a 2000-byte tail with
     // the metric line truncated mid-key -> "parsed": null). So the metric
     // line must be compact: qNN prefix keys (unique across the suite) and
-    // centisecond per-query precision (139 queries at 3 decimals measured
-    // 1798 bytes — one round of new queries from the limit; the exact
-    // 3-decimal map still goes to stderr for humans/bench_guard notes).
+    // decisecond per-query precision (157 queries at 2 decimals measured
+    // ~1.89 KB — at the limit; see cs() below. The exact 3-decimal map
+    // still goes to stderr for humans/bench_guard notes).
     // Locale.ROOT: the default-locale interpolator would print "1,374"
     // under a comma-decimal locale and corrupt the JSON
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // decisecond per-query precision on stdout: at 157+ queries the
+    // 2-decimal map measured ~1.89 KB — at the edge of the driver's
+    // 2000-byte stdout tail; one decimal buys ~15 more queries of room
+    // (exact 3-decimal map still goes to stderr for humans/bench notes)
     def cs(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.2f", Double.box(v))
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.length == shortKeys.length,
       "duplicate qNN prefixes would silently collapse metric-line keys: " +
