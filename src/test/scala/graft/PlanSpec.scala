@@ -189,4 +189,54 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin") ||
       plan.contains("BroadcastExchange"), plan)
   }
+
+  test("q158 classifier: one scan, one aggregate, no joins") {
+    val df = SparkEntry.queries("q158_classifier")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // formatted explain prints each operator twice (tree + "(N) Scan"):
+    // count the numbered detail headers
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+    assert(plan.contains("md5_prefix64"), plan)
+    assert(Inspect.necessaryColumns(df).values.head.toSet ==
+      Set("doc_id", "text"))
+  }
+
+  test("q160 novelty: single-pass (exactly one parquet scan)") {
+    // regression pin for the round-11 rewrite: the groupBy+join-back
+    // occurrence count re-ran the whole scan+shingle+distinct pipeline
+    // per join side (branch-dependent filter placement defeated exchange
+    // reuse); the count-over-window form has ONE subtree
+    val df = SparkEntry.queries("q160_novelty")(spark, sf)
+    val plan = Inspect.explainString(df)
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
+  test("q159 incremental dedup: signature pipeline computed once") {
+    // the sig table is eagerly localCheckpoint'ed — every consumer must
+    // read the materialized RDD, never re-scan the documents parquet
+    val df = SparkEntry.queries("q159_incremental_dedup")(spark, sf)
+    val plan = Inspect.explainString(df)
+    assert(!plan.contains("Scan parquet"), plan)
+    assert("Scan ExistingRDD".r.findAllIn(plan).size >= 2, plan)
+    assert(plan.contains("ShuffledHashJoin"), plan)
+  }
+
+  test("q164 domain cap: WindowGroupLimit bounds per-task state") {
+    val df = SparkEntry.queries("q164_domain_cap")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // two-level: partial (map-side) + final group-limit heaps
+    assert("WindowGroupLimit".r.findAllIn(plan).size >= 2, plan)
+  }
+
+  test("q167 IVF-PQ: codebook and LUT broadcast; no corpus-wide join") {
+    val df = SparkEntry.queries("q167_ivfpq_ann")(spark, sf)
+    val plan = Inspect.explainString(df)
+    // every join in the plan is broadcast (probes, LUT, rescore) — the
+    // corpus-sized side is never shuffled for a join
+    assert(plan.contains("BroadcastExchange"), plan)
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("ShuffledHashJoin"), plan)
+  }
 }
