@@ -839,7 +839,8 @@ object EventQueries {
         |ni AS (SELECT max(item) + 1 AS n FROM pos),
         |slots AS (
         |  SELECT u.user_id, s.j,
-        |    (u.user_id * 2654435761 + s.j * 40503) % ni.n AS cand
+        |    ((u.user_id % 2147483647) * 2654435761 + s.j * 40503)
+        |      % ni.n AS cand
         |  FROM (SELECT DISTINCT user_id FROM pos) u,
         |       (SELECT unnest(range(1, 7)) AS j) s, ni),
         |neg AS (
@@ -865,8 +866,12 @@ object EventQueries {
         .select(col("user_id"), col("n"),
           explode(sequence(lit(1L), lit(6L))).as("j"))
         .select(col("user_id"), col("j"),
-          ((col("user_id") * 2654435761L + col("j") * 40503L) % col("n"))
-            .as("cand"))
+          // id reduced mod 2^31-1 BEFORE the Knuth mix: replica/sharded
+          // user ids can exceed 2^31 and the raw product overflows int64
+          // under ANSI (caught at the 1000x rehearsal); a no-op at every
+          // gate SF, so outputs are unchanged there
+          (((col("user_id") % 2147483647L) * 2654435761L
+            + col("j") * 40503L) % col("n")).as("cand"))
       val neg = slots.join(pos
           .select(col("user_id"), col("item").as("cand")),
         Seq("user_id", "cand"), "left_anti")

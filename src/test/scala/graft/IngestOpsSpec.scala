@@ -340,10 +340,11 @@ class IngestOpsSpec extends SparkSpec {
       .count() == 0)
     assert(r.groupBy("user_id").count().filter(col("count") > 2)
       .count() == 0)
-    // recompute the slot hash: neg_item == mix(user, slot) % n_items
+    // recompute the slot hash: neg_item == mix(user mod 2^31-1, slot) % n
     val n = pos.agg(max("neg_item")).head().getLong(0) + 1
     assert(r.filter(col("neg_item") =!=
-      (col("user_id") * 2654435761L + col("slot") * 40503L) % n)
+      ((col("user_id") % 2147483647L) * 2654435761L
+        + col("slot") * 40503L) % n)
       .count() == 0)
   }
 
