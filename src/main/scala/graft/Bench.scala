@@ -50,24 +50,21 @@ object Bench {
     // last line as JSON (BENCH_r01/r02 both recorded a 2000-byte tail with
     // the metric line truncated mid-key -> "parsed": null). So the metric
     // line must be compact: qNN prefix keys (unique across the suite) and
-    // decisecond per-query precision (157 queries at 2 decimals measured
-    // ~1.89 KB — at the limit; see cs() below. The exact 3-decimal map
-    // still goes to stderr for humans/bench_guard notes).
+    // decisecond per-query precision — at 157 queries the 2-decimal map
+    // measured ~1.89 KB, at the edge of the limit; one decimal buys ~15
+    // queries of headroom. The exact 3-decimal full-name map still goes
+    // to stderr for humans/bench_guard notes.
     // Locale.ROOT: the default-locale interpolator would print "1,374"
     // under a comma-decimal locale and corrupt the JSON
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    // decisecond per-query precision on stdout: at 157+ queries the
-    // 2-decimal map measured ~1.89 KB — at the edge of the driver's
-    // 2000-byte stdout tail; one decimal buys ~15 more queries of room
-    // (exact 3-decimal map still goes to stderr for humans/bench notes)
-    def cs(v: Double): String =
+    def ds(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.length == shortKeys.length,
       "duplicate qNN prefixes would silently collapse metric-line keys: " +
         shortKeys.diff(shortKeys.distinct).mkString(","))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + cs(v) }
+    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ds(v) }
       .mkString("{", ",", "}")
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")

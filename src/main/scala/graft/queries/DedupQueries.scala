@@ -23,6 +23,35 @@ object DedupQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
+
+  /** Shared PQ layout for q138 (flat PQ) and q167 (IVF-PQ): M=4
+    * subspaces × K=8 centroids, LUT slot index m*8 + cid (so the
+    * 32-slot per-query array is laid out subspace-major), ADC adds the
+    * 4 slots in FIXED left-to-right order (a bare sum would be
+    * summation-order-nondeterministic cross-engine). Any change to M/K
+    * or the slot layout lands here once and both ANN queries follow. */
+  private object Pq {
+    import org.apache.spark.sql.{Column, DataFrame}
+    /** Per-query 32-slot LUT array from the (vec_id, cid, d0..d3)
+      * subspace-dot table, bounded collect_list of 32 structs. */
+    def lutArr(withD: DataFrame, qids: Seq[Long]): DataFrame =
+      withD.filter(col("vec_id").isin(qids: _*))
+        .selectExpr("vec_id as qid", "cid",
+          "stack(4, 0, d0, 1, d1, 2, d2, 3, d3) as (m, ld)")
+        .groupBy("qid")
+        .agg(transform(
+          array_sort(collect_list(struct(
+            (col("m") * 8 + col("cid")).cast("int").as("i"),
+            col("ld").as("v")))),
+          x => x.getField("v")).as("lut"))
+    /** ADC score: the 4 code lookups added in fixed order. */
+    def adc(lut: Column, c0: Column, c1: Column, c2: Column,
+        c3: Column): Column =
+      element_at(lut, c0.cast("int") + 1) +
+        element_at(lut, c1.cast("int") + 9) +
+        element_at(lut, c2.cast("int") + 17) +
+        element_at(lut, c3.cast("int") + 25)
+  }
   /** Adaptive RP plane count: max(8, bitlen(n-1) - 3), i.e. 8 planes up to
     * 2048 vectors, then one more plane per corpus doubling — bucket count
     * tracks corpus size so bucket OCCUPANCY (and the self-join's candidate
@@ -1465,23 +1494,13 @@ object DedupQueries {
         max_by(col("cid"), struct(col("d2"), -col("cid"))).as("c2"),
         max_by(col("cid"), struct(col("d3"), -col("cid"))).as("c3"))
       // 3 queries x 4 subspaces x 8 centroids -> one 32-slot array per
-      // query, slot index m*8 + cid (bounded collect_list, 32 elements)
-      val lutArr = withD.filter(col("vec_id").isin(qids: _*))
-        .selectExpr("vec_id as qid", "cid",
-          "stack(4, 0, d0, 1, d1, 2, d2, 3, d3) as (m, ld)")
-        .groupBy("qid")
-        .agg(transform(
-          array_sort(collect_list(struct(
-            (col("m") * 8 + col("cid")).cast("int").as("i"),
-            col("ld").as("v")))),
-          x => x.getField("v")).as("lut"))
+      // query (Pq.lutArr: bounded collect_list, 32 elements)
+      val lutArr = Pq.lutArr(withD, qids)
       val scored = codes.crossJoin(broadcast(lutArr))
         .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"), col("vec_id"),
-          (element_at(col("lut"), col("c0").cast("int") + 1) +
-            element_at(col("lut"), col("c1").cast("int") + 9) +
-            element_at(col("lut"), col("c2").cast("int") + 17) +
-            element_at(col("lut"), col("c3").cast("int") + 25)).as("adc"))
+          Pq.adc(col("lut"), col("c0"), col("c1"), col("c2"), col("c3"))
+            .as("adc"))
       val topw = Window.partitionBy("qid").orderBy(col("adc").desc, col("vec_id"))
       val top5 = scored.withColumn("rn", row_number().over(topw))
         .filter(col("rn") <= 5)
@@ -2159,24 +2178,14 @@ object DedupQueries {
         .withColumn("rn", row_number().over(byDot))
         .filter(col("rn") <= 2)
         .select(col("vec_id").as("qid"), col("cid").as("cell"))
-      val lutArr = withD.filter(col("vec_id").isin(qids: _*))
-        .selectExpr("vec_id as qid", "cid",
-          "stack(4, 0, d0, 1, d1, 2, d2, 3, d3) as (m, ld)")
-        .groupBy("qid")
-        .agg(transform(
-          array_sort(collect_list(struct(
-            (col("m") * 8 + col("cid")).cast("int").as("i"),
-            col("ld").as("v")))),
-          x => x.getField("v")).as("lut"))
+      val lutArr = Pq.lutArr(withD, qids)
       val scored = assigned
         .join(broadcast(probes), Seq("cell"))
         .filter(col("vec_id") =!= col("qid"))
         .join(broadcast(lutArr), Seq("qid"))
         .select(col("qid"), col("vec_id"),
-          (element_at(col("lut"), col("c0").cast("int") + 1) +
-            element_at(col("lut"), col("c1").cast("int") + 9) +
-            element_at(col("lut"), col("c2").cast("int") + 17) +
-            element_at(col("lut"), col("c3").cast("int") + 25)).as("adc"))
+          Pq.adc(col("lut"), col("c0"), col("c1"), col("c2"), col("c3"))
+            .as("adc"))
       val topw = Window.partitionBy("qid")
         .orderBy(col("adc").desc, col("vec_id"))
       val top5 = scored.withColumn("rn", row_number().over(topw))

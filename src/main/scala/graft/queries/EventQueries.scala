@@ -763,9 +763,12 @@ object EventQueries {
       val w = Window.partitionBy("user_id").orderBy("event_id")
       ev(s, d)
         .filter(col("event_type").isin("view", "click", "purchase"))
+        // pre-cast null filter, matching the oracle (and q165/q171/q172):
+        // filtering the post-cast value would also drop non-integer $.k
+        // rows that DuckDB keeps — a silent window shift on dirty data
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
         .select(col("user_id"), col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .filter(col("item").isNotNull)
         .select(col("user_id"), col("event_id"),
           lag("item", 1).over(w).as("c1"),
           lag("item", 2).over(w).as("c2"),

@@ -444,7 +444,11 @@ object EventStreams {
           val out = List.newBuilder[CapDecision]
           it.toSeq.sortBy(d => (-d.n_chars, d.doc_id)).foreach { d =>
             val cand = (d.n_chars, d.doc_id)
-            if (top.size < k) {
+            if (top.contains(cand)) {
+              // at-least-once redelivery of an already-admitted doc: a
+              // second admit would duplicate the state entry, wasting a
+              // cap slot and wrongly displacing a distinct doc
+            } else if (top.size < k) {
               top = cand :: top
               out += CapDecision(domain, d.doc_id, d.n_chars, true)
             } else {

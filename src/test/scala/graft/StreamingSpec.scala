@@ -606,6 +606,10 @@ class StreamingSpec extends SparkSpec {
       mem.addData(ordered.take(third)); q.processAllAvailable()
       mem.addData(ordered.slice(third, 2 * third)); q.processAllAvailable()
       mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
+      // at-least-once REDELIVERY of the final batch: already-admitted
+      // docs must not be admitted twice (a duplicate state entry would
+      // waste a cap slot and displace a distinct doc)
+      mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
       val out = spark.table("cap_stream")
         .as[EventStreams.CapDecision].collect()
       // final kept = admitted docs never later displaced; displacement
