@@ -322,5 +322,61 @@ object SurfaceQueries {
             .otherwise("unchanged").as("status"))
         .filter(col("status") =!= "unchanged")
         .orderBy("doc_id")
+    },
+
+    // INCREMENTAL aggregate maintenance — the algebra that makes corpus
+    // stats affordable at 100 TB: tomorrow's per-source stats = today's
+    // stored aggregate + a DELTA-ONLY scan (added/removed/changed rows
+    // of q168's snapshot pair), never a full re-aggregation. The engine
+    // side computes v2 stats as v1_agg ⊕ delta_agg (the delta filter
+    // doc_id%10 IN (3,5,7) is pushed to the scan, so the incremental
+    // branch touches delta-sized data); the ORACLE computes v2 stats
+    // FROM SCRATCH — the gate passing proves the increment algebra is
+    // exact, including a fully-removed source (src5/src15 drop to
+    // n_docs = 0 and must vanish from the output).
+    Q(
+      "q173_incremental_stats",
+      """WITH v2 AS (
+        |  SELECT doc_id, source,
+        |    CASE WHEN doc_id % 10 = 3 THEN text || ' updated'
+        |         ELSE text END AS text
+        |  FROM documents WHERE doc_id % 10 <> 5)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) AS BIGINT) AS sum_chars,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM v2 GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val base = Tables.documents(s, d)
+      val nchars = length(col("text")).cast("long")
+      val ntoks = size(split(col("text"), " ")).cast("long")
+      // v1 aggregate (in production: the STORED stats table)
+      val v1 = base.filter(col("doc_id") % 10 =!= 7)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"), sum(nchars).as("ch"),
+          sum(ntoks).as("tk"))
+      // delta: only rows whose membership or content changed between
+      // snapshots — the filter reaches the parquet scan
+      val text2 = when(col("doc_id") % 10 === 3,
+        concat(col("text"), lit(" updated"))).otherwise(col("text"))
+      val inV1 = (col("doc_id") % 10 =!= 7).cast("long")
+      val inV2 = (col("doc_id") % 10 =!= 5).cast("long")
+      val nchars2 = length(text2).cast("long")
+      val ntoks2 = size(split(text2, " ")).cast("long")
+      val delta = base
+        .filter((col("doc_id") % 10).isin(3, 5, 7))
+        .groupBy("source")
+        .agg(sum(inV2 - inV1).as("dn"),
+          sum(inV2 * nchars2 - inV1 * nchars).as("dch"),
+          sum(inV2 * ntoks2 - inV1 * ntoks).as("dtk"))
+      v1.join(delta, Seq("source"), "full_outer")
+        .select(col("source"),
+          (coalesce(col("n"), lit(0L)) + coalesce(col("dn"), lit(0L)))
+            .as("n_docs"),
+          (coalesce(col("ch"), lit(0L)) + coalesce(col("dch"), lit(0L)))
+            .as("sum_chars"),
+          (coalesce(col("tk"), lit(0L)) + coalesce(col("dtk"), lit(0L)))
+            .as("sum_tokens"))
+        .filter(col("n_docs") > 0)
+        .orderBy("source")
     })
 }

@@ -413,6 +413,43 @@ object EventStreams {
         unix_timestamp(col("purchase_ts")).as("purchase_s"), col("value"))
   }
 
+  final case class UpsertRow(doc_id: Long, h: String)
+  final case class UpsertDecision(doc_id: Long, status: String)
+
+  /** Streaming UPSERT diff — the stream twin of q168's snapshot diff
+    * for the classes an upsert stream can observe: keyed state holds
+    * the last content hash per doc_id; an arriving record emits
+    * `added` (no state) or `changed` (hash differs) and is silently
+    * absorbed when unchanged. `removed` is undetectable in a pure
+    * upsert stream (no tombstones) — that class stays batch-side by
+    * design. State is one fixed-width hash per live doc; content is
+    * hashed map-side BEFORE the keyed shuffle. Within-batch ties
+    * resolve by hash order so replays cannot flip decisions. */
+  def upsertDiffStream(docs: DataFrame)(
+      implicit e1: org.apache.spark.sql.Encoder[UpsertRow],
+      e2: org.apache.spark.sql.Encoder[UpsertDecision],
+      e3: org.apache.spark.sql.Encoder[Long]): Dataset[UpsertDecision] =
+    docs.select(col("doc_id"), md5(col("text")).as("h"))
+      .as[UpsertRow](e1)
+      .groupByKey(_.doc_id)(e3)
+      .flatMapGroupsWithState[String, UpsertDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (id: Long, it: Iterator[UpsertRow], state: GroupState[String]) =>
+          val out = List.newBuilder[UpsertDecision]
+          it.toSeq.sortBy(_.h).foreach { r =>
+            state.getOption match {
+              case None =>
+                state.update(r.h)
+                out += UpsertDecision(id, "added")
+              case Some(prev) if prev != r.h =>
+                state.update(r.h)
+                out += UpsertDecision(id, "changed")
+              case _ => // unchanged redelivery: absorb
+            }
+          }
+          out.result().iterator
+      }(org.apache.spark.sql.Encoders.STRING, e2)
+
   final case class DomDoc(doc_id: Long, domain: String, n_chars: Long)
   final case class CapDecision(domain: String, doc_id: Long,
       n_chars: Long, admitted: Boolean)

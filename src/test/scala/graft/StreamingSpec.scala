@@ -624,4 +624,42 @@ class StreamingSpec extends SparkSpec {
           s"missing=${batchKept.diff(streamKept)}")
     } finally q.stop()
   }
+
+  test("upsertDiffStream: added/changed classes match the q168 batch diff") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    // v1 snapshot, then the v2 upsert batch (q168's synthesized pair)
+    val v1 = base.filter(_._1 % 10 != 7)
+    val v2 = base.filter(_._1 % 10 != 5).map { case (id, t) =>
+      (id, if (id % 10 == 3) t + " updated" else t)
+    }
+    val mem = MemoryStream[(Long, String)]
+    val q = EventStreams.upsertDiffStream(
+        mem.toDF().toDF("doc_id", "text")).writeStream
+      .format("memory").queryName("upsert_stream")
+      .outputMode("append").start()
+    try {
+      mem.addData(v1); q.processAllAvailable()
+      val afterV1 = spark.table("upsert_stream")
+        .as[EventStreams.UpsertDecision].collect()
+      assert(afterV1.length == v1.size && afterV1.forall(_.status == "added"))
+      mem.addData(v2); q.processAllAvailable()
+      // redeliver v2: unchanged rows must be absorbed, nothing new
+      mem.addData(v2); q.processAllAvailable()
+      val out = spark.table("upsert_stream")
+        .as[EventStreams.UpsertDecision].collect()
+      val later = out.drop(afterV1.length)
+      val added = later.filter(_.status == "added").map(_.doc_id).toSet
+      val changed = later.filter(_.status == "changed").map(_.doc_id).toSet
+      // batch expectation from q168 (removed is stream-invisible)
+      val diff = SparkEntry.queries("q168_snapshot_diff")(spark, sf)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      assert(added == diff.filter(_._2 == "added").map(_._1).toSet)
+      assert(changed == diff.filter(_._2 == "changed").map(_._1).toSet)
+      assert(later.length == added.size + changed.size) // replay absorbed
+    } finally q.stop()
+  }
 }
