@@ -378,5 +378,76 @@ object SurfaceQueries {
             .as("sum_tokens"))
         .filter(col("n_docs") > 0)
         .orderBy("source")
+    },
+
+    // Z-ORDER clustering key (the lakehouse locality op: Delta/Iceberg
+    // OPTIMIZE ZORDER): bit-interleave two filter columns so range
+    // predicates on EITHER column touch few contiguous file ranges.
+    // zval interleaves the low 16 bits of (n_chars, doc_id); the output
+    // is the per-curve-bucket layout manifest (bucket = zval >> 12 —
+    // what each written file would contain). Pure integer shift/mod
+    // arithmetic (identical both engines), map-side except the bucket
+    // aggregate. At 100 TB this is the pre-write sort key: data
+    // clustered by zval gives both n_chars-range and doc_id-range scans
+    // locality, which neither single-column sort provides.
+    Q(
+      "q174_zorder_layout",
+      """WITH d AS (SELECT doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(0, 16),
+        |      k -> ((n_chars // (1 << k)) % 2) * (1 << (2 * k))
+        |         + ((doc_id // (1 << k)) % 2) * (1 << (2 * k + 1))))
+        |      AS BIGINT) AS zval
+        |  FROM documents)
+        |SELECT CAST(zval // 4096 AS BIGINT) AS zbucket,
+        |  CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(zval) AS BIGINT) AS z_lo,
+        |  CAST(max(zval) AS BIGINT) AS z_hi,
+        |  CAST(min(doc_id) AS BIGINT) AS first_doc
+        |FROM d GROUP BY 1 ORDER BY zbucket""".stripMargin
+    ) { (s, d) =>
+      val zval = expr(
+        """aggregate(sequence(0, 15), 0L, (acc, k) ->
+          |  acc + ((n_chars div shiftleft(1L, k)) % 2)
+          |          * shiftleft(1L, 2 * k)
+          |      + ((doc_id div shiftleft(1L, k)) % 2)
+          |          * shiftleft(1L, 2 * k + 1))""".stripMargin)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars"), zval.as("zval"))
+        .groupBy(expr("zval div 4096").as("zbucket"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          min("zval").as("z_lo"), max("zval").as("z_hi"),
+          min("doc_id").cast("long").as("first_doc"))
+        .orderBy("zbucket")
+    },
+
+    // Per-shard delivery CHECKSUMS — output-integrity manifests: each
+    // shard's content checksum is an ORDER-INDEPENDENT sum of per-doc
+    // content hashes mod 2^61−1 (commutative, so any partial-agg tree /
+    // shuffle order yields the same value — the property that makes it
+    // verifiable shard-by-shard by any downstream consumer without a
+    // sort). Map-side hashing (codegen md5 kernel), one partial+final
+    // agg by shard. The consumer-side re-check of a delivered shard is
+    // the same one-pass fold. Capacity: the raw sum holds ~2^63 / 2^32
+    // ≈ 2.1e9 docs per shard before int64 overflow — far beyond any
+    // real shard (shards are size-bounded by design); past that the
+    // fold would need mod-at-partial (a custom aggregate).
+    Q(
+      "q175_shard_checksums",
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(text), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM documents)
+        |SELECT h % 8 AS shard, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(h) % 2305843009213693951 AS BIGINT) AS checksum
+        |FROM h GROUP BY 1 ORDER BY shard""".stripMargin
+    ) { (s, d) =>
+      Tables.documents(s, d)
+        .select(call_function("md5_prefix64", col("text")).as("h"))
+        .groupBy((col("h") % 8).as("shard"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          (sum("h") % 2305843009213693951L).as("checksum"))
+        .orderBy("shard")
     })
 }

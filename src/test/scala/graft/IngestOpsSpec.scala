@@ -376,4 +376,66 @@ class IngestOpsSpec extends SparkSpec {
     assert(withA.filter(col("n_users") > least(col("aud_a"),
       col("aud_b"))).count() == 0)
   }
+
+  // --- q173 incremental stats -----------------------------------------
+
+  test("q173: incremental v1+delta equals a direct v2 aggregation") {
+    val direct = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 10 =!= 5)
+      .select(col("source"),
+        when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" updated"))).otherwise(col("text"))
+          .as("t"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(length(col("t"))).cast("long").as("sum_chars"),
+        sum(size(split(col("t"), " "))).cast("long").as("sum_tokens"))
+    val got = q("q173_incremental_stats")
+    assert(got.count() > 0)
+    assert(got.join(direct.withColumnsRenamed(Map(
+        "n_docs" -> "dn", "sum_chars" -> "dc", "sum_tokens" -> "dt")),
+        Seq("source"), "full_outer")
+      .filter(col("n_docs") =!= col("dn") ||
+        col("sum_chars") =!= col("dc") ||
+        col("sum_tokens") =!= col("dt") ||
+        col("n_docs").isNull || col("dn").isNull).count() == 0)
+  }
+
+  // --- q174 z-order ----------------------------------------------------
+
+  test("q174: a curve bucket bounds BOTH dimensions (locality law)") {
+    // zbucket fixes interleaved bits >= 12, so within a bucket each
+    // dimension's bits >= 6 are fixed -> per-dimension spread < 64
+    val zval = expr(
+      """aggregate(sequence(0, 15), 0L, (acc, k) ->
+        |  acc + ((n_chars div shiftleft(1L, k)) % 2)
+        |          * shiftleft(1L, 2 * k)
+        |      + ((doc_id div shiftleft(1L, k)) % 2)
+        |          * shiftleft(1L, 2 * k + 1))""".stripMargin)
+    val spread = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("n_chars"), zval.as("zval"))
+      .groupBy(expr("zval div 4096").as("zbucket"))
+      .agg((max("n_chars") - min("n_chars")).as("s1"),
+        (max("doc_id") - min("doc_id")).as("s2"))
+    assert(spread.filter(col("s1") >= 64 || col("s2") >= 64).count() == 0)
+    assert(q("q174_zorder_layout").count() > 1)
+  }
+
+  // --- q175 shard checksums -------------------------------------------
+
+  test("q175: checksum is partitioning/order independent; counts add up") {
+    val r = q("q175_shard_checksums")
+    assert(r.agg(sum("n_docs")).head().getLong(0) ==
+      Tables.documents(spark, sfDir).count())
+    // recompute after an adversarial repartition + reversed sort: the
+    // commutative fold must produce identical checksums
+    val alt = Tables.documents(spark, sfDir)
+      .repartition(7, col("source"))
+      .sortWithinPartitions(col("doc_id").desc)
+      .select(call_function("md5_prefix64", col("text")).as("h"))
+      .groupBy((col("h") % 8).as("shard"))
+      .agg((sum("h") % 2305843009213693951L).as("c2"))
+    assert(r.join(alt, "shard")
+      .filter(col("checksum") =!= col("c2")).count() == 0)
+  }
 }
