@@ -256,8 +256,15 @@ object GraphOps {
     val e = edges.select(col("src").cast("long").as("src"),
       col("dst").cast("long").as("dst")).distinct()
     val deg = e.groupBy("src").agg(count(lit(1)).as("outd"))
-    // one (src, dst, outd) table feeds every round
-    val ed = e.join(deg, "src").localCheckpoint(true)
+    // one (src, dst, outd) table feeds every round. DISK_ONLY: this is
+    // the EDGE-scale table, and checkpoint blocks are non-evictable —
+    // pinned in MEMORY_AND_DISK it starved execution memory at the
+    // 1000x replica (100M edges; SparkOutOfMemoryError in the rank
+    // join). Sequential disk reads per round are cheap; the rank tables
+    // (node-scale) stay in memory.
+    val ed = e.join(deg, "src")
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val nodes = e.select(col("src").as("id"))
       .union(e.select(col("dst").as("id"))).distinct()
       .localCheckpoint(true)
@@ -271,11 +278,15 @@ object GraphOps {
           "src")
         .select(col("dst").as("id"), expr("r div outd").as("c"))
         .groupBy("id").agg(sum("c").as("m"))
+      val prev = ranks
       ranks = nodes.join(contribs, Seq("id"), "left")
         .select(col("id"),
           (lit(base) + expr("85 * coalesce(m, CAST(0 AS BIGINT)) div 100"))
             .as("r"))
         .localCheckpoint(true)
+      // the new checkpoint is materialized; the superseded round's
+      // blocks are dead weight — release them
+      prev.unpersist()
     }
     ranks
   }
