@@ -285,9 +285,29 @@ object GraphOps {
             .as("r"))
         .localCheckpoint(true)
       // the new checkpoint is materialized; the superseded round's
-      // blocks are dead weight — release them
-      prev.unpersist()
+      // blocks are dead weight — release them. NOTE Dataset.unpersist
+      // is a NO-OP here (checkpoint blocks are plain RDD storage, never
+      // registered in the CacheManager); the release must unpersist the
+      // checkpointed RDD inside the LogicalRDD plan itself.
+      releaseLocalCheckpoint(prev)
     }
     ranks
   }
+
+  /** Free the storage blocks of an eagerly localCheckpoint'ed Dataset.
+    * `Dataset.unpersist` only consults the CacheManager, which never
+    * sees checkpoint blocks — they otherwise stay pinned (and they are
+    * NON-EVICTABLE) until driver GC. Safe once every consumer of the
+    * checkpointed data has itself been materialized. No-op on a
+    * non-checkpointed Dataset. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    // match ONLY the top-level node: df must BE the checkpoint. A deep
+    // collectFirst would also match checkpoints merely referenced in a
+    // derived plan (round 1's ranks is a projection OVER the nodes
+    // checkpoint) and free blocks that later rounds still need.
+    df.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 }

@@ -12,6 +12,20 @@ import graft.functions.{Align, ArrayOps, UnionOps}
   */
 object SurfaceQueries {
 
+  /** The synthesized snapshot pair shared by q168 (diff) and q173
+    * (incremental stats) — ONE definition so the two queries (and the
+    * delta algebra) cannot drift: v1 drops the %10==7 docs, v2 drops
+    * the %10==5 docs and appends " updated" to the %10==3 texts. */
+  private object SnapshotPair {
+    import org.apache.spark.sql.Column
+    val inV1: Column = col("doc_id") % 10 =!= 7
+    val inV2: Column = col("doc_id") % 10 =!= 5
+    val text2: Column = when(col("doc_id") % 10 === 3,
+      concat(col("text"), lit(" updated"))).otherwise(col("text"))
+    /** rows whose membership or content differs between snapshots */
+    val deltaFilter: Column = (col("doc_id") % 10).isin(3, 5, 7)
+  }
+
   val queries: Seq[Q] = Seq(
     // N-ary cartesian + argcartesian (reference structure.py:245-282
     // accepts a LIST of arrays; the 2-ary form is q25). Slices are
@@ -307,13 +321,11 @@ object SurfaceQueries {
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       val base = Tables.documents(s, d)
-      val v1 = base.filter(col("doc_id") % 10 =!= 7)
+      val v1 = base.filter(SnapshotPair.inV1)
         .select(col("doc_id").as("id1"), md5(col("text")).as("h1"))
-      val v2 = base.filter(col("doc_id") % 10 =!= 5)
+      val v2 = base.filter(SnapshotPair.inV2)
         .select(col("doc_id").as("id2"),
-          md5(when(col("doc_id") % 10 === 3,
-            concat(col("text"), lit(" updated")))
-            .otherwise(col("text"))).as("h2"))
+          md5(SnapshotPair.text2).as("h2"))
       v1.join(v2, col("id1") === col("id2"), "full_outer")
         .select(coalesce(col("id1"), col("id2")).as("doc_id"),
           when(col("id1").isNull, "added")
@@ -350,20 +362,19 @@ object SurfaceQueries {
       val nchars = length(col("text")).cast("long")
       val ntoks = size(split(col("text"), " ")).cast("long")
       // v1 aggregate (in production: the STORED stats table)
-      val v1 = base.filter(col("doc_id") % 10 =!= 7)
+      val v1 = base.filter(SnapshotPair.inV1)
         .groupBy("source")
         .agg(count(lit(1)).as("n"), sum(nchars).as("ch"),
           sum(ntoks).as("tk"))
       // delta: only rows whose membership or content changed between
       // snapshots — the filter reaches the parquet scan
-      val text2 = when(col("doc_id") % 10 === 3,
-        concat(col("text"), lit(" updated"))).otherwise(col("text"))
-      val inV1 = (col("doc_id") % 10 =!= 7).cast("long")
-      val inV2 = (col("doc_id") % 10 =!= 5).cast("long")
+      val text2 = SnapshotPair.text2
+      val inV1 = SnapshotPair.inV1.cast("long")
+      val inV2 = SnapshotPair.inV2.cast("long")
       val nchars2 = length(text2).cast("long")
       val ntoks2 = size(split(text2, " ")).cast("long")
       val delta = base
-        .filter((col("doc_id") % 10).isin(3, 5, 7))
+        .filter(SnapshotPair.deltaFilter)
         .groupBy("source")
         .agg(sum(inV2 - inV1).as("dn"),
           sum(inV2 * nchars2 - inV1 * nchars).as("dch"),
@@ -383,21 +394,35 @@ object SurfaceQueries {
     // Z-ORDER clustering key (the lakehouse locality op: Delta/Iceberg
     // OPTIMIZE ZORDER): bit-interleave two filter columns so range
     // predicates on EITHER column touch few contiguous file ranges.
-    // zval interleaves the low 16 bits of (n_chars, doc_id); the output
-    // is the per-curve-bucket layout manifest (bucket = zval >> 12 —
-    // what each written file would contain). Pure integer shift/mod
-    // arithmetic (identical both engines), map-side except the bucket
-    // aggregate. At 100 TB this is the pre-write sort key: data
-    // clustered by zval gives both n_chars-range and doc_id-range scans
-    // locality, which neither single-column sort provides.
+    // Bit widths are DATA-DERIVED (ZOrderOps: bitlen of each column's
+    // max, floored at 16 so every gate SF reproduces the historical
+    // 16/16 key byte-identically) — a fixed 16-bit interleave is the
+    // adaptive-constant trap: doc ids >= 2^16 alias mod 2^16 and curve
+    // buckets stop bounding the id dimension exactly at replica scale.
+    // n_chars is content-bounded, so the id dimension keeps >= 43 bits
+    // of the int64 key (63 − wa cap). The output is the per-curve-
+    // bucket layout manifest (bucket = zval div 4096 — what each
+    // written file would contain; dropping 12 interleaved bits fixes
+    // both dims' bits >= 6, so per-bucket spread < 64 per dimension at
+    // ANY corpus size). Pure integer arithmetic, map-side except the
+    // width scalars and the bucket aggregate.
     Q(
       "q174_zorder_layout",
-      """WITH d AS (SELECT doc_id, n_chars,
-        |    CAST(list_sum(list_transform(range(0, 16),
-        |      k -> ((n_chars // (1 << k)) % 2) * (1 << (2 * k))
-        |         + ((doc_id // (1 << k)) % 2) * (1 << (2 * k + 1))))
+      s"""WITH w AS (SELECT
+        |    greatest(16, length(bin(max(n_chars)))) AS wa,
+        |    least(greatest(16, length(bin(max(doc_id)))),
+        |          63 - greatest(16, length(bin(max(n_chars))))) AS wb
+        |  FROM documents),
+        |d AS (SELECT doc_id, n_chars,
+        |    CAST(list_sum(list_transform(range(0, greatest(wa, wb)),
+        |      k -> (CASE WHEN k < wa THEN ((n_chars // (1 << k)) % 2)
+        |              * (1 << (CASE WHEN k < wb THEN 2 * k
+        |                        ELSE k + wb END)) ELSE 0 END)
+        |         + (CASE WHEN k < wb THEN ((doc_id // (1 << k)) % 2)
+        |              * (1 << (CASE WHEN k < wa THEN 2 * k + 1
+        |                        ELSE k + wa END)) ELSE 0 END)))
         |      AS BIGINT) AS zval
-        |  FROM documents)
+        |  FROM documents, w)
         |SELECT CAST(zval // 4096 AS BIGINT) AS zbucket,
         |  CAST(count(*) AS BIGINT) AS n,
         |  CAST(min(zval) AS BIGINT) AS z_lo,
@@ -405,14 +430,18 @@ object SurfaceQueries {
         |  CAST(min(doc_id) AS BIGINT) AS first_doc
         |FROM d GROUP BY 1 ORDER BY zbucket""".stripMargin
     ) { (s, d) =>
-      val zval = expr(
-        """aggregate(sequence(0, 15), 0L, (acc, k) ->
-          |  acc + ((n_chars div shiftleft(1L, k)) % 2)
-          |          * shiftleft(1L, 2 * k)
-          |      + ((doc_id div shiftleft(1L, k)) % 2)
-          |          * shiftleft(1L, 2 * k + 1))""".stripMargin)
-      Tables.documents(s, d)
-        .select(col("doc_id"), col("n_chars"), zval.as("zval"))
+      import graft.functions.ZOrderOps
+      val docs0 = Tables.documents(s, d)
+      val w = docs0.agg(
+        ZOrderOps.widthExpr("n_chars").as("wa0"),
+        greatest(lit(16), length(bin(max(col("doc_id")).cast("long"))))
+          .as("wb0"))
+        .select(col("wa0").as("wa"),
+          least(col("wb0"), lit(63) - col("wa0")).as("wb"))
+      docs0.crossJoin(broadcast(w))
+        .select(col("doc_id"), col("n_chars"),
+          expr(ZOrderOps.zvalSql("n_chars", "doc_id", "wa", "wb"))
+            .as("zval"))
         .groupBy(expr("zval div 4096").as("zbucket"))
         .agg(count(lit(1)).cast("long").as("n"),
           min("zval").as("z_lo"), max("zval").as("z_hi"),

@@ -413,42 +413,56 @@ object EventStreams {
         unix_timestamp(col("purchase_ts")).as("purchase_s"), col("value"))
   }
 
-  final case class UpsertRow(doc_id: Long, h: String)
+  final case class UpsertRow(doc_id: Long, ver: Long, h: String)
   final case class UpsertDecision(doc_id: Long, status: String)
 
   /** Streaming UPSERT diff — the stream twin of q168's snapshot diff
     * for the classes an upsert stream can observe: keyed state holds
-    * the last content hash per doc_id; an arriving record emits
-    * `added` (no state) or `changed` (hash differs) and is silently
-    * absorbed when unchanged. `removed` is undetectable in a pure
-    * upsert stream (no tombstones) — that class stays batch-side by
-    * design. State is one fixed-width hash per live doc; content is
-    * hashed map-side BEFORE the keyed shuffle. Within-batch ties
-    * resolve by hash order so replays cannot flip decisions. */
+    * the (version, content hash) last applied per doc_id; an arriving
+    * record emits `added` (no state) or `changed` (newer version,
+    * different hash) and is silently absorbed otherwise. `removed` is
+    * undetectable in a pure upsert stream (no tombstones) — that class
+    * stays batch-side by design. The VERSION column (every real CDC/
+    * upsert feed carries one: a log offset, commit ts, …) is what makes
+    * the operator delivery-order-proof: records at or below the applied
+    * version are discarded, so at-least-once redelivery of an OLD
+    * revision — in its own batch or mixed into one batch with the new
+    * revision — can neither flip state backwards nor emit a duplicate
+    * decision. A pure-hash design cannot distinguish a redelivered old
+    * revision from a genuine new update. State is one (long, hash) per
+    * live doc; content is hashed map-side BEFORE the keyed shuffle. */
   def upsertDiffStream(docs: DataFrame)(
       implicit e1: org.apache.spark.sql.Encoder[UpsertRow],
       e2: org.apache.spark.sql.Encoder[UpsertDecision],
       e3: org.apache.spark.sql.Encoder[Long]): Dataset[UpsertDecision] =
-    docs.select(col("doc_id"), md5(col("text")).as("h"))
+    docs.select(col("doc_id"), col("ver").cast("long").as("ver"),
+        md5(col("text")).as("h"))
       .as[UpsertRow](e1)
       .groupByKey(_.doc_id)(e3)
-      .flatMapGroupsWithState[String, UpsertDecision](
+      .flatMapGroupsWithState[(Long, String), UpsertDecision](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (id: Long, it: Iterator[UpsertRow], state: GroupState[String]) =>
+        (id: Long, it: Iterator[UpsertRow],
+            state: GroupState[(Long, String)]) =>
           val out = List.newBuilder[UpsertDecision]
-          it.toSeq.sortBy(_.h).foreach { r =>
+          // ascending version; hash tie-break makes equal-version
+          // duplicates deterministic
+          it.toSeq.sortBy(r => (r.ver, r.h)).foreach { r =>
             state.getOption match {
               case None =>
-                state.update(r.h)
+                state.update((r.ver, r.h))
                 out += UpsertDecision(id, "added")
-              case Some(prev) if prev != r.h =>
-                state.update(r.h)
+              case Some((pv, _)) if r.ver <= pv => // stale/replay: absorb
+              case Some((_, ph)) if ph != r.h =>
+                state.update((r.ver, r.h))
                 out += UpsertDecision(id, "changed")
-              case _ => // unchanged redelivery: absorb
+              case Some(_) => // newer version, same content: advance
+                state.update((r.ver, r.h))
             }
           }
           out.result().iterator
-      }(org.apache.spark.sql.Encoders.STRING, e2)
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.STRING), e2)
 
   final case class DomDoc(doc_id: Long, domain: String, n_chars: Long)
   final case class CapDecision(domain: String, doc_id: Long,

@@ -89,6 +89,22 @@ class GraphOpsSpec extends SparkSpec {
     assert(cl(9L) == 9L)
   }
 
+  test("pageRank releases superseded round checkpoints (no block leak)") {
+    // checkpoint blocks are non-evictable and Dataset.unpersist never
+    // sees them (CacheManager-only); pageRank must free each superseded
+    // round's rank RDD itself. Persistent-RDD census before vs after:
+    // a 5-iter run may retain the edge table, nodes, and the FINAL
+    // ranks (+1 slack for asynchronous cleanup) but not 5 rank tables.
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (1L, 3L))
+    GraphOps.pageRank(edges.toDF("src", "dst"), iters = 5).count()
+    val leaked = sc.getPersistentRDDs.keySet.diff(before)
+    assert(leaked.size <= 4,
+      s"expected <=4 retained checkpoint RDDs (edges, nodes, final " +
+        s"ranks, +1 slack), got ${leaked.size}")
+  }
+
   test("pageRank matches a scalar reference implementation exactly") {
     // star (hub 1 -> 2,3,4), chain 2->5->6, and a sink-only node 6:
     // exercises fan-out division, multi-hop mass flow, and dangling decay

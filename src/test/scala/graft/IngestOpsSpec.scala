@@ -405,19 +405,34 @@ class IngestOpsSpec extends SparkSpec {
 
   test("q174: a curve bucket bounds BOTH dimensions (locality law)") {
     // zbucket fixes interleaved bits >= 12, so within a bucket each
-    // dimension's bits >= 6 are fixed -> per-dimension spread < 64
-    val zval = expr(
-      """aggregate(sequence(0, 15), 0L, (acc, k) ->
-        |  acc + ((n_chars div shiftleft(1L, k)) % 2)
-        |          * shiftleft(1L, 2 * k)
-        |      + ((doc_id div shiftleft(1L, k)) % 2)
-        |          * shiftleft(1L, 2 * k + 1))""".stripMargin)
-    val spread = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), col("n_chars"), zval.as("zval"))
-      .groupBy(expr("zval div 4096").as("zbucket"))
-      .agg((max("n_chars") - min("n_chars")).as("s1"),
-        (max("doc_id") - min("doc_id")).as("s2"))
-    assert(spread.filter(col("s1") >= 64 || col("s2") >= 64).count() == 0)
+    // dimension's bits >= 6 are fixed -> per-dimension spread < 64.
+    // Run the law on an ADVERSARIAL frame too: ids far beyond 2^16,
+    // where the old fixed-16-bit interleave aliased and the law broke.
+    import spark.implicits._
+    import graft.functions.ZOrderOps
+    def spreads(df: org.apache.spark.sql.DataFrame) = {
+      val w = df.agg(ZOrderOps.widthExpr("n_chars").as("wa0"),
+        greatest(lit(16), length(bin(max(col("doc_id")).cast("long"))))
+          .as("wb0"))
+        .select(col("wa0").as("wa"),
+          least(col("wb0"), lit(63) - col("wa0")).as("wb"))
+      df.crossJoin(broadcast(w))
+        .select(col("doc_id"), col("n_chars"),
+          expr(ZOrderOps.zvalSql("n_chars", "doc_id", "wa", "wb"))
+            .as("zval"))
+        .groupBy(expr("zval div 4096").as("zbucket"))
+        .agg((max("n_chars") - min("n_chars")).as("s1"),
+          (max("doc_id") - min("doc_id")).as("s2"))
+    }
+    val real = spreads(Tables.documents(spark, sfDir)
+      .select("doc_id", "n_chars"))
+    assert(real.filter(col("s1") >= 64 || col("s2") >= 64).count() == 0)
+    // replica-scale ids (offsets ~1e9) + wide n_chars
+    val big = (0L until 4000L)
+      .map(i => (i * 271828L + 1000000000L, (i * 37L) % 100000L))
+      .toDF("doc_id", "n_chars")
+    val adv = spreads(big)
+    assert(adv.filter(col("s1") >= 64 || col("s2") >= 64).count() == 0)
     assert(q("q174_zorder_layout").count() > 1)
   }
 

@@ -632,13 +632,13 @@ class StreamingSpec extends SparkSpec {
     val base = Tables.documents(spark, sf).select("doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
     // v1 snapshot, then the v2 upsert batch (q168's synthesized pair)
-    val v1 = base.filter(_._1 % 10 != 7)
+    val v1 = base.filter(_._1 % 10 != 7).map { case (id, t) => (id, 1L, t) }
     val v2 = base.filter(_._1 % 10 != 5).map { case (id, t) =>
-      (id, if (id % 10 == 3) t + " updated" else t)
+      (id, 2L, if (id % 10 == 3) t + " updated" else t)
     }
-    val mem = MemoryStream[(Long, String)]
+    val mem = MemoryStream[(Long, Long, String)]
     val q = EventStreams.upsertDiffStream(
-        mem.toDF().toDF("doc_id", "text")).writeStream
+        mem.toDF().toDF("doc_id", "ver", "text")).writeStream
       .format("memory").queryName("upsert_stream")
       .outputMode("append").start()
     try {
@@ -646,9 +646,13 @@ class StreamingSpec extends SparkSpec {
       val afterV1 = spark.table("upsert_stream")
         .as[EventStreams.UpsertDecision].collect()
       assert(afterV1.length == v1.size && afterV1.forall(_.status == "added"))
+      // adversarial delivery: the v2 batch carries REDELIVERED v1 rows
+      // mixed in (at-least-once), then the whole v2 batch replays, then
+      // a stray OLD-revision v1 record arrives last — none of it may
+      // flip state backwards or duplicate a decision
+      mem.addData(v2 ++ v1); q.processAllAvailable()
       mem.addData(v2); q.processAllAvailable()
-      // redeliver v2: unchanged rows must be absorbed, nothing new
-      mem.addData(v2); q.processAllAvailable()
+      mem.addData(v1.take(5)); q.processAllAvailable()
       val out = spark.table("upsert_stream")
         .as[EventStreams.UpsertDecision].collect()
       val later = out.drop(afterV1.length)
@@ -659,7 +663,7 @@ class StreamingSpec extends SparkSpec {
         .collect().map(r => r.getLong(0) -> r.getString(1))
       assert(added == diff.filter(_._2 == "added").map(_._1).toSet)
       assert(changed == diff.filter(_._2 == "changed").map(_._1).toSet)
-      assert(later.length == added.size + changed.size) // replay absorbed
+      assert(later.length == added.size + changed.size) // replays absorbed
     } finally q.stop()
   }
 }
