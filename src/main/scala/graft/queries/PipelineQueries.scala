@@ -1741,6 +1741,51 @@ object PipelineQueries {
         .select(col("doc_id"), col("n_tok"), col("epochs"),
           explode(sequence(lit(1L), col("epochs"))).as("epoch"))
         .orderBy("doc_id", "epoch")
+    },
+
+    // Token-budget WATER-FILL across sources: the data-recipe allocator
+    // — rank sources by quality, each takes min(its token mass,
+    // remaining budget) until a 40% global budget is exhausted (the
+    // boundary source gets the partial remainder, the tail gets 0).
+    // The sequential-looking greedy is EXACT pure window arithmetic:
+    // alloc_i = min(cap_i, max(budget − Σ caps of better-ranked, 0)) —
+    // no loop, no driver state. Scale shape: one partial+final agg by
+    // source collapses the corpus to source cardinality; everything
+    // after (window + broadcast scalar) runs on that tiny frame.
+    // All-integer (floor-div quality proxy, integer budget).
+    Q(
+      "q176_budget_waterfill",
+      """WITH src AS (
+        |  SELECT source,
+        |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS cap,
+        |    CAST(sum(n_chars) // count(*) AS BIGINT) AS quality
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(cap) * 2 // 5 AS budget FROM src),
+        |ranked AS (
+        |  SELECT source, cap, quality,
+        |    coalesce(sum(cap) OVER (ORDER BY quality DESC, source
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS before
+        |  FROM src)
+        |SELECT source, cap, quality,
+        |  CAST(least(cap, greatest(tot.budget - before, 0)) AS BIGINT)
+        |    AS alloc
+        |FROM ranked, tot ORDER BY quality DESC, source""".stripMargin
+    ) { (s, d) =>
+      val src = docs(s, d).groupBy("source")
+        .agg(sum(size(split(col("text"), " "))).cast("long").as("cap"),
+          expr("sum(n_chars) div count(*)").as("quality"))
+      val tot = src.agg(expr("sum(cap) * 2 div 5").as("budget"))
+      val before = coalesce(
+        sum("cap").over(Window.orderBy(col("quality").desc, col("source"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L))
+      src.select(col("source"), col("cap"), col("quality"),
+          before.as("before"))
+        .crossJoin(broadcast(tot))
+        .select(col("source"), col("cap"), col("quality"),
+          least(col("cap"), greatest(col("budget") - col("before"),
+            lit(0L))).as("alloc"))
+        .orderBy(col("quality").desc, col("source"))
     }
   )
 }

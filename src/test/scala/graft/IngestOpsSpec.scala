@@ -436,6 +436,25 @@ class IngestOpsSpec extends SparkSpec {
     assert(q("q174_zorder_layout").count() > 1)
   }
 
+  // --- q176 budget water-fill -----------------------------------------
+
+  test("q176: allocations respect caps, exhaust the budget, fill greedily") {
+    val r = q("q176_budget_waterfill").collect()
+    val caps = r.map(_.getLong(1))
+    val allocs = r.map(_.getLong(3))
+    assert(allocs.zip(caps).forall { case (a, c) => a >= 0 && a <= c })
+    // total allocation == floor(0.4 * total cap) (budget fully used:
+    // caps sum past the budget by construction)
+    assert(allocs.sum == caps.sum * 2 / 5)
+    // greedy structure in rank order: full takes, then at most one
+    // partial, then zeros
+    val pattern = r.map { row =>
+      val (c, a) = (row.getLong(1), row.getLong(3))
+      if (a == c) 'F' else if (a == 0) 'Z' else 'P'
+    }.mkString
+    assert("^F*P?Z*$".r.findFirstIn(pattern).isDefined, pattern)
+  }
+
   // --- q175 shard checksums -------------------------------------------
 
   test("q175: checksum is partitioning/order independent; counts add up") {
