@@ -1786,6 +1786,60 @@ object PipelineQueries {
           least(col("cap"), greatest(col("budget") - col("before"),
             lit(0L))).as("alloc"))
         .orderBy(col("quality").desc, col("source"))
+    },
+
+    // Embedding-table QUALITY AUDIT — the input-validation gate every
+    // vector pipeline runs before indexing/training: per label, counts
+    // of NaN-bearing and all-zero vectors plus exact quantized-norm
+    // stats (floor(64·e)² sums — integer, so min/max/sum are bit-equal
+    // cross-engine where double norms would be summation-order-
+    // dependent). One map stage (per-row HOF arithmetic) + one
+    // partial+final agg by label; label cardinality is model-bounded,
+    // so the output is tiny at any corpus size.
+    Q(
+      "q177_embedding_audit",
+      """WITH q AS (
+        |  SELECT vec_id, label,
+        |    list_sum(list_transform(embedding,
+        |      x -> CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)
+        |         * CAST(floor(CAST(x AS DOUBLE) * 64) AS BIGINT)))
+        |      AS qnorm2,
+        |    len(list_filter(embedding,
+        |      x -> isnan(CAST(x AS DOUBLE)))) AS n_nan,
+        |    len(list_filter(embedding, x -> CAST(x AS DOUBLE) = 0))
+        |      AS n_zero
+        |  FROM embeddings)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(sum(CASE WHEN n_nan > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_with_nan,
+        |  CAST(sum(CASE WHEN n_zero = 64 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_all_zero,
+        |  CAST(min(qnorm2) AS BIGINT) AS qnorm2_min,
+        |  CAST(max(qnorm2) AS BIGINT) AS qnorm2_max,
+        |  CAST(sum(qnorm2) AS BIGINT) AS qnorm2_sum
+        |FROM q GROUP BY label ORDER BY label""".stripMargin
+    ) { (s, d) =>
+      val qv = transform(col("embedding"),
+        x => floor(x.cast("double") * 64))
+      val qnorm2 = aggregate(qv, lit(0L), (acc, v) => acc + v * v)
+      val nNan = size(filter(col("embedding"),
+        x => isnan(x.cast("double"))))
+      val nZero = size(filter(col("embedding"),
+        x => x.cast("double") === 0.0))
+      emb(s, d)
+        .select(col("label").cast("long").as("label"),
+          qnorm2.as("qnorm2"), nNan.as("n_nan"), nZero.as("n_zero"))
+        .groupBy("label")
+        .agg(count(lit(1)).cast("long").as("n_vecs"),
+          sum((col("n_nan") > 0).cast("long")).cast("long")
+            .as("n_with_nan"),
+          sum((col("n_zero") === 64).cast("long")).cast("long")
+            .as("n_all_zero"),
+          min("qnorm2").as("qnorm2_min"),
+          max("qnorm2").as("qnorm2_max"),
+          sum("qnorm2").cast("long").as("qnorm2_sum"))
+        .orderBy("label")
     }
   )
 }

@@ -455,6 +455,22 @@ class IngestOpsSpec extends SparkSpec {
     assert("^F*P?Z*$".r.findFirstIn(pattern).isDefined, pattern)
   }
 
+  // --- q177 embedding audit -------------------------------------------
+
+  test("q177: per-label counts partition the table; norm stats coherent") {
+    val r = q("q177_embedding_audit")
+    assert(r.agg(sum("n_vecs")).head().getLong(0) ==
+      Tables.embeddings(spark, sfDir).count())
+    assert(r.filter(col("qnorm2_min") > col("qnorm2_max") ||
+      col("qnorm2_sum") < col("qnorm2_max") ||
+      col("n_with_nan") < 0 || col("n_all_zero") < 0).count() == 0)
+    // this corpus is clean: no NaN or zero vectors (fixture property —
+    // the counters exist for dirty production inputs)
+    assert(r.agg(sum("n_with_nan"), sum("n_all_zero")).head() match {
+      case row => row.getLong(0) == 0 && row.getLong(1) == 0
+    })
+  }
+
   // --- q175 shard checksums -------------------------------------------
 
   test("q175: checksum is partitioning/order independent; counts add up") {
