@@ -1175,10 +1175,10 @@ object PipelineQueries {
         |  FROM per_doc
         |)
         |SELECT source, lang, CAST(count(*) AS BIGINT) AS n_docs,
-        |  sum(n_words) AS n_tokens,
+        |  CAST(sum(n_words) AS BIGINT) AS n_tokens,
         |  CAST(sum(CASE WHEN dgn > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS dup_docs,
-        |  sum(q20) // count(*) AS mean_quality_q20
+        |  CAST(sum(q20) // count(*) AS BIGINT) AS mean_quality_q20
         |FROM flagged GROUP BY source, lang ORDER BY source, lang""".stripMargin
     ) { (s, d) =>
       val ws = TextOps.tokens(col("text"))
