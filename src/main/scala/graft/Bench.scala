@@ -48,24 +48,27 @@ object Bench {
     }
     // The driver keeps only the LAST 2000 BYTES of stdout and parses the
     // last line as JSON (BENCH_r01/r02 both recorded a 2000-byte tail with
-    // the metric line truncated mid-key -> "parsed": null). So the metric
-    // line must be compact: qNN prefix keys (unique across the suite) and
-    // decisecond per-query precision — at 157 queries the 2-decimal map
-    // measured ~1.89 KB, at the edge of the limit; one decimal buys ~15
-    // queries of headroom. The exact 3-decimal full-name map still goes
-    // to stderr for humans/bench_guard notes.
+    // the metric line truncated mid-key -> "parsed": null). A qNN->sec map
+    // measured ~1.74 KB at 162 queries — ~100 B from truncation. The line
+    // is now positional and self-describing:
+    //   "qn"  — comma-joined query ids (qNN with the 'q' stripped), in the
+    //           same order as the values;
+    //   "queries" — per-query CENTISECOND integers ("qunit":"cs"),
+    //           positionally aligned with "qn".
+    // Measured 1194 B at 162 queries (~7.4 B/query) — headroom for ~90
+    // more under the 2000 B tail. The exact 3-decimal full-name map still
+    // goes to stderr for humans/bench_guard notes.
     // Locale.ROOT: the default-locale interpolator would print "1,374"
     // under a comma-decimal locale and corrupt the JSON
     def ms(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    def ds(v: Double): String =
-      String.format(java.util.Locale.ROOT, "%.1f", Double.box(v))
     val shortKeys = results.map(_._1.takeWhile(_ != '_'))
     require(shortKeys.distinct.length == shortKeys.length,
       "duplicate qNN prefixes would silently collapse metric-line keys: " +
         shortKeys.diff(shortKeys.distinct).mkString(","))
-    val qs = results.map { case (k, v) => "\"" + k.takeWhile(_ != '_') + "\":" + ds(v) }
-      .mkString("{", ",", "}")
+    val qn = results.map(_._1.takeWhile(_ != '_').drop(1)).mkString(",")
+    val qcs = results.map { case (_, v) => math.round(v * 100).toString }
+      .mkString("[", ",", "]")
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
@@ -75,10 +78,10 @@ object Bench {
     // LAST stdout line as JSON.
     spark.stop()
     val line =
-      s"""{"metric":"total","value":${ms(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${ms(total)},"unit":"sec","qunit":"cs","qn":"$qn","queries":$qcs,"sf":"$sfDir"}"""
     // the driver keeps only the last 2000 stdout bytes; fail LOUDLY before
     // the suite silently reproduces the truncated-line "parsed": null
-    require(line.length <= 1900,
+    require(line.length <= 1700,
       s"metric line ${line.length} bytes — would truncate in the driver's 2000-byte tail")
     println(line)
     System.out.flush()
