@@ -136,6 +136,24 @@ object ArrayOps {
           i => slice(a, i * k + 1, lit(k))))
   }
 
+  /** `to_regular` (reference structure.py:479-505 pair: ak.to_regular):
+    * convert a var-length list to a fixed-width regular layout. Spark
+    * arrays carry no regular/irregular distinction at runtime, so the
+    * conversion is a VALIDATING pass — any row whose width differs from
+    * `n` raises, exactly like the reference's error on ragged input; the
+    * values pass through untouched. Codegen-friendly (`when` + `size`). */
+  def toRegular(arr: Column, n: Int): Column = bindOnce(arr) { a =>
+    when(size(a) === n, a).otherwise(raise_error(
+      concat(lit(s"to_regular: expected width $n, got "),
+        size(a).cast("string"))))
+  }
+
+  /** `from_regular` (structure.py:479-505): regular -> var-length view.
+    * A documented no-op: Spark's array type is always variable-width, so
+    * the irregular view IS the array. Kept as a named op so pipelines
+    * ported from the reference keep their call sites. */
+  def fromRegular(arr: Column): Column = arr
+
   /** Per-row n-choose-2 — reference `combinations(n=2, replacement=,
     * fields=)` (structure.py:296-332). Pairs (x_i, x_j) in index order,
     * i<j (or i<=j with replacement); struct field names default to the

@@ -3,7 +3,8 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.{Q, Tables}
-import graft.functions.{Align, ArrayOps, UnionOps}
+import graft.functions.{Align, ArrayOps, Behaviors, NestedOps, UnionOps}
+import graft.sources.Sources
 
 /** Gate queries for library surface that previously had only specs:
   * N-ary cartesian/argcartesian, named-field combinations(n),
@@ -478,5 +479,152 @@ object SurfaceQueries {
         .agg(count(lit(1)).cast("long").as("n_docs"),
           (sum("h") % 2305843009213693951L).as("checksum"))
         .orderBy("shard")
+    },
+
+    // Source round-trip gate: to_json/to_csv/to_orc/to_text each written
+    // from a documents slice, read back through the matching reader
+    // (fromJson/fromCsv with explicit schema = the reference's schema
+    // pushdown; fromText + split covers the delimiter-record form,
+    // reference io/text.py:54-127, io/json.py:644-781), digested with an
+    // order-independent row hash. The oracle computes the digest straight
+    // from the parquet table — equality proves every format round-trips
+    // losslessly. Closes the round-7 "spec-only sources" verdict item.
+    Q(
+      "q178_source_roundtrip",
+      """WITH base AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
+        |         CAST(n_chars AS BIGINT) AS n_chars, text
+        |  FROM documents WHERE doc_id % 10 = 0 AND len(text) > 0),
+        |dig AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
+        |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |    CAST(sum(CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(
+        |              concat_ws(chr(1), doc_id, lang, source, n_chars, text)),
+        |            j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT)) AS BIGINT)
+        |      AS digest
+        |  FROM base)
+        |SELECT f.format, d.n_rows, d.sum_chars, d.digest
+        |FROM (VALUES ('csv'), ('json'), ('orc'), ('text')) f(format)
+        |CROSS JOIN dig d ORDER BY f.format""".stripMargin
+    ) { (s, d) =>
+      import org.apache.spark.sql.DataFrame
+      import org.apache.spark.sql.types._
+      val base = Tables.documents(s, d)
+        .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0)
+        .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
+          col("source"), col("n_chars").cast("long").as("n_chars"),
+          col("text"))
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("text", StringType)))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rt_").toString
+      Sources.toJson(base, s"$tmp/json")
+      Sources.toCsv(base, s"$tmp/csv")
+      Sources.toOrc(base, s"$tmp/orc")
+      Sources.toText(base.select(concat_ws("\t", col("doc_id"), col("lang"),
+        col("source"), col("n_chars"), col("text")).as("value")), s"$tmp/text")
+      val p = split(col("value"), "\t", 5)
+      val readers: Seq[(String, DataFrame)] = Seq(
+        "csv" -> Sources.fromCsv(s, s"$tmp/csv", Some(schema)),
+        "json" -> Sources.fromJson(s, s"$tmp/json", Some(schema)),
+        "orc" -> Sources.fromOrc(s, s"$tmp/orc"),
+        "text" -> Sources.fromText(s, s"$tmp/text").select(
+          p.getItem(0).cast("long").as("doc_id"), p.getItem(1).as("lang"),
+          p.getItem(2).as("source"), p.getItem(3).cast("long").as("n_chars"),
+          p.getItem(4).as("text")))
+      readers.map { case (fmt, df) =>
+        df.agg(count(lit(1)).cast("long").as("n_rows"),
+            sum(col("n_chars")).as("sum_chars"),
+            sum(call_function("md5_prefix64", concat_ws("\u0001",
+              col("doc_id"), col("lang"), col("source"), col("n_chars"),
+              col("text")))).as("digest"))
+          .select(lit(fmt).as("format"), col("n_rows"), col("sum_chars"),
+            col("digest"))
+      }.reduce(_ unionByName _).orderBy("format")
+    },
+
+    // Layout/metadata surface gate: full/zeros/ones_like (NestedOps
+    // .fullLike, reference structure.py:479-505/672-690/1234-1252),
+    // to_regular/from_regular validation round-trip (structure.py:479-505;
+    // embeddings are 64-regular by construction, so the validating pass
+    // accepts every row), and with_name/with_parameter metadata that is
+    // READ BACK from the DataFrame schema into the output (proving the
+    // behavior tag survives the plan, structure.py:1145-1161, 1187-1231).
+    Q(
+      "q179_layout_surface",
+      """SELECT vec_id,
+        |  CAST(len(embedding) AS BIGINT) AS len_orig,
+        |  CAST(list_sum(list_transform(embedding, x -> 1)) AS BIGINT) AS ones_sum,
+        |  CAST(list_sum(list_transform(embedding, x -> 0)) AS BIGINT) AS zeros_sum,
+        |  CAST(list_sum(list_transform(embedding, x -> 7)) AS BIGINT) AS full_sum,
+        |  CAST(8 AS BIGINT) AS n_chunks,
+        |  flatten(list_transform(range(0, 8),
+        |    i -> embedding[i*8+1:i*8+8])) = embedding AS regular_ok,
+        |  'Point' AS record_name, 'm' AS unit,
+        |  CAST(round(sqrt(power(CAST(embedding[1] AS DOUBLE), 2)
+        |                + power(CAST(embedding[2] AS DOUBLE), 2)) * 1000000)
+        |    AS BIGINT) AS mag_fp
+        |FROM embeddings WHERE vec_id < 300 ORDER BY vec_id""".stripMargin
+    ) { (s, d) =>
+      val emb = Tables.embeddings(s, d).filter(col("vec_id") < 300)
+      val dt = emb.schema("embedding").dataType
+      val pt = struct(
+        element_at(col("embedding"), 1).cast("double").as("x"),
+        element_at(col("embedding"), 2).cast("double").as("y"))
+      val tagged = emb.select(col("vec_id"), col("embedding"),
+        Behaviors.withName(pt, "Point"),
+        Behaviors.withParameter(pt, "unit", "m", "pt2"))
+      // metadata read-back: the literal below comes out of the SCHEMA of
+      // `tagged`, not out of the source string — if with_name/with_parameter
+      // dropped their metadata this would throw at plan time
+      val recordName = tagged.schema("value").metadata
+        .getString("graft.record_name")
+      val unit = tagged.schema("pt2").metadata.getString("graft.param.unit")
+      def sumOf(a: org.apache.spark.sql.Column) =
+        aggregate(a, lit(0L), (acc, x) => acc + x)
+      val regular = ArrayOps.fromRegular(ArrayOps.toRegular(col("embedding"), 64))
+      val chunks = ArrayOps.chunk(regular, 8)
+      tagged.select(col("vec_id"),
+        size(col("embedding")).cast("long").as("len_orig"),
+        sumOf(NestedOps.fullLike(col("embedding"), dt, lit(1L))).as("ones_sum"),
+        sumOf(NestedOps.fullLike(col("embedding"), dt, lit(0L))).as("zeros_sum"),
+        sumOf(NestedOps.fullLike(col("embedding"), dt, lit(7L))).as("full_sum"),
+        size(chunks).cast("long").as("n_chunks"),
+        (flatten(chunks) === col("embedding")).as("regular_ok"),
+        lit(recordName).as("record_name"), lit(unit).as("unit"),
+        round(new Behaviors.PointColumn(col("value")).magnitude * 1000000L)
+          .cast("long").as("mag_fp"))
+        .orderBy("vec_id")
+    },
+
+    // Bad-file tolerance + read report as a GATE row (reference
+    // parquet.py:36-61, io/io.py:651-696, test_parquet.py:207): a
+    // 2-file parquet dir plus one garbage file; the tolerant read must
+    // return every good row (content-checked against the oracle) and the
+    // report must attribute exactly one failure.
+    Q(
+      "q180_read_report",
+      """SELECT CAST(count(*) AS BIGINT) AS rows_read,
+        |  CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+        |  CAST(2 AS BIGINT) AS files_ok, CAST(1 AS BIGINT) AS files_bad
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    ) { (s, d) =>
+      val slice = Tables.documents(s, d)
+        .filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id"), col("n_chars"), col("text"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft_rr_").toString
+      Sources.toParquet(slice.repartition(2), tmp)
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(tmp, "part-junk.parquet"),
+        "not a parquet file".getBytes("UTF-8"))
+      val (data, report) = Sources.fromParquetWithReport(s, tmp)
+      val dataAgg = data.agg(count(lit(1)).cast("long").as("rows_read"),
+        sum(col("n_chars")).cast("long").as("sum_chars"))
+      val reportAgg = report.agg(
+        count(when(col("exception").isNull, 1)).cast("long").as("files_ok"),
+        count(when(col("exception").isNotNull, 1)).cast("long").as("files_bad"))
+      dataAgg.crossJoin(reportAgg)
     })
 }
