@@ -324,6 +324,54 @@ object Multimodal {
     p != null && p.length >= 4 &&
       p(0) == 'G' && p(1) == 'I' && p(2) == 'F' && p(3) == '8'
 
+  /** AVI sniff: RIFF container carrying an "AVI " form — the MJPEG-in-AVI
+    * layout is the one video container a pure JDK can fully decode (RIFF
+    * walk + per-frame JPEG via ImageIO). */
+  private[graft] def looksLikeAvi(p: Array[Byte]): Boolean =
+    p != null && p.length >= 12 &&
+      p(0) == 'R' && p(1) == 'I' && p(2) == 'F' && p(3) == 'F' &&
+      p(8) == 'A' && p(9) == 'V' && p(10) == 'I' && p(11) == ' '
+
+  /** Walk the RIFF chunk tree of an AVI payload and return the
+    * video-stream frame payloads: the data of every `NNdc`/`NNdb` chunk
+    * (video stream data, any stream number) that starts with a JPEG SOI
+    * marker — the MJPEG layout stores one complete JPEG per chunk.
+    * Defensive on malformed input: corrupt/oversized chunk lengths
+    * terminate the walk instead of reading out of bounds, so a truncated
+    * file degrades to "fewer frames", never an exception. */
+  private[graft] def aviMjpegFrames(p: Array[Byte]): Array[Array[Byte]] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    def le32(off: Int): Long =
+      (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def walk(start: Int, end: Int): Unit = {
+      var off = start.toLong
+      while (off + 8 <= end) {
+        val o = off.toInt
+        val sz = le32(o + 4)
+        val dataStart = off + 8
+        val dataEnd = math.min(dataStart + sz, end.toLong)
+        if (dataEnd < dataStart) return
+        val isList = p(o) == 'L' && p(o + 1) == 'I' &&
+          p(o + 2) == 'S' && p(o + 3) == 'T'
+        val isVideoChunk = p(o + 2) == 'd' && (p(o + 3) == 'c' || p(o + 3) == 'b')
+        if (isList && dataEnd - dataStart >= 4) {
+          // skip the 4-byte list-type fourcc (hdrl/movi/...) and recurse
+          walk(dataStart.toInt + 4, dataEnd.toInt)
+        } else if (isVideoChunk && dataEnd - dataStart >= 3 &&
+          p(dataStart.toInt) == 0xFF.toByte &&
+          p(dataStart.toInt + 1) == 0xD8.toByte &&
+          p(dataStart.toInt + 2) == 0xFF.toByte) {
+          out += java.util.Arrays.copyOfRange(p, dataStart.toInt, dataEnd.toInt)
+        }
+        off = dataStart + sz + (sz & 1L) // chunks pad to even length
+      }
+    }
+    if (p.length >= 12)
+      walk(12, math.min(8 + le32(4), p.length.toLong).toInt)
+    out.toArray
+  }
+
   val videoFeatureSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("n_frames", LongType, nullable = true),
@@ -332,16 +380,17 @@ object Multimodal {
       StructField("features", ArrayType(DoubleType, containsNull = false),
         nullable = true))), containsNull = false), nullable = true)))
 
-  /** REAL multi-frame decode for animated GIFs — the video-container path:
-    * ImageIO's GIF reader enumerates every frame (`getNumImages(true)`),
-    * the stride keeps every k-th, and each kept frame featurizes through
-    * the same luminance-histogram kernel as still images. Codec scope is
-    * honest: GIF is the only multi-frame container the pure JDK decodes —
-    * MP4/WebM payloads fall through to (id, null, null) rows, exactly like
-    * non-WAV audio (the row survives, the decode degrades). Per-partition
-    * streaming, constant memory, no shuffle — the frame fan-out stays
-    * inside the row as a nested array, so downstream frame-level ops
-    * (explode + per-frame ANN, say) pick their own parallelism. */
+  /** REAL multi-frame decode for the video containers a pure JDK can
+    * handle — animated GIF (ImageIO frame enumeration) and MJPEG-in-AVI
+    * (RIFF `movi` walk + per-frame JPEG decode via [[aviMjpegFrames]]).
+    * The stride keeps every k-th frame and each kept frame featurizes
+    * through the same luminance-histogram kernel as still images. Codec
+    * scope is honest: MP4/WebM (and non-MJPEG AVI codecs) fall through to
+    * (id, null, null) rows, exactly like non-WAV audio (the row survives,
+    * the decode degrades). Per-partition streaming, constant memory, no
+    * shuffle — the frame fan-out stays inside the row as a nested array,
+    * so downstream frame-level ops (explode + per-frame ANN, say) pick
+    * their own parallelism. */
   def videoFrameFeatures(media: DataFrame, stride: Int = 2, bins: Int = 8)
       : DataFrame = {
     require(stride > 0, "stride must be positive")
@@ -350,7 +399,24 @@ object Multimodal {
       rows.map { r =>
         val id = r.getLong(0)
         val payload = if (r.isNullAt(1)) null else r.getAs[Array[Byte]](1)
-        if (!looksLikeGif(payload)) Row(id, null, null)
+        if (looksLikeAvi(payload)) {
+          // MJPEG-in-AVI: every 00dc/00db chunk under movi is one JPEG
+          val frames = try aviMjpegFrames(payload)
+            catch { case scala.util.control.NonFatal(_) => Array.empty[Array[Byte]] }
+          if (frames.isEmpty) Row(id, null, null)
+          else {
+            val kept = (0 until frames.length by stride).map { i =>
+              val img =
+                try javax.imageio.ImageIO.read(
+                  new java.io.ByteArrayInputStream(frames(i)))
+                catch { case scala.util.control.NonFatal(_) => null }
+              val h = if (img == null) null else lumHistOf(img, bins)
+              Row(i, if (h == null) null else h.toSeq)
+            }
+            Row(id, frames.length.toLong, kept)
+          }
+        }
+        else if (!looksLikeGif(payload)) Row(id, null, null)
         else try {
           val iis = javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(payload))

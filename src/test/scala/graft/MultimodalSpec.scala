@@ -260,4 +260,80 @@ class MultimodalSpec extends SparkSpec {
     // non-GIF payload degrades to nulls, row survives
     assert(out(1).isNullAt(1) && out(1).isNullAt(2))
   }
+
+  private def le32(n: Int): Array[Byte] =
+    Array[Byte]((n & 0xff).toByte, ((n >> 8) & 0xff).toByte,
+      ((n >> 16) & 0xff).toByte, ((n >> 24) & 0xff).toByte)
+
+  private def jpegBytes(gray: Int, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val gr = img.createGraphics()
+    gr.setColor(new java.awt.Color(gray, gray, gray))
+    gr.fillRect(0, 0, w, h)
+    gr.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", baos)
+    baos.toByteArray
+  }
+
+  /** Encode an MJPEG-in-AVI of solid-gray frames: a real RIFF container
+    * (LIST hdrl with an avih chunk, LIST movi with one complete JPEG per
+    * `00dc` chunk, even-length padding) — the exact layout
+    * `aviMjpegFrames` walks. */
+  private def encodeMjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    def chunk(fourcc: String, data: Array[Byte]): Array[Byte] = {
+      val pad = if (data.length % 2 == 1) Array[Byte](0) else Array.empty[Byte]
+      fourcc.getBytes("US-ASCII") ++ le32(data.length) ++ data ++ pad
+    }
+    def list(listType: String, payload: Array[Byte]): Array[Byte] =
+      chunk("LIST", listType.getBytes("US-ASCII") ++ payload)
+    val hdrl = list("hdrl", chunk("avih", new Array[Byte](56)))
+    val movi = list("movi", frames.toArray.flatMap(f => chunk("00dc", f)))
+    val form = "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi
+    "RIFF".getBytes("US-ASCII") ++ le32(form.length) ++ form
+  }
+
+  test("aviMjpegFrames walks the RIFF tree and returns the exact JPEGs") {
+    val jpegs = Seq(16, 80, 240).map(jpegBytes(_, 8, 8))
+    val avi = encodeMjpegAvi(jpegs)
+    assert(Multimodal.looksLikeAvi(avi) && !Multimodal.looksLikeWav(avi))
+    val out = Multimodal.aviMjpegFrames(avi)
+    assert(out.length == 3)
+    out.zip(jpegs).foreach { case (a, b) =>
+      assert(java.util.Arrays.equals(a, b)) // byte-exact extraction
+    }
+    // truncation mid-movi degrades to fewer frames, never an exception
+    val cut = java.util.Arrays.copyOfRange(avi, 0, avi.length - jpegs.last.length - 20)
+    assert(Multimodal.aviMjpegFrames(cut).length < 3)
+  }
+
+  test("videoFrameFeatures REALLY decodes MJPEG-in-AVI frames") {
+    val bins = 8
+    val grays = Seq(16, 80, 144, 208, 240) // mid-bin grays: JPEG DC error safe
+    val avi = encodeMjpegAvi(grays.map(jpegBytes(_, 8, 8)))
+    val df = spark.createDataFrame(
+      java.util.List.of(
+        org.apache.spark.sql.Row(7L, "video", avi,
+          org.apache.spark.sql.Row(8, 8, grays.length)),
+        org.apache.spark.sql.Row(8L, "video", // sniffs AVI, no JPEG frames
+          encodeMjpegAvi(Seq("nope".getBytes)),
+          org.apache.spark.sql.Row(1, 1, 1))),
+      Multimodal.mediaSchema)
+    val out = Multimodal.videoFrameFeatures(df, stride = 2, bins = bins)
+      .orderBy("media_id").collect()
+    val r = out(0)
+    assert(r.getLong(1) == grays.length)
+    val frames = r.getSeq[org.apache.spark.sql.Row](2)
+    assert(frames.map(_.getInt(0)) == Seq(0, 2, 4)) // stride 2
+    frames.foreach { f =>
+      val idx = f.getInt(0)
+      val hist = f.getSeq[Double](1)
+      val expectBin = grays(idx) * bins / 256
+      assert(hist(expectBin) > 0.99,
+        s"frame $idx: mass not in bin $expectBin: $hist")
+    }
+    // AVI with no decodable video chunks degrades to nulls, row survives
+    assert(out(1).isNullAt(1) && out(1).isNullAt(2))
+  }
 }
