@@ -2009,6 +2009,9 @@ object DedupQueries {
         .join(corpus, Seq("band", "key"))
         .filter(agree >= 2)
         .select(col("doc_id"), col("c_doc"))
+        // pre-distinct pair mass — attributes 1000x growth (join output
+        // vs band-exchange volume) without touching the plan shape
+        .observe("q159_hits", count(lit(1)).as("pre_distinct_pairs"))
         .distinct()
       val agg = hits.groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_matches"),
@@ -2057,11 +2060,19 @@ object DedupQueries {
       // groupBy+join-back: ONE subtree (the join form re-ran the whole
       // scan+shingle+distinct pipeline per side — branch-dependent filter
       // placement defeated exchange reuse), one extra h-keyed exchange.
+      // Round-8 A/B (1000x replica, box-speed-controlled via unchanged
+      // q159): a map-side array_distinct(transform(shingles, md5)) form
+      // that deletes this distinct's exchange measured 202.5 s vs 181.5 —
+      // the HOF-interpreted md5 over the 265M-row mass (observed
+      // q160_mass) costs MORE on local[32] than the exchange it saves, so
+      // the codegen explode+distinct form stays (on a multi-node cluster,
+      // where the exchange is network-priced, the trade may flip).
       val dh = docs(s, d).select(col("doc_id"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3)).as("sh"))
         .select(col("doc_id"),
           call_function("md5_prefix64", col("sh")).as("h"))
         .distinct()
+        .observe("q160_mass", count(lit(1)).as("doc_h_rows"))
       dh.withColumn("nd",
         count(lit(1)).over(Window.partitionBy("h")))
         .groupBy("doc_id")
@@ -2201,6 +2212,109 @@ object DedupQueries {
           (round(TextOps.dot(col("ev"), col("qv")), 4) + lit(0.0))
             .as("exact_dot"))
         .orderBy(col("qid"), col("adc_dot").desc, col("vec_id"))
+    },
+
+    // EXACT substring-level dedup, bounded Lee-et-al variant ("Deduplicating
+    // Training Data Makes Language Models Better" finds verbatim repeated
+    // SUBSTRINGS, not whole near-dup docs — the modality q115/q126/q143
+    // approximate via n-grams/CDC-chunk hashes). Full suffix arrays don't
+    // distribute cheaply; this is the bounded form: a fixed 64-char window
+    // anchored at every CDC cut (cut positions re-synchronize after
+    // insertions, so shared content anchors at the SAME windows in both
+    // docs), grouped EXACTLY by window hash, consecutive matched anchors
+    // merged into diagonal runs per doc pair (run of length r at expected
+    // 64-char chunks ~ an r*64-char verbatim shared span). Scale shape:
+    // anchor extraction is map-only (cdc_cuts + substr + md5_prefix64
+    // codegen kernels); the window-hash bucket is capped at 256 anchors
+    // (observe'd) and pairs via the q52 bucket-collect (payload = 2 longs,
+    // inside the narrow-payload rule); run merging is a window over pair
+    // diagonals — pair-mass keyed, never corpus-quadratic.
+    Q(
+      "q181_substring_dedup",
+      """WITH ch AS (
+        |  SELECT doc_id, i, unicode(text[i]) AS code, length(text) AS n
+        |  FROM documents, unnest(range(1, length(text)+1)) AS t(i)
+        |), h AS (
+        |  SELECT doc_id, i, n,
+        |    sum(code) OVER (PARTITION BY doc_id ORDER BY i
+        |                    ROWS BETWEEN 15 PRECEDING AND CURRENT ROW) AS hsum
+        |  FROM ch
+        |), cuts AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS cut FROM h
+        |  WHERE i >= 16 AND i < n AND (hsum * 2654435761) % 64 = 0
+        |), anch AS (
+        |  SELECT c.doc_id,
+        |    row_number() OVER (PARTITION BY c.doc_id ORDER BY cut) AS idx,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5(substr(d.text, CAST(cut + 1 AS INT), 64)),
+        |                j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM cuts c JOIN documents d USING (doc_id)
+        |  WHERE cut + 64 <= length(d.text)
+        |), capped AS (
+        |  SELECT doc_id, idx, h FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY h
+        |      ORDER BY doc_id, idx) AS rk
+        |    FROM anch) t WHERE rk <= 256
+        |), m AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.idx AS ia, b.idx AS ib
+        |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+        |), runs AS (
+        |  SELECT id_a, id_b, ia - ib AS diag, ia,
+        |    ia - row_number() OVER (PARTITION BY id_a, id_b, ia - ib
+        |      ORDER BY ia) AS grp
+        |  FROM m
+        |), runlen AS (
+        |  SELECT id_a, id_b, count(*) AS rl
+        |  FROM runs GROUP BY id_a, id_b, diag, grp
+        |)
+        |SELECT id_a, id_b, CAST(sum(rl) AS BIGINT) AS n_matches,
+        |  CAST(count(*) AS BIGINT) AS n_runs,
+        |  CAST(max(rl) AS BIGINT) AS longest_run
+        |FROM runlen GROUP BY id_a, id_b
+        |ORDER BY n_matches DESC, id_a, id_b LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      // anchors: one map-only pass — interior CDC cuts, keep cuts with a
+      // full 64-char window (array-filtered BEFORE posexplode so idx ranks
+      // kept cuts, matching the oracle's rank-after-where), window hashed
+      // to fixed width before any exchange
+      val anch = docs(s, d)
+        .select(col("doc_id"), col("text"),
+          posexplode(filter(call_function("cdc_cuts", col("text")),
+            c => c + lit(64L) <= length(col("text")).cast("long")))
+            .as(Seq("pos", "cut")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          call_function("md5_prefix64",
+            col("text").substr((col("cut") + 1).cast("int"), lit(64)))
+            .as("h"))
+      val rk = row_number().over(
+        Window.partitionBy("h").orderBy("doc_id", "idx"))
+      val buckets = anch.withColumn("__rk", rk)
+        .observe("q181_cap",
+          sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_anchors"))
+        .filter(col("__rk") <= 256)
+        .groupBy("h")
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("idx"))))
+          .as("recs"))
+      val m = buckets
+        .select(explode(graft.functions.ArrayOps.combinations2(col("recs"),
+          fields = Seq("a", "b"))).as("p"))
+        .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+        .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
+          col("p.a.idx").as("ia"), col("p.b.idx").as("ib"))
+      val runGrp = col("ia") - row_number().over(
+        Window.partitionBy(col("id_a"), col("id_b"), col("ia") - col("ib"))
+          .orderBy("ia"))
+      m.withColumn("diag", col("ia") - col("ib"))
+        .withColumn("grp", runGrp)
+        .groupBy("id_a", "id_b", "diag", "grp")
+        .agg(count(lit(1)).as("rl"))
+        .groupBy("id_a", "id_b")
+        .agg(sum("rl").cast("long").as("n_matches"),
+          count(lit(1)).cast("long").as("n_runs"),
+          max("rl").cast("long").as("longest_run"))
+        .orderBy(col("n_matches").desc, col("id_a"), col("id_b"))
+        .limit(50)
     }
   )
 }

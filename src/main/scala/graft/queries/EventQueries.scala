@@ -828,11 +828,17 @@ object EventQueries {
     // (user, positive, negative) triple generator every recsys /
     // contrastive trainer needs. Rejection sampling without iteration:
     // 6 fixed hash slots per user (Knuth-mix of (user, slot) mod the
-    // item universe), positives knocked out by ONE left-anti join on
+    // item universe), positives knocked out by an anti-join on
     // (user, item), first 2 surviving slots kept (slot order — replays
-    // can't flip the draw). Scale: slots are a map-side generator
-    // (6 rows per user), the anti-join is the only corpus-keyed
-    // exchange, the keep is a per-user window over <= 6 rows.
+    // can't flip the draw). Scale (round-8 rework, was 99x at 1000x):
+    // a positive can knock out a slot ONLY if it equals one of its
+    // user's 6 candidate values, and the candidates are a pure function
+    // of (user_id, item-universe size) — so the knock-out test runs
+    // MAP-SIDE over the events scan and the anti-join's build side
+    // carries just the colliding positives (observed q171_hits), not
+    // the 100M-row distinct positive set. The only corpus-scale
+    // exchange left is the user-id distinct (map-side partial agg);
+    // the keep is a per-user window over <= 6 rows.
     Q(
       "q171_negative_sampling",
       """WITH pos AS (
@@ -858,25 +864,47 @@ object EventQueries {
         |  CAST(j AS BIGINT) AS slot
         |FROM keep ORDER BY user_id, slot""".stripMargin
     ) { (s, d) =>
-      val pos = ev(s, d)
+      // ONE events scan: ni (broadcast scalar), the user-id distinct and
+      // the knock-out filter are three consumers of this projection, and
+      // the ni broadcast SERIALIZES the stages — without a barrier the
+      // recompute form pays three sequential scan+JSON-parse passes
+      // (measured 94.5 s vs 52.7 s at the warm 1000x replica). The
+      // corpus-scale checkpoint goes DISK_ONLY per the q155 doctrine
+      // (checkpoint blocks are non-evictable); the barrier costs ~1 s at
+      // the sf0.01 gate — the deliberate small-SF price of the 1000x win.
+      val base = ev(s, d)
         .filter(get_json_object(col("props"), "$.k").isNotNull)
         .select(col("user_id"),
           get_json_object(col("props"), "$.k").cast("long").as("item"))
-        .distinct()
-      val ni = pos.agg((max("item") + 1L).as("n"))
-      val slots = pos.select("user_id").distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val ni = base.agg((max("item") + 1L).as("n"))
+      // id reduced mod 2^31-1 BEFORE the Knuth mix: replica/sharded
+      // user ids can exceed 2^31 and the raw product overflows int64
+      // under ANSI (caught at the 1000x rehearsal); a no-op at every
+      // gate SF, so outputs are unchanged there
+      def cand(u: org.apache.spark.sql.Column, j: org.apache.spark.sql.Column,
+          n: org.apache.spark.sql.Column) =
+        ((u % 2147483647L) * 2654435761L + j * 40503L) % n
+      val slots = base.select("user_id").distinct()
         .crossJoin(broadcast(ni))
         .select(col("user_id"), col("n"),
           explode(sequence(lit(1L), lit(6L))).as("j"))
         .select(col("user_id"), col("j"),
-          // id reduced mod 2^31-1 BEFORE the Knuth mix: replica/sharded
-          // user ids can exceed 2^31 and the raw product overflows int64
-          // under ANSI (caught at the 1000x rehearsal); a no-op at every
-          // gate SF, so outputs are unchanged there
-          (((col("user_id") % 2147483647L) * 2654435761L
-            + col("j") * 40503L) % col("n")).as("cand"))
-      val neg = slots.join(pos
-          .select(col("user_id"), col("item").as("cand")),
+          cand(col("user_id"), col("j"), col("n")).as("cand"))
+      // map-side knock-out detection: keep only the positives that equal
+      // one of their user's 6 candidate slots — dedup is unnecessary
+      // (anti-join semantics ignore build-side duplicates)
+      val hits = base.crossJoin(broadcast(ni))
+        .filter(array_contains(
+          transform(sequence(lit(1L), lit(6L)),
+            j => cand(col("user_id"), j, col("n"))),
+          col("item")))
+        .select(col("user_id"), col("item").as("cand"))
+        .observe("q171_hits", count(lit(1)).as("colliding_positives"))
+      // hint on the RIGHT side: an anti-join can only build right, so a
+      // left-side hint is ignored (HintErrorLogger warning at 1000x)
+      val neg = slots.join(hits.hint("shuffle_hash"),
         Seq("user_id", "cand"), "left_anti")
       val rk = row_number().over(
         Window.partitionBy("user_id").orderBy("j"))
@@ -926,6 +954,9 @@ object EventQueries {
         .select(explode(graft.functions.ArrayOps.combinations2(
           col("items"), fields = Seq("a", "b"))).as("p"))
         .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+        // pair mass into the pair-keyed exchange — the 1000x growth
+        // attribution point (output mass vs exchange constant)
+        .observe("q172_pairs", count(lit(1)).as("pair_rows"))
         .groupBy("item_a", "item_b")
         .agg(count(lit(1)).cast("long").as("n_users"))
         .orderBy(col("n_users").desc, col("item_a"), col("item_b"))

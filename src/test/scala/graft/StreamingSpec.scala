@@ -666,4 +666,61 @@ class StreamingSpec extends SparkSpec {
       assert(later.length == added.size + changed.size) // replays absorbed
     } finally q.stop()
   }
+
+  test("upsertDiffStream: crash-replay — checkpointed restart with " +
+    "old-revision redelivery stays equivalent to the batch diff") {
+    // exactly-once audit for the upsert/CDC path: the query is STOPPED
+    // after applying v1, a NEW query restarts from the same checkpoint,
+    // and the post-restart feed is adversarial — v2 arrives with the
+    // whole v1 batch REDELIVERED alongside it (at-least-once across a
+    // restart boundary), then a stray old-revision fragment arrives
+    // last. Versions in state must survive the restart: every decision
+    // is emitted exactly once and equals the q168 batch diff.
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-upsert-restart").toString
+    val srcDir = s"$dir/src"
+    val ckpt = s"$dir/ckpt"
+    val base = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    val v1 = base.filter(_._1 % 10 != 7).map { case (id, t) => (id, 1L, t) }
+    val v2 = base.filter(_._1 % 10 != 5).map { case (id, t) =>
+      (id, 2L, if (id % 10 == 3) t + " updated" else t)
+    }
+    val collected = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[EventStreams.UpsertDecision]())
+    def runPhase(rows: Seq[(Long, Long, String)]): Unit = {
+      spark.createDataset(rows).toDF("doc_id", "ver", "text")
+        .write.mode("append").parquet(srcDir)
+      val stream = spark.readStream
+        .schema("doc_id LONG, ver LONG, text STRING").parquet(srcDir)
+      val q = EventStreams.upsertDiffStream(stream)
+        .writeStream.option("checkpointLocation", ckpt)
+        .foreachBatch {
+          (df: org.apache.spark.sql.Dataset[EventStreams.UpsertDecision],
+              _: Long) => df.collect().foreach(collected.add)
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runPhase(v1)
+    val phase1 = collected.size
+    assert(phase1 == v1.size) // every v1 doc decided exactly once: added
+    import scala.jdk.CollectionConverters._
+    assert(collected.asScala.forall(_.status == "added"))
+    // restart boundary: v2 + redelivered v1 in one post-restart feed
+    runPhase(v2 ++ v1)
+    // second restart: a stray old-revision fragment — must emit NOTHING
+    runPhase(v1.take(5))
+    val later = collected.asScala.toSeq.drop(phase1)
+    val added = later.filter(_.status == "added").map(_.doc_id).toSet
+    val changed = later.filter(_.status == "changed").map(_.doc_id).toSet
+    val diff = SparkEntry.queries("q168_snapshot_diff")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getString(1))
+    assert(added == diff.filter(_._2 == "added").map(_._1).toSet)
+    assert(changed == diff.filter(_._2 == "changed").map(_._1).toSet)
+    assert(later.length == added.size + changed.size,
+      "a decision was duplicated across the restart boundary")
+  }
 }
