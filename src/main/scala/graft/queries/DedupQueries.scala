@@ -2315,6 +2315,77 @@ object DedupQueries {
           max("rl").cast("long").as("longest_run"))
         .orderBy(col("n_matches").desc, col("id_a"), col("id_b"))
         .limit(50)
+    },
+
+    // GROUP-AWARE train/val/test split — the leakage-prevention step
+    // every eval pipeline needs: splitting docs independently leaks
+    // near-duplicates of eval docs into train (the contamination q109
+    // detects after the fact). Here the split key is the NEAR-DUP GROUP:
+    // connected components over the degree-bounded RP edge table (q92's
+    // graph), singletons defaulting to their own id, hashed to a 80/10/10
+    // split — so a whole near-dup cluster lands in one split by
+    // construction, and the query PROVES it (spanning_groups column,
+    // computed, not assumed). Scale shape: CC on bounded edges (node-
+    // scale state), one doc-scale join, split assignment is a pure map
+    // of the group id; the assigned table is checkpointed (doc-scale,
+    // 3 longs/row) so the audit pass and the per-split rollup don't
+    // re-run CC.
+    Q(
+      "q182_leakage_free_split",
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id AS doc_id, min(r) AS lbl FROM reach GROUP BY id),
+        |asg AS (
+        |  SELECT d.doc_id, d.n_chars, coalesce(g.lbl, d.doc_id) AS group_id
+        |  FROM documents d LEFT JOIN grp g USING (doc_id)),
+        |sp AS (
+        |  SELECT doc_id, n_chars, group_id,
+        |    CASE WHEN b <= 7 THEN 'train' WHEN b = 8 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM (SELECT *,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5(CAST(group_id AS VARCHAR)), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) % 10 AS b FROM asg) t),
+        |leak AS (
+        |  SELECT CAST(count(*) AS BIGINT) AS spanning_groups FROM (
+        |    SELECT group_id FROM sp GROUP BY group_id
+        |    HAVING count(DISTINCT split) > 1) t)
+        |SELECT s.split, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(DISTINCT s.group_id) AS BIGINT) AS n_groups,
+        |  CAST(sum(s.n_chars) AS BIGINT) AS sum_chars, l.spanning_groups
+        |FROM sp s CROSS JOIN leak l
+        |GROUP BY s.split, l.spanning_groups ORDER BY s.split""".stripMargin
+    ) { (s, d) =>
+      val grp = graft.functions.GraphOps
+        .connectedComponents(rpEdges(s, d), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("lbl"))
+      val b = call_function("md5_prefix64",
+        col("group_id").cast("string")) % 10L
+      val sp = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(grp, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("lbl"), col("doc_id")).as("group_id"))
+        .withColumn("split",
+          when(b <= 7, "train").when(b === 8, "val").otherwise("test"))
+        .localCheckpoint(true)
+      val leak = sp.groupBy("group_id")
+        .agg(countDistinct("split").as("ns"))
+        .filter(col("ns") > 1)
+        .agg(count(lit(1)).cast("long").as("spanning_groups"))
+      sp.groupBy("split")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          countDistinct("group_id").cast("long").as("n_groups"),
+          sum("n_chars").cast("long").as("sum_chars"))
+        .crossJoin(broadcast(leak))
+        .select(col("split"), col("n_docs"), col("n_groups"),
+          col("sum_chars"), col("spanning_groups"))
+        .orderBy("split")
     }
   )
 }

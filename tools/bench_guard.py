@@ -48,7 +48,15 @@ def main() -> int:
         print("== bench guard FAIL: no metric line found in input")
         return 1
     bench = json.loads(line[line.index("{"):])
-    bench_q = {short(k): v for k, v in bench["queries"].items()}
+    if isinstance(bench["queries"], list):
+        # round-8 positional encoding: "qn" = comma-joined qNN ids with
+        # the 'q' stripped, "queries" = centisecond ints, same order
+        ids = bench["qn"].split(",")
+        assert len(ids) == len(bench["queries"]), "qn/queries misaligned"
+        bench_q = {"q" + i: cs / 100.0
+                   for i, cs in zip(ids, bench["queries"])}
+    else:
+        bench_q = {short(k): v for k, v in bench["queries"].items()}
     base = json.load(open(BASELINE))
 
     failures, missing = [], []
