@@ -1840,6 +1840,101 @@ object PipelineQueries {
           max("qnorm2").as("qnorm2_max"),
           sum("qnorm2").cast("long").as("qnorm2_sum"))
         .orderBy("label")
+    },
+
+    // Distributed CLASSIFIER TRAINING — the step before q128's inference:
+    // a batch perceptron over 32 hashed token features + bias, lang='en'
+    // vs rest. All-integer arithmetic (binary features, ±1 labels,
+    // integer weights) so the 3 unrolled epochs are bit-exact in both
+    // engines — the q130 determinism discipline applied to model
+    // training; a float LR would be summation-order-dependent. Scale
+    // shape: the (doc, y, j) feature table is built once (explode →
+    // codegen md5 → distinct ≤ 33 rows/doc), repartitioned by doc_id and
+    // checkpointed, so each epoch's doc-score aggregate is EXCHANGE-FREE
+    // (HashPartitioning(doc_id) satisfies the groupBy(doc_id, y)
+    // distribution) and its weight-delta aggregate collapses map-side to
+    // 33 rows; weights live on the driver between epochs (33 longs —
+    // bounded driver state, the q142 pattern). Batch-perceptron error
+    // oscillation (e2 < e3 here) is the algorithm, not a bug.
+    Q(
+      "q183_perceptron_train",
+      """WITH f0 AS (
+        |  SELECT DISTINCT doc_id,
+        |    CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(t), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) % 32 AS j
+        |  FROM (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS t
+        |        FROM documents)),
+        |f AS (SELECT * FROM f0
+        |      UNION SELECT DISTINCT doc_id, y, 32 AS j FROM f0),
+        |ndocs AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS e1 FROM f),
+        |w1 AS (SELECT j, sum(y) AS w FROM f GROUP BY j),
+        |s2 AS (SELECT f.doc_id, f.y, sum(w1.w) AS score
+        |       FROM f JOIN w1 USING (j) GROUP BY 1, 2),
+        |m2 AS (SELECT doc_id, y FROM s2 WHERE y * score <= 0),
+        |e2 AS (SELECT CAST(count(*) AS BIGINT) AS e2 FROM m2),
+        |d2 AS (SELECT f.j, sum(f.y) AS dw FROM f JOIN m2 USING (doc_id)
+        |       GROUP BY 1),
+        |w2 AS (SELECT w1.j, w1.w + coalesce(d2.dw, 0) AS w
+        |       FROM w1 LEFT JOIN d2 USING (j)),
+        |s3 AS (SELECT f.doc_id, f.y, sum(w2.w) AS score
+        |       FROM f JOIN w2 USING (j) GROUP BY 1, 2),
+        |m3 AS (SELECT doc_id, y FROM s3 WHERE y * score <= 0),
+        |e3 AS (SELECT CAST(count(*) AS BIGINT) AS e3 FROM m3),
+        |d3 AS (SELECT f.j, sum(f.y) AS dw FROM f JOIN m3 USING (doc_id)
+        |       GROUP BY 1),
+        |w3 AS (SELECT w2.j, w2.w + coalesce(d3.dw, 0) AS w
+        |       FROM w2 LEFT JOIN d3 USING (j)),
+        |dfj AS (SELECT j, CAST(count(*) AS BIGINT) AS df_j FROM f GROUP BY j)
+        |SELECT w3.j, CAST(w3.w AS BIGINT) AS w, dfj.df_j,
+        |  n.e1, e2.e2, e3.e3
+        |FROM w3 JOIN dfj USING (j)
+        |CROSS JOIN ndocs n CROSS JOIN e2 CROSS JOIN e3
+        |ORDER BY w3.j""".stripMargin
+    ) { (s, d) =>
+      val f0 = docs(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(-1L).as("y"),
+          explode(TextOps.tokens(col("text"))).as("t"))
+        .select(col("doc_id"), col("y"),
+          (call_function("md5_prefix64", col("t")) % 32L).as("j"))
+        .distinct()
+      val f = f0
+        .unionByName(f0.select("doc_id", "y").distinct()
+          .withColumn("j", lit(32L)))
+        .repartition(col("doc_id"))
+        // DISK_ONLY per the q155 doctrine: f is corpus-scale (~33 rows/
+        // doc) and checkpoint blocks are non-evictable — the default
+        // storage level starved execution memory at the 1000x rehearsal
+        // (SparkOutOfMemoryError in the epoch aggregates)
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val e1 = f.select("doc_id").distinct().count()
+      // epoch 1: w = 0 -> every doc misclassified -> delta = sum(y) per j
+      var w: Map[Long, Long] = f.groupBy("j").agg(sum("y").as("dw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val errs = scala.collection.mutable.ArrayBuffer[Long](e1)
+      for (_ <- 2 to 3) {
+        val wj = coalesce(element_at(typedLit(w), col("j")), lit(0L))
+        val miscl = f.withColumn("wj", wj)
+          .groupBy("doc_id", "y").agg(sum("wj").as("score"))
+          .filter(col("y") * col("score") <= 0)
+          .select("doc_id")
+        errs += miscl.count()
+        val delta = f.join(miscl, Seq("doc_id"))
+          .groupBy("j").agg(sum("y").as("dw"))
+          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+        w = w.map { case (j, v) => j -> (v + delta.getOrElse(j, 0L)) }
+      }
+      val sess = s
+      import sess.implicits._
+      val wTable = w.toSeq.sorted.toDF("j", "w")
+      f.groupBy("j").agg(count(lit(1)).cast("long").as("df_j"))
+        .join(broadcast(wTable), Seq("j"))
+        .select(col("j"), col("w"), col("df_j"),
+          lit(e1).as("e1"), lit(errs(1)).as("e2"), lit(errs(2)).as("e3"))
+        .orderBy("j")
     }
   )
 }

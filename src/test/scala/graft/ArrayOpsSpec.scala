@@ -260,4 +260,21 @@ class ArrayOpsSpec extends SparkSpec {
     val dfn = Seq((0L, Double.NaN), (1L, 2.5)).toDF("row_id", "x")
     assert(eval1(dfn, nanToNum(col("x"))) == Seq(0.0, 2.5))
   }
+
+  test("toRegular validates fixed width; fromRegular is the identity " +
+    "(reference structure.py:479-505)") {
+    val ok = Seq((0L, Seq(1, 2, 3)), (1L, Seq(4, 5, 6))).toDF("row_id", "xs")
+    assert(eval1(ok, toRegular(col("xs"), 3)).map(seqOf) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    assert(eval1(ok, fromRegular(toRegular(col("xs"), 3))).map(seqOf) ==
+      Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    // ragged input raises, matching the reference's to_regular error
+    val ragged = Seq((0L, Seq(1, 2, 3)), (1L, Seq(4))).toDF("row_id", "xs")
+    val e = intercept[Exception] {
+      ragged.select(toRegular(col("xs"), 3)).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("to_regular")), msgs(e).mkString(" | "))
+  }
 }
