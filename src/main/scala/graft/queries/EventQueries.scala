@@ -961,6 +961,61 @@ object EventQueries {
         .agg(count(lit(1)).cast("long").as("n_users"))
         .orderBy(col("n_users").desc, col("item_a"), col("item_b"))
         .limit(50)
+    },
+
+    // CONTEXT-WINDOW PACKING — the "fit the most recent turns in the
+    // budget" step of every chat/agent training-data builder: per user,
+    // events are turns (ts order, event_id tiebreak), token cost is the
+    // chars/4+1 heuristic, and a REVERSE running sum (window ordered ts
+    // DESC) marks the suffix that fits a 256-token context; truncation
+    // is from the FRONT, as a chat template would. One window + one
+    // conditional aggregate, both keyed on user_id — the window's
+    // exchange doubles as the groupBy's partitioning (no second
+    // shuffle). Everything integer (floor-div token costs, epoch-micros
+    // timestamps), so the oracle is exact.
+    Q(
+      "q184_context_pack",
+      """WITH t AS (
+        |  SELECT user_id, event_id, ts,
+        |    length(event_type || ' ' || props) // 4 + 1 AS toks
+        |  FROM events),
+        |c AS (
+        |  SELECT *, sum(toks) OVER (PARTITION BY user_id
+        |    ORDER BY ts DESC, event_id DESC
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT user_id, CAST(count(*) AS BIGINT) AS n_turns,
+        |  CAST(sum(CASE WHEN cum <= 256 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_kept,
+        |  CAST(sum(CASE WHEN cum <= 256 THEN toks ELSE 0 END) AS BIGINT)
+        |    AS tokens_kept,
+        |  CAST(min(CASE WHEN cum <= 256 THEN event_id END) AS BIGINT)
+        |    AS first_kept_event,
+        |  CAST(min(CASE WHEN cum <= 256 THEN epoch_us(ts) END) AS BIGINT)
+        |    AS kept_from_us
+        |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
+    ) { (s, d) =>
+      // `div`, not `/`: Column./ on longs is DOUBLE division in Spark
+      val toks = expr(
+        "CAST(length(concat_ws(' ', event_type, props)) AS BIGINT) div 4") +
+        lit(1L)
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val kept = col("cum") <= 256L
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), toks.as("toks"))
+        .withColumn("cum", sum("toks").over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).cast("long").as("n_turns"),
+          sum(when(kept, 1L).otherwise(0L)).cast("long").as("n_kept"),
+          sum(when(kept, col("toks")).otherwise(0L)).cast("long")
+            .as("tokens_kept"),
+          min(when(kept, col("event_id"))).cast("long")
+            .as("first_kept_event"),
+          min(when(kept, unix_micros(col("ts")))).cast("long")
+            .as("kept_from_us"))
+        .orderBy("user_id")
     }
   )
 }
