@@ -143,9 +143,14 @@ object ArrayOps {
     * `n` raises, exactly like the reference's error on ragged input; the
     * values pass through untouched. Codegen-friendly (`when` + `size`). */
   def toRegular(arr: Column, n: Int): Column = bindOnce(arr) { a =>
-    when(size(a) === n, a).otherwise(raise_error(
-      concat(lit(s"to_regular: expected width $n, got "),
-        size(a).cast("string"))))
+    // null list passes through as null (the ragged-input error contract
+    // covers ragged rows, not missing ones — and the otherwise branch
+    // would raise with a NULL message otherwise)
+    when(a.isNull, a)
+      .when(size(a) === n, a)
+      .otherwise(raise_error(
+        concat(lit(s"to_regular: expected width $n, got "),
+          size(a).cast("string"))))
   }
 
   /** `from_regular` (structure.py:479-505): regular -> var-length view.

@@ -344,31 +344,57 @@ object Multimodal {
     def le32(off: Int): Long =
       (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
         ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
-    def walk(start: Int, end: Int): Unit = {
-      var off = start.toLong
-      while (off + 8 <= end) {
+    // explicit work stack, not recursion: a corrupt payload that is
+    // thousands of nested LIST headers would otherwise drive the walk
+    // into StackOverflowError, which is NOT NonFatal — it would escape
+    // the caller's degrade-to-null catch and fail the task; the depth
+    // bound makes pathological nesting terminate early (real AVIs nest
+    // 2-3 deep)
+    val stack = scala.collection.mutable.Stack.empty[(Long, Int, Int)]
+    var off = 12L
+    var end = if (p.length >= 12) math.min(8 + le32(4), p.length.toLong).toInt
+      else 0
+    var depth = 0
+    var live = p.length >= 12
+    while (live) {
+      if (off + 8 > end || depth > 16) {
+        // span done (or pathological nesting): resume the parent span
+        if (stack.isEmpty) live = false
+        else { val t = stack.pop(); off = t._1; end = t._2; depth = t._3 }
+      } else {
         val o = off.toInt
         val sz = le32(o + 4)
         val dataStart = off + 8
         val dataEnd = math.min(dataStart + sz, end.toLong)
-        if (dataEnd < dataStart) return
-        val isList = p(o) == 'L' && p(o + 1) == 'I' &&
-          p(o + 2) == 'S' && p(o + 3) == 'T'
-        val isVideoChunk = p(o + 2) == 'd' && (p(o + 3) == 'c' || p(o + 3) == 'b')
-        if (isList && dataEnd - dataStart >= 4) {
-          // skip the 4-byte list-type fourcc (hdrl/movi/...) and recurse
-          walk(dataStart.toInt + 4, dataEnd.toInt)
-        } else if (isVideoChunk && dataEnd - dataStart >= 3 &&
-          p(dataStart.toInt) == 0xFF.toByte &&
-          p(dataStart.toInt + 1) == 0xD8.toByte &&
-          p(dataStart.toInt + 2) == 0xFF.toByte) {
-          out += java.util.Arrays.copyOfRange(p, dataStart.toInt, dataEnd.toInt)
+        if (dataEnd < dataStart) { // corrupt size: abandon this span
+          if (stack.isEmpty) live = false
+          else { val t = stack.pop(); off = t._1; end = t._2; depth = t._3 }
+        } else {
+          val next = dataStart + sz + (sz & 1L) // chunks pad to even length
+          val isList = p(o) == 'L' && p(o + 1) == 'I' &&
+            p(o + 2) == 'S' && p(o + 3) == 'T'
+          val isVideoChunk =
+            p(o + 2) == 'd' && (p(o + 3) == 'c' || p(o + 3) == 'b')
+          if (isList && dataEnd - dataStart >= 4) {
+            // in-order descent: park the continuation of THIS span, then
+            // walk the list body (4-byte list-type fourcc skipped)
+            stack.push((next, end, depth))
+            off = dataStart + 4
+            end = dataEnd.toInt
+            depth += 1
+          } else {
+            if (isVideoChunk && dataEnd - dataStart >= 3 &&
+              p(dataStart.toInt) == 0xFF.toByte &&
+              p(dataStart.toInt + 1) == 0xD8.toByte &&
+              p(dataStart.toInt + 2) == 0xFF.toByte) {
+              out += java.util.Arrays
+                .copyOfRange(p, dataStart.toInt, dataEnd.toInt)
+            }
+            off = next
+          }
         }
-        off = dataStart + sz + (sz & 1L) // chunks pad to even length
       }
     }
-    if (p.length >= 12)
-      walk(12, math.min(8 + le32(4), p.length.toLong).toInt)
     out.toArray
   }
 

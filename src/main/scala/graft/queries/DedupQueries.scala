@@ -2279,9 +2279,15 @@ object DedupQueries {
       // kept cuts, matching the oracle's rank-after-where), window hashed
       // to fixed width before any exchange
       val anch = docs(s, d)
+        // length(text) projected to a column BEFORE the lambda: evaluated
+        // inside the per-cut filter it would re-run the O(bytes) numChars
+        // scan once per cut (~n²/64 work per doc — the CLAUDE.md
+        // project-the-expensive-expression rule)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("tl"))
         .select(col("doc_id"), col("text"),
           posexplode(filter(call_function("cdc_cuts", col("text")),
-            c => c + lit(64L) <= length(col("text")).cast("long")))
+            c => c + lit(64L) <= col("tl")))
             .as(Seq("pos", "cut")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
           call_function("md5_prefix64",

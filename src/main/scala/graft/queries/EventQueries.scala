@@ -995,9 +995,12 @@ object EventQueries {
         |    AS kept_from_us
         |FROM c GROUP BY user_id ORDER BY user_id""".stripMargin
     ) { (s, d) =>
-      // `div`, not `/`: Column./ on longs is DOUBLE division in Spark
+      // `div`, not `/`: Column./ on longs is DOUBLE division in Spark.
+      // concat (null-PROPAGATING), not concat_ws (null-skipping): the
+      // oracle's `||` nulls the whole row's token cost when either field
+      // is NULL, and the Spark side must diverge identically.
       val toks = expr(
-        "CAST(length(concat_ws(' ', event_type, props)) AS BIGINT) div 4") +
+        "CAST(length(concat(event_type, ' ', props)) AS BIGINT) div 4") +
         lit(1L)
       val w = Window.partitionBy("user_id")
         .orderBy(col("ts").desc, col("event_id").desc)

@@ -1921,11 +1921,18 @@ object PipelineQueries {
           .groupBy("doc_id", "y").agg(sum("wj").as("score"))
           .filter(col("y") * col("score") <= 0)
           .select("doc_id")
-        errs += miscl.count()
-        val delta = f.join(miscl, Seq("doc_id"))
-          .groupBy("j").agg(sum("y").as("dw"))
-          .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        w = w.map { case (j, v) => j -> (v + delta.getOrElse(j, 0L)) }
+        // ONE job per epoch: every doc carries exactly one bias row
+        // (j = 32), so the misclassified-doc count rides the delta
+        // aggregate as that row's count(*) — a separate miscl.count()
+        // action would re-run the corpus-scale score aggregate
+        val deltaRows = f.join(miscl, Seq("doc_id"))
+          .groupBy("j").agg(sum("y").as("dw"),
+            count(lit(1)).cast("long").as("n"))
+          .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+          .toMap
+        errs += deltaRows.get(32L).map(_._2).getOrElse(0L)
+        w = w.map { case (j, v) =>
+          j -> (v + deltaRows.get(j).map(_._1).getOrElse(0L)) }
       }
       val sess = s
       import sess.implicits._

@@ -13,6 +13,22 @@ import graft.sources.Sources
   */
 object SurfaceQueries {
 
+  /** Scratch dir for the round-trip gate queries, recursively deleted at
+    * JVM exit — repeated Verify/Bench loops would otherwise leak slice
+    * copies into /tmp. Exit-time (not eager) deletion because the
+    * returned DataFrames read these files lazily at action time. */
+  private def scratchDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      def rm(f: java.io.File): Unit = {
+        val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
+      }
+      rm(p.toFile)
+    }))
+    p.toString
+  }
+
+
   /** The synthesized snapshot pair shared by q168 (diff) and q173
     * (incremental stats) — ONE definition so the two queries (and the
     * delta algebra) cannot drift: v1 drops the %10==7 docs, v2 drops
@@ -494,7 +510,9 @@ object SurfaceQueries {
       """WITH base AS (
         |  SELECT CAST(doc_id AS BIGINT) AS doc_id, lang, source,
         |         CAST(n_chars AS BIGINT) AS n_chars, text
-        |  FROM documents WHERE doc_id % 10 = 0 AND len(text) > 0),
+        |  FROM documents WHERE doc_id % 10 = 0 AND len(text) > 0
+        |    AND NOT contains(text, chr(10)) AND NOT contains(text, chr(13))
+        |    AND NOT contains(text, chr(9))),
         |dig AS (
         |  SELECT CAST(count(*) AS BIGINT) AS n_rows,
         |    CAST(sum(n_chars) AS BIGINT) AS sum_chars,
@@ -511,7 +529,13 @@ object SurfaceQueries {
       import org.apache.spark.sql.DataFrame
       import org.apache.spark.sql.types._
       val base = Tables.documents(s, d)
-        .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0)
+        // newline/tab-bearing texts excluded on BOTH sides: the CSV read
+        // is single-line (no multiLine) and the text format is
+        // line/tab-delimited, so such a row would split mid-record and
+        // read as a round-trip failure when it is reader configuration
+        .filter(col("doc_id") % 10 === 0 && length(col("text")) > 0 &&
+          !col("text").contains("\n") && !col("text").contains("\r") &&
+          !col("text").contains("\t"))
         .select(col("doc_id").cast("long").as("doc_id"), col("lang"),
           col("source"), col("n_chars").cast("long").as("n_chars"),
           col("text"))
@@ -519,7 +543,7 @@ object SurfaceQueries {
         StructField("doc_id", LongType), StructField("lang", StringType),
         StructField("source", StringType), StructField("n_chars", LongType),
         StructField("text", StringType)))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rt_").toString
+      val tmp = scratchDir("graft_rt_")
       Sources.toJson(base, s"$tmp/json")
       Sources.toCsv(base, s"$tmp/csv")
       Sources.toOrc(base, s"$tmp/orc")
@@ -614,7 +638,7 @@ object SurfaceQueries {
       val slice = Tables.documents(s, d)
         .filter(col("doc_id") % 7 === 0)
         .select(col("doc_id"), col("n_chars"), col("text"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft_rr_").toString
+      val tmp = scratchDir("graft_rr_")
       Sources.toParquet(slice.repartition(2), tmp)
       java.nio.file.Files.write(
         java.nio.file.Paths.get(tmp, "part-junk.parquet"),
