@@ -514,4 +514,67 @@ object EventStreams {
           state.update(top)
           out.result().iterator
       }(e1, e2)
+
+  final case class Turn(user_id: Long, event_id: Long, ts_us: Long,
+      toks: Long)
+  final case class PackState(user_id: Long, n_kept: Long, tokens_kept: Long,
+      first_kept_event: Long, kept_from_us: Long)
+
+  /** Streaming CONTEXT-WINDOW PACKING — the stream twin of q184: per
+    * user, keep the newest-turns suffix whose token cost fits the budget.
+    * State is the kept window itself (turns sorted by (ts, event_id)),
+    * bounded by construction: every turn costs >= 1 token, so the list
+    * never exceeds `budget` entries.
+    *
+    * Trim-monotonicity makes the state SAFE and the operator
+    * replay-idempotent: the kept sum only grows (arrivals add, trims
+    * only fire when the sum exceeds the budget), so once a turn is
+    * trimmed, sum + its cost > budget holds forever and it can never
+    * re-enter — a late or REPLAYED old turn either dedups against the
+    * kept list (by event_id), re-fits legitimately, or is provably
+    * ignorable. That is why the emission carries no total-turn count:
+    * a count of ever-seen turns would need unbounded dedup state to
+    * survive at-least-once delivery (the batch q184 reports it; the
+    * stream reports the budget-pack core). Emits the user's pack state
+    * after each batch; the LAST emission per user equals the batch
+    * query's kept columns (StreamingSpec gates this under shuffled
+    * batch boundaries and full replay). */
+  def contextPackStream(events: DataFrame, budget: Long = 256L)(
+      implicit e1: org.apache.spark.sql.Encoder[Turn],
+      e2: org.apache.spark.sql.Encoder[PackState],
+      e3: org.apache.spark.sql.Encoder[Long],
+      es: org.apache.spark.sql.Encoder[List[Turn]]): Dataset[PackState] =
+    events.select(col("user_id"), col("event_id"),
+        unix_micros(col("ts")).as("ts_us"),
+        (expr("CAST(length(concat(event_type, ' ', props)) AS BIGINT) div 4")
+          + lit(1L)).as("toks"))
+      .as[Turn](e1)
+      .groupByKey(_.user_id)(e3)
+      .flatMapGroupsWithState[List[Turn], PackState](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Turn], state: GroupState[List[Turn]]) =>
+          // kept suffix, newest LAST, sorted by (ts_us, event_id)
+          var kept = state.getOption.getOrElse(Nil)
+          it.toSeq.sortBy(t => (t.ts_us, t.event_id)).foreach { t =>
+            val dup = kept.exists(_.event_id == t.event_id)
+            val olderThanKept = kept.nonEmpty && (t.ts_us < kept.head.ts_us ||
+              (t.ts_us == kept.head.ts_us && t.event_id < kept.head.event_id))
+            if (dup) {
+              // at-least-once redelivery of a kept turn: absorb
+            } else if (olderThanKept &&
+              kept.map(_.toks).sum + t.toks > budget) {
+              // older than the whole kept window and does not fit:
+              // by trim-monotonicity it never will — ignore
+            } else {
+              kept = (t :: kept).sortBy(k => (k.ts_us, k.event_id))
+              // trim from the FRONT (oldest) while over budget
+              while (kept.map(_.toks).sum > budget) kept = kept.tail
+            }
+          }
+          state.update(kept)
+          if (kept.isEmpty) Iterator.empty
+          else Iterator.single(PackState(uid,
+            kept.size.toLong, kept.map(_.toks).sum,
+            kept.map(_.event_id).min, kept.head.ts_us))
+      }(es, e2)
 }

@@ -723,4 +723,50 @@ class StreamingSpec extends SparkSpec {
     assert(later.length == added.size + changed.size,
       "a decision was duplicated across the restart boundary")
   }
+
+  test("contextPackStream: final state equals the q184 batch pack under " +
+    "shuffled batch boundaries and full at-least-once replay") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val evs = Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "props")
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2),
+        r.getString(3), r.getString(4))).toSeq
+    // deterministic shuffle: ts order is destroyed across batches, so the
+    // state must handle out-of-order arrivals, not just appends
+    val shuffled = evs.sortBy(e => (e._1 * 2654435761L) % 9973)
+    val batches = shuffled.grouped((shuffled.size + 3) / 4).toSeq
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(Long, EventStreams.PackState)]())
+    val q = EventStreams.contextPackStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "props"))
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[EventStreams.PackState],
+            bid: Long) => df.collect().foreach(p => got.add((bid, p)))
+      }
+      .outputMode("append").start()
+    try {
+      batches.foreach { b => mem.addData(b); q.processAllAvailable() }
+      // at-least-once adversary: one mid-stream batch replayed, then the
+      // ENTIRE feed replayed — trim-monotonicity says none of it may
+      // change any user's pack
+      mem.addData(batches(1)); q.processAllAvailable()
+      batches.foreach(mem.addData(_)); q.processAllAvailable()
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val last = got.asScala.groupBy(_._2.user_id)
+      .map { case (u, rows) => u -> rows.maxBy(_._1)._2 }
+    val expect = SparkEntry.queries("q184_context_pack")(spark, sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(last.keySet == expect.keySet)
+    last.foreach { case (u, p) =>
+      val (nk, tk, fe, kf) = expect(u)
+      assert((p.n_kept, p.tokens_kept, p.first_kept_event, p.kept_from_us)
+        == ((nk, tk, fe, kf)), s"user $u stream/batch pack divergence")
+    }
+  }
 }
