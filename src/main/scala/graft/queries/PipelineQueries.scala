@@ -1849,12 +1849,13 @@ object PipelineQueries {
     // engines — the q130 determinism discipline applied to model
     // training; a float LR would be summation-order-dependent. Scale
     // shape: the (doc, y, j) feature table is built once (explode →
-    // codegen md5 → distinct ≤ 33 rows/doc), repartitioned by doc_id and
-    // checkpointed, so each epoch's doc-score aggregate is EXCHANGE-FREE
-    // (HashPartitioning(doc_id) satisfies the groupBy(doc_id, y)
-    // distribution) and its weight-delta aggregate collapses map-side to
-    // 33 rows; weights live on the driver between epochs (33 longs —
-    // bounded driver state, the q142 pattern). Batch-perceptron error
+    // codegen md5 → distinct ≤ 33 rows/doc) and checkpointed; each
+    // epoch is ONE job — a doc-score partial+final aggregate off the
+    // checkpoint (a localCheckpoint does NOT carry outputPartitioning,
+    // so pre-partitioning by doc_id buys nothing — verified on 4.1.2)
+    // and a weight-delta aggregate that collapses map-side to 33 rows;
+    // weights live on the driver between epochs (33 longs — bounded
+    // driver state, the q142 pattern). Batch-perceptron error
     // oscillation (e2 < e3 here) is the algorithm, not a bug.
     Q(
       "q183_perceptron_train",
@@ -1903,7 +1904,6 @@ object PipelineQueries {
       val f = f0
         .unionByName(f0.select("doc_id", "y").distinct()
           .withColumn("j", lit(32L)))
-        .repartition(col("doc_id"))
         // DISK_ONLY per the q155 doctrine: f is corpus-scale (~33 rows/
         // doc) and checkpoint blocks are non-evictable — the default
         // storage level starved execution memory at the 1000x rehearsal
