@@ -1849,14 +1849,18 @@ object PipelineQueries {
     // engines — the q130 determinism discipline applied to model
     // training; a float LR would be summation-order-dependent. Scale
     // shape: the (doc, y, j) feature table is built once (explode →
-    // codegen md5 → distinct ≤ 33 rows/doc) and checkpointed; each
-    // epoch is ONE job — a doc-score partial+final aggregate off the
-    // checkpoint (a localCheckpoint does NOT carry outputPartitioning,
-    // so pre-partitioning by doc_id buys nothing — verified on 4.1.2)
-    // and a weight-delta aggregate that collapses map-side to 33 rows;
-    // weights live on the driver between epochs (33 longs — bounded
-    // driver state, the q142 pattern). Batch-perceptron error
-    // oscillation (e2 < e3 here) is the algorithm, not a bug.
+    // codegen md5 → distinct ≤ 33 rows/doc), clustered by doc_id and
+    // checkpointed. The clustering is PHYSICAL, not planner-visible (a
+    // localCheckpoint scans as ExistingRDD with unknown partitioning on
+    // 4.1.2, so each epoch's doc-score aggregate still plans an
+    // exchange) — but with a doc's rows co-located the PARTIAL aggregate
+    // collapses them to ~1 row per (doc, y) before that exchange, vs up
+    // to 33 partial rows per doc unclustered (A/B at the 1000x replica:
+    // 92.8 s clustered, 188 s not). Weight-delta aggregate collapses
+    // map-side to 33 rows; weights live on the driver between epochs
+    // (33 longs — bounded driver state, the q142 pattern).
+    // Batch-perceptron error oscillation (e2 < e3) is the algorithm,
+    // not a bug.
     Q(
       "q183_perceptron_train",
       """WITH f0 AS (
@@ -1904,6 +1908,7 @@ object PipelineQueries {
       val f = f0
         .unionByName(f0.select("doc_id", "y").distinct()
           .withColumn("j", lit(32L)))
+        .repartition(col("doc_id"))
         // DISK_ONLY per the q155 doctrine: f is corpus-scale (~33 rows/
         // doc) and checkpoint blocks are non-evictable — the default
         // storage level starved execution memory at the 1000x rehearsal
