@@ -25,6 +25,41 @@ class SourcesSpec extends SparkSpec {
     assert(Inspect.necessaryColumns(back).values.head.toSet == Set("id", "v"))
   }
 
+  test("aggregate pushdown: COUNT/MIN/MAX answered from parquet footers, " +
+    "no row scan (spark.sql.parquet.aggregatePushdown)") {
+    val dir = tmp("aggpush")
+    val df = (0 until 1000).map(i => (i.toLong, i * 1.5)).toDF("id", "v")
+    Sources.toParquet(df, dir)
+    val prev = spark.conf.getOption("spark.sql.parquet.aggregatePushdown")
+    val prevV1 = spark.conf.getOption("spark.sql.sources.useV1SourceList")
+    spark.conf.set("spark.sql.parquet.aggregatePushdown", "true")
+    // aggregate pushdown is a DSv2-only capability; parquet defaults to
+    // the v1 FileScan path
+    spark.conf.set("spark.sql.sources.useV1SourceList", "")
+    try {
+      val back = spark.read.format("parquet").load(dir)
+        .agg(count(lit(1)).as("n"), min("id").as("mn"), max("id").as("mx"))
+      val plan = back.queryExecution.executedPlan.toString
+      // at 100 TB this is the difference between a metadata read and a
+      // full scan for corpus-stats queries
+      assert(plan.contains("PushedAggregation"),
+        s"aggregation not pushed to the scan:\n$plan")
+      val r = back.collect().head
+      assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1000L, 0L, 999L)))
+    } finally {
+      prev match {
+        case Some(v) =>
+          spark.conf.set("spark.sql.parquet.aggregatePushdown", v)
+        case None =>
+          spark.conf.unset("spark.sql.parquet.aggregatePushdown")
+      }
+      prevV1 match {
+        case Some(v) => spark.conf.set("spark.sql.sources.useV1SourceList", v)
+        case None => spark.conf.unset("spark.sql.sources.useV1SourceList")
+      }
+    }
+  }
+
   test("partitioned parquet: partition filters prune directories before I/O") {
     val dir = tmp("part")
     val df = (0 until 400).map(i =>
