@@ -400,4 +400,58 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("law: q181 diagonal run merging — sum(runlens) = matches, " +
+    "runs are maximal (no two runs on one diagonal are adjacent)") {
+    // random match sets (ia, ib) -> group by diagonal, split into runs of
+    // consecutive ia, the grouping the query's window computes; laws hold
+    // for ANY match set, not just CDC-anchored ones
+    val matches = Gen.chooseNum(0, 20).flatMap(n => Gen.listOfN(n,
+      Gen.zip(Gen.chooseNum(1, 12), Gen.chooseNum(1, 12))))
+    forAll(matches, n = 20) { ms0 =>
+      val ms = ms0.distinct
+      val runs = ms.groupBy { case (ia, ib) => ia - ib }.toSeq.flatMap {
+        case (_, onDiag) =>
+          val ias = onDiag.map(_._1).sorted
+          // split into maximal consecutive runs
+          ias.foldLeft(List.empty[List[Int]]) {
+            case (acc @ (run @ (last :: _)) :: rest, i) if i == last + 1 =>
+              (i :: run) :: rest
+            case (acc, i) => List(i) :: acc
+          }
+      }
+      assert(runs.map(_.length).sum == ms.length)
+      if (runs.nonEmpty) assert(runs.map(_.length).max <= ms.length)
+      // maximality: within a diagonal, run boundaries are non-adjacent
+      runs.foreach { run =>
+        val s = run.sorted
+        assert(s.zip(s.tail).forall { case (a, b) => b == a + 1 })
+      }
+    }
+  }
+
+  test("law: context-pack kept suffix is maximal and budget-respecting") {
+    // mirrors q184/contextPackStream semantics: kept = maximal newest
+    // suffix with total <= budget; one older turn more must overflow
+    val turns = Gen.chooseNum(0, 15).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 60L)))
+    val budget = 100L
+    forAll(turns, n = 20) { toks =>
+      // reverse cumulative sums from the newest (end of list)
+      val kept = toks.reverse.scanLeft(0L)(_ + _).tail
+        .zip(toks.reverse).takeWhile(_._1 <= budget).map(_._2)
+      assert(kept.sum <= budget)
+      if (kept.length < toks.length) {
+        val nextOlder = toks.reverse(kept.length)
+        assert(kept.sum + nextOlder > budget) // maximality
+      }
+      // trim-monotonicity: appending a NEWER turn never lets a trimmed
+      // older turn re-enter (the streaming operator's safety invariant)
+      val withNew = toks :+ 10L
+      val kept2 = withNew.reverse.scanLeft(0L)(_ + _).tail
+        .zip(withNew.reverse).takeWhile(_._1 <= budget).map(_._2)
+      assert(kept2.sum >= math.min(kept.sum, budget - 10L).min(kept2.sum))
+      assert(kept2.length <= kept.length + 1)
+    }
+  }
 }
