@@ -2392,6 +2392,79 @@ object DedupQueries {
         .select(col("split"), col("n_docs"), col("n_groups"),
           col("sum_chars"), col("spanning_groups"))
         .orderBy("split")
+    },
+
+    // FREQUENT-SEGMENT BOILERPLATE REMOVAL — the CCNet/RefinedWeb "drop
+    // lines that repeat across documents" stage, on a corpus without
+    // newlines: the line unit is a deterministic non-overlapping 8-word
+    // segment. A segment whose hash occurs in >= 2 DISTINCT docs is
+    // boilerplate (frequency-based removal, not pairwise dedup — the
+    // modality q115/q126 do not cover). Scale shape: segments are hashed
+    // to fixed-width i64 (md5_prefix64) BEFORE any exchange per doctrine;
+    // the segment table is built ONCE and feeds both the frequency agg
+    // and the join back, both keyed on the hash, so the two exchanges are
+    // one reused exchange; the join over the computed side is pinned
+    // shuffle_hash (broadcast estimator distrusted on agg outputs).
+    Q(
+      "q185_boilerplate_rm",
+      """WITH segs AS (
+        |  SELECT doc_id, unnest(list_transform(
+        |      range(0, CAST(ceil(len(ws) / 8.0) AS INT)),
+        |      i -> array_to_string(ws[8*i+1 : 8*i+8], ' '))) AS seg
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t),
+        |h AS (
+        |  SELECT doc_id, length(seg) AS seg_chars,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(seg), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS hv
+        |  FROM segs),
+        |freq AS (SELECT hv, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1)
+        |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+        |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_removed,
+        |  CAST(sum(CASE WHEN nd < 2 THEN seg_chars ELSE 0 END) AS BIGINT)
+        |    AS chars_kept
+        |FROM h JOIN freq USING (hv) GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.{ArrayOps, TextOps}
+      // non-overlapping 8-word windows; ws is computed and referenced
+      // per-element -> bindOnce (alias barrier); word count >= 1 always
+      // (split of any string is non-empty), so sequence never descends
+      val segList = ArrayOps.bindOnce(TextOps.tokens(col("text"))) { w =>
+        transform(
+          sequence(lit(0), floor((size(w) + lit(7)) / lit(8.0)).cast("int")
+            - lit(1)),
+          i => array_join(slice(w, i * 8 + 1, lit(8)), " "))
+      }
+      // ONE corpus scan: the segment table feeds two consumers (the
+      // frequency agg and the join probe) and exchange reuse cannot fire
+      // — column pruning strips seg_chars from the freq branch, so the
+      // subtrees differ. A checkpoint barrier materializes the tokenize+
+      // md5 pass once as fixed-width rows (doc_id, seg_chars, hv ~ 24 B);
+      // repartition(hv) BEFORE it is the partial-agg-collapse tool: the
+      // checkpoint scans with unknown partitioning, but co-located hv
+      // rows collapse the freq partial agg to one row per hv before the
+      // wire. DISK_ONLY per the q155/q183 doctrine (segment-scale,
+      // non-evictable blocks starve execution memory otherwise).
+      val h = docs(s, d)
+        .select(col("doc_id"), explode(segList).as("seg"))
+        .select(col("doc_id"), length(col("seg")).cast("long")
+          .as("seg_chars"),
+          call_function("md5_prefix64", col("seg")).as("hv"))
+        .repartition(col("hv"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val freq = h.groupBy("hv")
+        .agg(countDistinct("doc_id").as("nd"))
+      h.join(freq.hint("shuffle_hash"), Seq("hv"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_segs"),
+          sum(when(col("nd") >= 2L, 1L).otherwise(0L)).cast("long")
+            .as("n_removed"),
+          sum(when(col("nd") < 2L, col("seg_chars")).otherwise(0L))
+            .cast("long").as("chars_kept"))
+        .orderBy("doc_id")
     }
   )
 }

@@ -1947,6 +1947,66 @@ object PipelineQueries {
         .select(col("j"), col("w"), col("df_j"),
           lit(e1).as("e1"), lit(errs(1)).as("e2"), lit(errs(2)).as("e3"))
         .orderBy("j")
+    },
+
+    // CONCAT-AND-CHUNK SEQUENCE PACKING — the GPT-style pretraining
+    // packer: all docs concatenated in doc_id order, the token stream cut
+    // every 512 tokens, docs spanning a cut become boundary-crossers.
+    // The global running token offset is the crux at scale: a single
+    // unpartitioned window is a one-task sort, so the offset is computed
+    // TWO-PHASE — docs shard by doc_id div W (W adaptive from max id, so
+    // shard count is bounded ~64k and every gate SF still gets >= 2
+    // shards), per-shard subtotals (bounded table) take a tiny window,
+    // and the per-shard base offsets broadcast back onto an intra-shard
+    // window. Shard width never changes the output, only the physical
+    // split — the oracle is a plain global window. Everything integer
+    // (floor-div token heuristic), so the gate is exact.
+    Q(
+      "q186_seq_pack",
+      """WITH t AS (SELECT doc_id, lang, n_chars // 4 + 1 AS toks
+        |           FROM documents),
+        |c AS (SELECT *, sum(toks) OVER (ORDER BY doc_id
+        |        ROWS UNBOUNDED PRECEDING) AS cend FROM t),
+        |b AS (SELECT lang, toks, (cend - toks) // 512 AS bin_first,
+        |        (cend - 1) // 512 AS bin_last FROM c)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+        |  CAST(sum(CASE WHEN bin_last > bin_first THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS crossers,
+        |  CAST(max(bin_last - bin_first + 1) AS BIGINT) AS max_span,
+        |  CAST(max(bin_last) AS BIGINT) AS last_bin
+        |FROM b GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      val t = docs(s, d).select(col("doc_id"), col("lang"),
+        (expr("n_chars div 4") + lit(1L)).as("toks"))
+      // adaptive order-aligned shard width: bounded shard count at any
+      // corpus size, >= 2 shards at the sf0.01 gate (500 docs / 256)
+      val maxId = t.agg(max("doc_id")).head.getLong(0)
+      val width = math.max(256L, maxId / 65536L + 1L)
+      val sharded = t.withColumn("shard", expr(s"doc_id div ${width}L"))
+      val wSub = Window.orderBy("shard")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bases = sharded.groupBy("shard")
+        .agg(sum("toks").as("stot"))
+        .withColumn("base", sum("stot").over(wSub) - col("stot"))
+        .select("shard", "base")
+      val wIn = Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sharded
+        .join(broadcast(bases), Seq("shard"))
+        .withColumn("cend", col("base") + sum("toks").over(wIn))
+        .select(col("lang"), col("toks"),
+          expr("(cend - toks) div 512").as("bin_first"),
+          expr("(cend - 1) div 512").as("bin_last"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("toks").cast("long").as("n_tokens"),
+          sum(when(col("bin_last") > col("bin_first"), 1L).otherwise(0L))
+            .cast("long").as("crossers"),
+          max(col("bin_last") - col("bin_first") + 1L).cast("long")
+            .as("max_span"),
+          max("bin_last").cast("long").as("last_bin"))
+        .orderBy("lang")
     }
   )
 }

@@ -715,6 +715,105 @@ object TextQueries {
             "cast(length(html) as bigint)").as("text_ratio_ppm"),
           substring(md5(col("clean")), 1, 16).as("clean_fp"))
         .orderBy("doc_id")
+    },
+
+    // K-ANONYMITY AUDIT — the privacy gate a corpus release runs beyond
+    // regex PII (q120): group documents by their quasi-identifier tuple
+    // (lang, source, length bucket) and flag equivalence classes smaller
+    // than k=5 — those docs are re-identifiable and must be suppressed
+    // or generalized. Pure two-level aggregation (doc -> class -> lang),
+    // map-side partials all the way, zero joins; at 100 TB this is one
+    // scan + two bounded exchanges (class count <= |lang|x|source|x
+    // buckets, orders of magnitude under doc count).
+    Q(
+      "q187_k_anonymity",
+      """WITH cls AS (
+        |  SELECT lang, source, n_chars // 100 AS len_b,
+        |    count(*) AS class_n
+        |  FROM documents GROUP BY 1, 2, 3)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(sum(CASE WHEN class_n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS risky_classes,
+        |  CAST(sum(CASE WHEN class_n < 5 THEN class_n ELSE 0 END)
+        |    AS BIGINT) AS suppressed_docs,
+        |  CAST(min(class_n) AS BIGINT) AS min_k,
+        |  CAST(sum(class_n) AS BIGINT) AS n_docs
+        |FROM cls GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"), col("source"),
+          expr("n_chars div 100").as("len_b"))
+        .agg(count(lit(1)).as("class_n"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          sum(when(col("class_n") < 5L, 1L).otherwise(0L)).cast("long")
+            .as("risky_classes"),
+          sum(when(col("class_n") < 5L, col("class_n")).otherwise(0L))
+            .cast("long").as("suppressed_docs"),
+          min("class_n").cast("long").as("min_k"),
+          sum("class_n").cast("long").as("n_docs"))
+        .orderBy("lang")
+    },
+
+    // MIN-K% PROB MEMBERSHIP AUDIT — the published Min-K%-Prob
+    // membership-inference signal (a doc whose LEAST-likely tokens are
+    // still high-probability was likely memorized / contaminated),
+    // re-expressed over the corpus unigram LM the way q102 scores
+    // documents: per doc, take the k=20% rarest tokens by corpus count
+    // and average their counts. INTEGER-exact end to end — the rarity
+    // rank sorts on (count, word) and the average is an int sum with one
+    // floor-div — so the oracle is exact, no double summation order
+    // anywhere (doctrine: never sum per-group doubles). Scale shape:
+    // vocab-scale count table checkpointed once (DISK_ONLY), token rows
+    // join it shuffle_hash on the word, the per-doc bottom-k is a
+    // doc-keyed window over bounded groups (~words/doc), then one
+    // doc-keyed agg reusing the window's exchange.
+    Q(
+      "q188_minkprob_audit",
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+        |ranked AS (
+        |  SELECT t.doc_id, cnt.c,
+        |    row_number() OVER (PARTITION BY t.doc_id
+        |      ORDER BY cnt.c, t.w) AS rk,
+        |    count(*) OVER (PARTITION BY t.doc_id) AS n_tok
+        |  FROM tok t JOIN cnt ON t.w = cnt.w)
+        |SELECT doc_id, CAST(max(n_tok) AS BIGINT) AS n_tok,
+        |  CAST(max(n_tok) // 5 + 1 AS BIGINT) AS k_tail,
+        |  CAST(sum(CASE WHEN rk <= n_tok // 5 + 1 THEN c ELSE 0 END)
+        |    AS BIGINT) AS tail_count_sum,
+        |  CAST(sum(CASE WHEN rk <= n_tok // 5 + 1 THEN c ELSE 0 END)
+        |    // (max(n_tok) // 5 + 1) AS BIGINT) AS minkprob_q
+        |FROM ranked GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), explode(TextOps.tokens(col("text")))
+          .as("w"))
+      // vocab-scale table, two consumers in spirit (counts + join) —
+      // checkpoint once; DISK_ONLY per doctrine (Heaps-law unbounded)
+      val cnt = tok.groupBy("w").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val wDoc = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id")
+      val wRank = wDoc.orderBy(col("c"), col("w"))
+      val ranked = tok.join(cnt.hint("shuffle_hash"), Seq("w"))
+        .withColumn("rk", row_number().over(wRank))
+        .withColumn("n_tok", count(lit(1)).over(wDoc))
+      val kTail = expr("n_tok div 5") + lit(1L)
+      ranked
+        .withColumn("in_tail", col("rk") <= kTail)
+        .groupBy("doc_id")
+        .agg(max("n_tok").cast("long").as("n_tok"),
+          (max(expr("n_tok div 5")) + lit(1L)).cast("long").as("k_tail"),
+          sum(when(col("in_tail"), col("c")).otherwise(0L)).cast("long")
+            .as("tail_count_sum"))
+        .select(col("doc_id"), col("n_tok"), col("k_tail"),
+          col("tail_count_sum"),
+          expr("tail_count_sum div k_tail").as("minkprob_q"))
+        .orderBy("doc_id")
     }
   )
 
