@@ -519,59 +519,85 @@ object EventStreams {
       toks: Long)
   final case class PackState(user_id: Long, n_kept: Long, tokens_kept: Long,
       first_kept_event: Long, kept_from_us: Long)
+  /** Kept window + the EXCLUSION BOUNDARY: the newest (ts_us, event_id)
+    * ever trimmed or rejected for this user. Sentinel Long.MinValue =
+    * nothing excluded yet. */
+  final case class PackWindow(kept: List[Turn], b_ts: Long, b_id: Long)
 
   /** Streaming CONTEXT-WINDOW PACKING — the stream twin of q184: per
     * user, keep the newest-turns suffix whose token cost fits the budget.
-    * State is the kept window itself (turns sorted by (ts, event_id)),
-    * bounded by construction: every turn costs >= 1 token, so the list
-    * never exceeds `budget` entries.
+    * State is the kept window itself (turns sorted by (ts, event_id))
+    * plus a two-long exclusion boundary; the list is bounded by
+    * construction: every turn costs >= 1 token (null-cost turns are
+    * filtered, see below), so it never exceeds `budget` entries.
     *
-    * Trim-monotonicity makes the state SAFE and the operator
-    * replay-idempotent: the kept sum only grows (arrivals add, trims
-    * only fire when the sum exceeds the budget), so once a turn is
-    * trimmed, sum + its cost > budget holds forever and it can never
-    * re-enter — a late or REPLAYED old turn either dedups against the
-    * kept list (by event_id), re-fits legitimately, or is provably
-    * ignorable. That is why the emission carries no total-turn count:
-    * a count of ever-seen turns would need unbounded dedup state to
-    * survive at-least-once delivery (the batch q184 reports it; the
-    * stream reports the budget-pack core). Emits the user's pack state
-    * after each batch; the LAST emission per user equals the batch
-    * query's kept columns (StreamingSpec gates this under shuffled
-    * batch boundaries and full replay). */
+    * The boundary is what makes out-of-order and at-least-once arrival
+    * batch-equivalent. The batch pack keeps exactly the maximal newest
+    * suffix whose sum fits, so every turn at-or-below the newest excluded
+    * turn is excluded FOREVER (costs are strictly positive — the running
+    * suffix sum only grows as the corpus grows). An arrival is therefore:
+    * (a) deduped against the kept list by event_id; (b) refused if not
+    * strictly newer than the boundary (replay of a trimmed/rejected turn,
+    * or older still); (c) otherwise INSERTED in (ts, event_id) order and
+    * the window re-trimmed from the oldest end while over budget — the
+    * newest trimmed turn advances the boundary. Insert-then-trim subsumes
+    * rejection (an old arrival that does not fit trims itself right back
+    * out) and reproduces the batch greedy exactly: with positive costs,
+    * "longest newest-prefix under the budget" and "remove oldest while
+    * over budget" select the same set. The earlier revision admitted an
+    * older-than-head turn whenever it fit the CURRENT kept sum — wrong
+    * once anything had been trimmed (the trimmed turn's cost is no longer
+    * in the sum, so the window could go non-contiguous vs q184).
+    *
+    * NULL-cost turns (concat null-propagates when event_type or props is
+    * NULL) are filtered before decoding: Turn.toks is a primitive Long
+    * (a NULL would fail the whole micro-batch), and a zero-cost turn
+    * would break the `budget`-entries state bound. The batch twin can
+    * count such a turn inside the window (it inherits the running cum);
+    * the stream deliberately reports the positive-cost pack core.
+    *
+    * The emission carries no total-turn count: a count of ever-seen
+    * turns would need unbounded dedup state to survive at-least-once
+    * delivery (the batch q184 reports it; the stream reports the
+    * budget-pack core). Emits the user's pack state after each batch;
+    * the LAST emission per user equals the batch query's kept columns
+    * (StreamingSpec gates this under shuffled batch boundaries, full
+    * replay, and the trim-then-late-old-turn adversary). */
   def contextPackStream(events: DataFrame, budget: Long = 256L)(
       implicit e1: org.apache.spark.sql.Encoder[Turn],
       e2: org.apache.spark.sql.Encoder[PackState],
       e3: org.apache.spark.sql.Encoder[Long],
-      es: org.apache.spark.sql.Encoder[List[Turn]]): Dataset[PackState] =
+      es: org.apache.spark.sql.Encoder[PackWindow]): Dataset[PackState] =
     events.select(col("user_id"), col("event_id"),
         unix_micros(col("ts")).as("ts_us"),
         (expr("CAST(length(concat(event_type, ' ', props)) AS BIGINT) div 4")
           + lit(1L)).as("toks"))
+      .filter(col("toks").isNotNull)
       .as[Turn](e1)
       .groupByKey(_.user_id)(e3)
-      .flatMapGroupsWithState[List[Turn], PackState](
+      .flatMapGroupsWithState[PackWindow, PackState](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
-        (uid: Long, it: Iterator[Turn], state: GroupState[List[Turn]]) =>
-          // kept suffix, newest LAST, sorted by (ts_us, event_id)
-          var kept = state.getOption.getOrElse(Nil)
+        (uid: Long, it: Iterator[Turn], state: GroupState[PackWindow]) =>
+          var w = state.getOption.getOrElse(
+            PackWindow(Nil, Long.MinValue, Long.MinValue))
+          var kept = w.kept
+          var bTs = w.b_ts; var bId = w.b_id
           it.toSeq.sortBy(t => (t.ts_us, t.event_id)).foreach { t =>
             val dup = kept.exists(_.event_id == t.event_id)
-            val olderThanKept = kept.nonEmpty && (t.ts_us < kept.head.ts_us ||
-              (t.ts_us == kept.head.ts_us && t.event_id < kept.head.event_id))
-            if (dup) {
-              // at-least-once redelivery of a kept turn: absorb
-            } else if (olderThanKept &&
-              kept.map(_.toks).sum + t.toks > budget) {
-              // older than the whole kept window and does not fit:
-              // by trim-monotonicity it never will — ignore
-            } else {
+            val excluded = t.ts_us < bTs || (t.ts_us == bTs && t.event_id <= bId)
+            if (!dup && !excluded) {
+              // kept suffix, newest LAST, sorted by (ts_us, event_id)
               kept = (t :: kept).sortBy(k => (k.ts_us, k.event_id))
-              // trim from the FRONT (oldest) while over budget
-              while (kept.map(_.toks).sum > budget) kept = kept.tail
+              // trim from the FRONT (oldest) while over budget; each trim
+              // advances the exclusion boundary (ascending, so the final
+              // boundary is the newest trimmed turn)
+              while (kept.map(_.toks).sum > budget) {
+                bTs = kept.head.ts_us; bId = kept.head.event_id
+                kept = kept.tail
+              }
             }
           }
-          state.update(kept)
+          state.update(PackWindow(kept, bTs, bId))
           if (kept.isEmpty) Iterator.empty
           else Iterator.single(PackState(uid,
             kept.size.toLong, kept.map(_.toks).sum,

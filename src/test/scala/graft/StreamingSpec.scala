@@ -769,4 +769,42 @@ class StreamingSpec extends SparkSpec {
         == ((nk, tk, fe, kf)), s"user $u stream/batch pack divergence")
     }
   }
+
+  test("contextPackStream: trim-then-late-old-turn adversary cannot build " +
+    "a non-contiguous window, and replayed trimmed turns stay excluded") {
+    // The round-8 hole: X(ts2,toks9) kept; Y(ts3,toks2) trims X (kept sum
+    // drops 9 -> 2); A(ts1,toks3) then FIT the current sum and was
+    // admitted, yielding {A, Y} — but the batch pack (budget 10) keeps
+    // only {Y}: the suffix must stay contiguous past the trimmed X.
+    // toks = length(event_type || ' ' || props) div 4 + 1.
+    implicit val sqlCtx = spark.sqlContext
+    def ev(id: Long, sec: Int, propLen: Int) =
+      (id, java.sql.Timestamp.valueOf(f"2024-01-01 00:00:$sec%02d"),
+        7L, "a", "p" * propLen)
+    val X = ev(2, 2, 30) // len 1+1+30=32 -> toks 9
+    val Y = ev(3, 3, 2)  // len 4           -> toks 2
+    val A = ev(1, 1, 6)  // len 8           -> toks 3
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[EventStreams.PackState]())
+    val q = EventStreams.contextPackStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "props"),
+        budget = 10L)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[EventStreams.PackState],
+            _: Long) => df.collect().foreach(got.add)
+      }
+      .outputMode("append").start()
+    try {
+      Seq(Seq(X), Seq(Y), Seq(A), Seq(X) /* replay of trimmed X */)
+        .foreach { b => mem.addData(b); q.processAllAvailable() }
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    val fin = got.asScala.last
+    assert((fin.n_kept, fin.tokens_kept, fin.first_kept_event) == ((1L, 2L, 3L)),
+      s"non-contiguous pack window: $fin")
+    // every emission along the way stayed batch-consistent (never {A, Y})
+    assert(got.asScala.forall(p => p.first_kept_event != 1L))
+  }
 }
