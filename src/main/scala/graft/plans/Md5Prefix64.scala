@@ -49,6 +49,52 @@ object Md5Prefix64 {
   }
 }
 
+/** 60-bit md5 prefix: the first 15 hex nibbles of md5(x) as a long —
+  * the widest md5 prefix whose DuckDB mirror stays INTEGER-EXACT: split
+  * 7 + 8 nibbles, each half sums exactly in doubles (< 2^32), recombined
+  * as BIGINT hi * 16^8 + lo <= 16^15 - 1 < 2^63. The 32-bit
+  * [[Md5Prefix64]] is fine as a bucket key with a verify stage behind it,
+  * but as a MATCH predicate it saturates at corpus scale: 10^12 segments
+  * over 2^32 buckets puts ~250 distinct contents in EVERY bucket, so a
+  * frequency/dedup query keyed on it would flag essentially everything.
+  * At 60 bits the expected cross-content collisions at 10^12 keys are
+  * ~400 globally — rare enough that a content-verify stage over the
+  * collision mass is effectively free. */
+case class Md5Prefix60(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"md5_prefix60 requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "md5_prefix60"
+
+  override protected def nullSafeEval(input: Any): Any =
+    Md5Prefix60.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.plans.Md5Prefix60.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object Md5Prefix60 {
+  private val digests = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+
+  /** First 8 md5 bytes big-endian, shifted right 4: the top 15 nibbles. */
+  def hash(s: UTF8String): Long = {
+    val md = digests.get()
+    md.reset()
+    val d = md.digest(s.getBytes)
+    var v = 0L
+    var i = 0
+    while (i < 8) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    v >>> 4
+  }
+}
+
 /** Session extension registering the engine's native functions —
   * `spark.sql.extensions=graft.plans.GraftExtensions`. */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
@@ -63,6 +109,9 @@ object GraftExtensions {
     (new FunctionIdentifier("md5_prefix64"),
       new ExpressionInfo(classOf[Md5Prefix64].getName, "md5_prefix64"),
       (children: Seq[Expression]) => Md5Prefix64(children.head): Expression),
+    (new FunctionIdentifier("md5_prefix60"),
+      new ExpressionInfo(classOf[Md5Prefix60].getName, "md5_prefix60"),
+      (children: Seq[Expression]) => Md5Prefix60(children.head): Expression),
     (new FunctionIdentifier("prefix_offsets"),
       new ExpressionInfo(classOf[PrefixOffsets].getName, "prefix_offsets"),
       (children: Seq[Expression]) => PrefixOffsets(children.head): Expression),

@@ -2224,11 +2224,22 @@ object DedupQueries {
     // docs), grouped EXACTLY by window hash, consecutive matched anchors
     // merged into diagonal runs per doc pair (run of length r at expected
     // 64-char chunks ~ an r*64-char verbatim shared span). Scale shape:
-    // anchor extraction is map-only (cdc_cuts + substr + md5_prefix64
+    // anchor extraction is map-only (cdc_cuts + substr + md5_prefix60
     // codegen kernels); the window-hash bucket is capped at 256 anchors
     // (observe'd) and pairs via the q52 bucket-collect (payload = 2 longs,
     // inside the narrow-payload rule); run merging is a window over pair
     // diagonals — pair-mass keyed, never corpus-quadratic.
+    //
+    // Round-9 exactness hardening: (a) the window hash is the 60-bit
+    // md5_prefix60 (the 32-bit prefix SATURATES at 10^12 anchors — ~250
+    // contents per bucket — and even as a pair key it left a birthday
+    // floor of false matches); (b) a CONTENT-VERIFY stage re-derives the
+    // 64-char windows for only the docs that appear in a matched pair
+    // (output-mass, not corpus-mass) and keeps content-EQUAL anchor
+    // matches, so a counted match is verbatim by construction — Lee et
+    // al.'s exactness, not hash-equality. The window table is built once
+    // and aliased twice; both verify joins shuffle it on the same
+    // (doc_id, idx) key, so the exchange is reused across sides.
     Q(
       "q181_substring_dedup",
       """WITH ch AS (
@@ -2245,20 +2256,27 @@ object DedupQueries {
         |), anch AS (
         |  SELECT c.doc_id,
         |    row_number() OVER (PARTITION BY c.doc_id ORDER BY cut) AS idx,
-        |    CAST(list_sum(list_transform(range(1, 9),
+        |    substr(d.text, CAST(cut + 1 AS INT), 64) AS win,
+        |    CAST(list_sum(list_transform(range(1, 8),
         |      j -> (strpos('0123456789abcdef',
         |              substr(md5(substr(d.text, CAST(cut + 1 AS INT), 64)),
-        |                j, 1)) - 1) * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |                j, 1)) - 1) * 16.0 ** (7 - j))) AS BIGINT)
+        |      * 4294967296
+        |    + CAST(list_sum(list_transform(range(8, 16),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5(substr(d.text, CAST(cut + 1 AS INT), 64)),
+        |                j, 1)) - 1) * 16.0 ** (15 - j))) AS BIGINT) AS h
         |  FROM cuts c JOIN documents d USING (doc_id)
         |  WHERE cut + 64 <= length(d.text)
         |), capped AS (
-        |  SELECT doc_id, idx, h FROM (
+        |  SELECT doc_id, idx, h, win FROM (
         |    SELECT *, row_number() OVER (PARTITION BY h
         |      ORDER BY doc_id, idx) AS rk
         |    FROM anch) t WHERE rk <= 256
         |), m AS (
         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.idx AS ia, b.idx AS ib
-        |  FROM capped a JOIN capped b ON a.h = b.h AND a.doc_id < b.doc_id
+        |  FROM capped a JOIN capped b
+        |    ON a.h = b.h AND a.win = b.win AND a.doc_id < b.doc_id
         |), runs AS (
         |  SELECT id_a, id_b, ia - ib AS diag, ia,
         |    ia - row_number() OVER (PARTITION BY id_a, id_b, ia - ib
@@ -2290,7 +2308,7 @@ object DedupQueries {
             c => c + lit(64L) <= col("tl")))
             .as(Seq("pos", "cut")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
-          call_function("md5_prefix64",
+          call_function("md5_prefix60",
             col("text").substr((col("cut") + 1).cast("int"), lit(64)))
             .as("h"))
       val rk = row_number().over(
@@ -2308,10 +2326,37 @@ object DedupQueries {
         .filter(col("p.a.doc_id") < col("p.b.doc_id"))
         .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
           col("p.a.idx").as("ia"), col("p.b.idx").as("ib"))
+      // content verify: windows re-derived for matched docs only (semi-
+      // join gate), ONE subtree aliased twice — both joins key on
+      // (doc_id, idx) so the wins exchange is reused across sides
+      val ids = m.select(col("id_a").as("doc_id"))
+        .union(m.select(col("id_b")))
+        .distinct()
+      val wins = docs(s, d)
+        .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("tl"))
+        .select(col("doc_id"), col("text"),
+          posexplode(filter(call_function("cdc_cuts", col("text")),
+            c => c + lit(64L) <= col("tl")))
+            .as(Seq("pos", "cut")))
+        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
+          col("text").substr((col("cut") + 1).cast("int"), lit(64))
+            .as("win"))
+      val mv = m
+        .join(wins.as("wa").hint("shuffle_hash"),
+          col("id_a") === col("wa.doc_id") && col("ia") === col("wa.idx"))
+        .join(wins.as("wb").hint("shuffle_hash"),
+          col("id_b") === col("wb.doc_id") && col("ib") === col("wb.idx"))
+        .observe("q181_verify",
+          sum(when(col("wa.win") =!= col("wb.win"), 1L).otherwise(0L))
+            .as("hash_collision_pairs"))
+        .filter(col("wa.win") === col("wb.win"))
+        .select(col("id_a"), col("id_b"), col("ia"), col("ib"))
       val runGrp = col("ia") - row_number().over(
         Window.partitionBy(col("id_a"), col("id_b"), col("ia") - col("ib"))
           .orderBy("ia"))
-      m.withColumn("diag", col("ia") - col("ib"))
+      mv.withColumn("diag", col("ia") - col("ib"))
         .withColumn("grp", runGrp)
         .groupBy("id_a", "id_b", "diag", "grp")
         .agg(count(lit(1)).as("rl"))
@@ -2400,11 +2445,28 @@ object DedupQueries {
     // segment. A segment whose hash occurs in >= 2 DISTINCT docs is
     // boilerplate (frequency-based removal, not pairwise dedup — the
     // modality q115/q126 do not cover). Scale shape: segments are hashed
-    // to fixed-width i64 (md5_prefix64) BEFORE any exchange per doctrine;
-    // the segment table is built ONCE and feeds both the frequency agg
-    // and the join back, both keyed on the hash, so the two exchanges are
-    // one reused exchange; the join over the computed side is pinned
-    // shuffle_hash (broadcast estimator distrusted on agg outputs).
+    // to fixed-width i64 BEFORE any exchange per doctrine; the segment
+    // table is built ONCE and feeds both the frequency agg and the join
+    // back, both keyed on the hash, so the two exchanges are one reused
+    // exchange; the join over the computed side is pinned shuffle_hash
+    // (broadcast estimator distrusted on agg outputs).
+    //
+    // Round-9 exactness hardening: boilerplate is CONTENT frequency, not
+    // hash frequency. (a) The key is the 60-bit md5_prefix60 (32 bits
+    // saturate at corpus scale — ~250 contents/bucket at 10^12 segments
+    // would flag nearly everything). (b) The narrow checkpoint carries a
+    // SECOND independently-salted 60-bit hash; a key whose group mixes
+    // contents is detected by min(hv2) != max(hv2) (missing a mix needs a
+    // simultaneous 120-bit double collision), and the mixed keys —
+    // collision-mass, ~hundreds at 10^12 segments — are resolved by an
+    // EXACT content-grouped correction branch: re-derive text only for
+    // instances of mixed keys (broadcast semi-join at the scan, map-only,
+    // no text ever crosses an exchange), count distinct docs per (hv,
+    // seg), and un-flag instances whose true content group is single-doc.
+    // The oracle groups frequency by (hv, seg) directly — content-exact
+    // semantics on both sides. The nd/mixed pair is sign-encoded into ONE
+    // column (ndm = nd * (mixed ? -1 : 1)) so both consumers prune to the
+    // identical aggregate and the partial-agg exchange is reused.
     Q(
       "q185_boilerplate_rm",
       """WITH segs AS (
@@ -2414,18 +2476,23 @@ object DedupQueries {
         |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
         |        FROM documents) t),
         |h AS (
-        |  SELECT doc_id, length(seg) AS seg_chars,
-        |    CAST(list_sum(list_transform(range(1, 9),
+        |  SELECT doc_id, seg, length(seg) AS seg_chars,
+        |    CAST(list_sum(list_transform(range(1, 8),
         |      j -> (strpos('0123456789abcdef', substr(md5(seg), j, 1)) - 1)
-        |           * 16.0 ** (8 - j))) AS BIGINT) AS hv
+        |           * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+        |    + CAST(list_sum(list_transform(range(8, 16),
+        |      j -> (strpos('0123456789abcdef', substr(md5(seg), j, 1)) - 1)
+        |           * 16.0 ** (15 - j))) AS BIGINT) AS hv
         |  FROM segs),
-        |freq AS (SELECT hv, count(DISTINCT doc_id) AS nd FROM h GROUP BY 1)
+        |freq AS (SELECT hv, seg, count(DISTINCT doc_id) AS nd
+        |         FROM h GROUP BY 1, 2)
         |SELECT h.doc_id, CAST(count(*) AS BIGINT) AS n_segs,
         |  CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS n_removed,
         |  CAST(sum(CASE WHEN nd < 2 THEN seg_chars ELSE 0 END) AS BIGINT)
         |    AS chars_kept
-        |FROM h JOIN freq USING (hv) GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM h JOIN freq USING (hv, seg) GROUP BY 1
+        |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
       import graft.functions.{ArrayOps, TextOps}
       // non-overlapping 8-word windows; ws is computed and referenced
@@ -2451,19 +2518,55 @@ object DedupQueries {
         .select(col("doc_id"), explode(segList).as("seg"))
         .select(col("doc_id"), length(col("seg")).cast("long")
           .as("seg_chars"),
-          call_function("md5_prefix64", col("seg")).as("hv"))
+          call_function("md5_prefix60", col("seg")).as("hv"),
+          call_function("md5_prefix60", concat(col("seg"), lit("#2")))
+            .as("hv2"))
         .repartition(col("hv"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // ndm < 0 <=> the hv group mixes >= 2 distinct contents (detected
+      // by the salted second hash); |ndm| = distinct-doc count of the
+      // group. One output column -> both consumers below prune to the
+      // same aggregate and its exchange is reused.
       val freq = h.groupBy("hv")
-        .agg(countDistinct("doc_id").as("nd"))
-      h.join(freq.hint("shuffle_hash"), Seq("hv"))
+        .agg((countDistinct(col("doc_id")) *
+          when(min(col("hv2")) === max(col("hv2")), 1L).otherwise(-1L))
+          .as("ndm"))
+      val main = h.join(freq.hint("shuffle_hash"), Seq("hv"))
+        .withColumn("nd", abs(col("ndm")))
         .groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_segs"),
           sum(when(col("nd") >= 2L, 1L).otherwise(0L)).cast("long")
             .as("n_removed"),
           sum(when(col("nd") < 2L, col("seg_chars")).otherwise(0L))
             .cast("long").as("chars_kept"))
+      // exact correction for mixed keys: re-derive segment TEXT only for
+      // their instances (collision-mass; broadcast semi-join keeps the
+      // re-scan map-only) and un-flag content groups that truly span one
+      // doc. nd_true = 1 implies a unique owning doc, so min(doc_id) is
+      // exact and the branch has a single consumer of the re-scan.
+      val mixedKeys = freq.filter(col("ndm") <= -2L).select("hv")
+      val deltas = docs(s, d)
+        .select(col("doc_id"), explode(segList).as("seg"))
+        .select(col("doc_id"), col("seg"),
+          length(col("seg")).cast("long").as("seg_chars"),
+          call_function("md5_prefix60", col("seg")).as("hv"))
+        .join(broadcast(mixedKeys), Seq("hv"), "left_semi")
+        .groupBy("hv", "seg")
+        .agg(countDistinct(col("doc_id")).as("nd_true"),
+          count(lit(1)).as("n_inst"),
+          min(col("doc_id")).as("doc_id"),
+          sum(col("seg_chars")).as("chars"))
+        .filter(col("nd_true") < 2L)
+        .groupBy("doc_id")
+        .agg(sum(col("n_inst")).cast("long").as("d_removed"),
+          sum(col("chars")).cast("long").as("d_chars"))
+      main.join(broadcast(deltas), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_segs"),
+          (col("n_removed") - coalesce(col("d_removed"), lit(0L)))
+            .as("n_removed"),
+          (col("chars_kept") + coalesce(col("d_chars"), lit(0L)))
+            .as("chars_kept"))
         .orderBy("doc_id")
     }
   )
