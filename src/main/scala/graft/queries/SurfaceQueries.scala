@@ -16,16 +16,24 @@ object SurfaceQueries {
   /** Scratch dir for the round-trip gate queries, recursively deleted at
     * JVM exit — repeated Verify/Bench loops would otherwise leak slice
     * copies into /tmp. Exit-time (not eager) deletion because the
-    * returned DataFrames read these files lazily at action time. */
-  private def scratchDir(prefix: String): String = {
-    val p = java.nio.file.Files.createTempDirectory(prefix)
+    * returned DataFrames read these files lazily at action time.
+    * Per-JVM: one dir per prefix, reused across builder invocations (a
+    * long-lived sbt/test session would otherwise accumulate a shutdown
+    * hook and a fresh slice copy per invocation — round-9 advice item);
+    * one shared hook reaps them all. */
+  private val scratchDirs =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private lazy val scratchHook: Unit =
     Runtime.getRuntime.addShutdownHook(new Thread(() => {
       def rm(f: java.io.File): Unit = {
         val cs = f.listFiles(); if (cs != null) cs.foreach(rm); f.delete()
       }
-      rm(p.toFile)
+      scratchDirs.values().forEach(d => rm(new java.io.File(d)))
     }))
-    p.toString
+  private def scratchDir(prefix: String): String = {
+    scratchHook
+    scratchDirs.computeIfAbsent(prefix,
+      p => java.nio.file.Files.createTempDirectory(p).toString)
   }
 
 

@@ -72,6 +72,11 @@ def main() -> int:
                     if (t := bench_q.get(short(q))) is not None
                     and base["queries"][q] > 0)
     boxf = max(1.0, ratios[len(ratios) // 2]) if ratios else 1.0
+    # Cap the factor: the box has never measured slower than ~2x a quiet
+    # session, so a median ratio beyond that is a SUITE-WIDE CODE
+    # regression lifting its own limits — exactly what the guard exists
+    # to catch — not weather. (round-9 advice item)
+    boxf = min(boxf, 2.0)
 
     failures, missing = [], []
     for q, b in sorted(base["queries"].items()):
