@@ -2494,16 +2494,37 @@ object DedupQueries {
         |FROM h JOIN freq USING (hv, seg) GROUP BY 1
         |ORDER BY doc_id""".stripMargin
     ) { (s, d) =>
-      import graft.functions.{ArrayOps, TextOps}
-      // non-overlapping 8-word windows; ws is computed and referenced
-      // per-element -> bindOnce (alias barrier); word count >= 1 always
-      // (split of any string is non-empty), so sequence never descends
-      val segList = ArrayOps.bindOnce(TextOps.tokens(col("text"))) { w =>
-        transform(
-          sequence(lit(0), floor((size(w) + lit(7)) / lit(8.0)).cast("int")
-            - lit(1)),
-          i => array_join(slice(w, i * 8 + 1, lit(8)), " "))
-      }
+      boilerplateRm(docs(s, d),
+        seg => call_function("md5_prefix60", seg),
+        seg => call_function("md5_prefix60", concat(seg, lit("#2"))))
+    }
+  )
+
+  /** The q185 deterministic segmentation: non-overlapping 8-word windows
+    * over the whitespace tokens (exposed for the segment-partition law in
+    * LateBatchLawsSpec). */
+  private[graft] def segments8: org.apache.spark.sql.Column = {
+    import graft.functions.{ArrayOps, TextOps}
+    // ws is computed and referenced per-element -> bindOnce (alias
+    // barrier); word count >= 1 always (split of any string is
+    // non-empty), so sequence never descends
+    ArrayOps.bindOnce(TextOps.tokens(col("text"))) { w =>
+      transform(
+        sequence(lit(0), floor((size(w) + lit(7)) / lit(8.0)).cast("int")
+          - lit(1)),
+        i => array_join(slice(w, i * 8 + 1, lit(8)), " "))
+    }
+  }
+
+  /** q185 core, parameterized over the two segment hashes so the spec can
+    * force collisions and exercise the mixed-key correction branch (with
+    * the real 60-bit hashes it is unreachable below ~10^9 segments).
+    * `docsDf` needs (doc_id, text). */
+  private[graft] def boilerplateRm(docsDf: org.apache.spark.sql.DataFrame,
+      h1: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      h2: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+      val segList = segments8
       // ONE corpus scan: the segment table feeds two consumers (the
       // frequency agg and the join probe) and exchange reuse cannot fire
       // — column pruning strips seg_chars from the freq branch, so the
@@ -2514,13 +2535,12 @@ object DedupQueries {
       // rows collapse the freq partial agg to one row per hv before the
       // wire. DISK_ONLY per the q155/q183 doctrine (segment-scale,
       // non-evictable blocks starve execution memory otherwise).
-      val h = docs(s, d)
+      val h = docsDf
         .select(col("doc_id"), explode(segList).as("seg"))
         .select(col("doc_id"), length(col("seg")).cast("long")
           .as("seg_chars"),
-          call_function("md5_prefix60", col("seg")).as("hv"),
-          call_function("md5_prefix60", concat(col("seg"), lit("#2")))
-            .as("hv2"))
+          h1(col("seg")).as("hv"),
+          h2(col("seg")).as("hv2"))
         .repartition(col("hv"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
@@ -2546,11 +2566,11 @@ object DedupQueries {
       // doc. nd_true = 1 implies a unique owning doc, so min(doc_id) is
       // exact and the branch has a single consumer of the re-scan.
       val mixedKeys = freq.filter(col("ndm") <= -2L).select("hv")
-      val deltas = docs(s, d)
+      val deltas = docsDf
         .select(col("doc_id"), explode(segList).as("seg"))
         .select(col("doc_id"), col("seg"),
           length(col("seg")).cast("long").as("seg_chars"),
-          call_function("md5_prefix60", col("seg")).as("hv"))
+          h1(col("seg")).as("hv"))
         .join(broadcast(mixedKeys), Seq("hv"), "left_semi")
         .groupBy("hv", "seg")
         .agg(countDistinct(col("doc_id")).as("nd_true"),
@@ -2568,6 +2588,5 @@ object DedupQueries {
           (col("chars_kept") + coalesce(col("d_chars"), lit(0L)))
             .as("chars_kept"))
         .orderBy("doc_id")
-    }
-  )
+  }
 }

@@ -1982,7 +1982,19 @@ object PipelineQueries {
       // adaptive order-aligned shard width: bounded shard count at any
       // corpus size, >= 2 shards at the sf0.01 gate (500 docs / 256)
       val maxId = t.agg(max("doc_id")).head.getLong(0)
-      val width = math.max(256L, maxId / 65536L + 1L)
+      seqPack(t, math.max(256L, maxId / 65536L + 1L))
+    }
+  )
+
+  /** q186 core, parameterized over the shard width: the two-phase global
+    * running offset (bounded per-shard base table + intra-shard window)
+    * must produce the SAME packing for ANY width — the physical split is
+    * an implementation detail of avoiding a single-partition corpus
+    * window. LateBatchLawsSpec asserts width-invariance directly; the
+    * gate query picks the adaptive width. `t` needs (doc_id, lang, toks),
+    * toks integer. */
+  private[graft] def seqPack(t: org.apache.spark.sql.DataFrame,
+      width: Long): org.apache.spark.sql.DataFrame = {
       val sharded = t.withColumn("shard", expr(s"doc_id div ${width}L"))
       val wSub = Window.orderBy("shard")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -2007,8 +2019,7 @@ object PipelineQueries {
             .as("max_span"),
           max("bin_last").cast("long").as("last_bin"))
         .orderBy("lang")
-    }
-  )
+  }
 }
 
 /** Unrolled DuckDB oracle for q166: quantize -> relevance vs the 3
