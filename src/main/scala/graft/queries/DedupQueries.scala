@@ -2233,13 +2233,20 @@ object DedupQueries {
     // Round-9 exactness hardening: (a) the window hash is the 60-bit
     // md5_prefix60 (the 32-bit prefix SATURATES at 10^12 anchors — ~250
     // contents per bucket — and even as a pair key it left a birthday
-    // floor of false matches); (b) a CONTENT-VERIFY stage re-derives the
-    // 64-char windows for only the docs that appear in a matched pair
-    // (output-mass, not corpus-mass) and keeps content-EQUAL anchor
-    // matches, so a counted match is verbatim by construction — Lee et
-    // al.'s exactness, not hash-equality. The window table is built once
-    // and aliased twice; both verify joins shuffle it on the same
-    // (doc_id, idx) key, so the exchange is reused across sides.
+    // floor of false matches); (b) a CONTENT-VERIFY: the 64-char window
+    // TEXT rides inside the bucket-collect rec and every candidate pair
+    // is content-compared inline, so a counted match is verbatim by
+    // construction — Lee et al.'s exactness, not hash-equality. The
+    // gather stays bounded (cap 256 recs x ~90 B = ~23 KB/group) and the
+    // pair exchange stays narrow (the win is dropped at pair projection).
+    // This fattens the one bucket exchange 16 B -> ~90 B per anchor
+    // (~1.25x corpus bytes — the honest price of exact substring dedup;
+    // Lee et al.'s suffix arrays ship the corpus too). The join-based
+    // alternative (re-derive windows for matched docs, join pairs back
+    // twice) was measured 4.1x WORSE at the 1000x replica (564 s vs
+    // 136 s baseline): on a near-dup-heavy corpus "matched docs" is the
+    // whole corpus, so it shipped the same window text AND paid two
+    // pair-mass joins, a doc-id semi-join and a second pair explode.
     Q(
       "q181_substring_dedup",
       """WITH ch AS (
@@ -2308,9 +2315,10 @@ object DedupQueries {
             c => c + lit(64L) <= col("tl")))
             .as(Seq("pos", "cut")))
         .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
-          call_function("md5_prefix60",
-            col("text").substr((col("cut") + 1).cast("int"), lit(64)))
-            .as("h"))
+          col("text").substr((col("cut") + 1).cast("int"), lit(64))
+            .as("win"))
+        .select(col("doc_id"), col("idx"), col("win"),
+          call_function("md5_prefix60", col("win")).as("h"))
       val rk = row_number().over(
         Window.partitionBy("h").orderBy("doc_id", "idx"))
       val buckets = anch.withColumn("__rk", rk)
@@ -2318,45 +2326,22 @@ object DedupQueries {
           sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_anchors"))
         .filter(col("__rk") <= 256)
         .groupBy("h")
-        .agg(sort_array(collect_list(struct(col("doc_id"), col("idx"))))
-          .as("recs"))
+        .agg(sort_array(collect_list(struct(col("doc_id"), col("idx"),
+          col("win")))).as("recs"))
       val m = buckets
         .select(explode(graft.functions.ArrayOps.combinations2(col("recs"),
           fields = Seq("a", "b"))).as("p"))
         .filter(col("p.a.doc_id") < col("p.b.doc_id"))
+        .observe("q181_verify",
+          sum(when(col("p.a.win") =!= col("p.b.win"), 1L).otherwise(0L))
+            .as("hash_collision_pairs"))
+        .filter(col("p.a.win") === col("p.b.win"))
         .select(col("p.a.doc_id").as("id_a"), col("p.b.doc_id").as("id_b"),
           col("p.a.idx").as("ia"), col("p.b.idx").as("ib"))
-      // content verify: windows re-derived for matched docs only (semi-
-      // join gate), ONE subtree aliased twice — both joins key on
-      // (doc_id, idx) so the wins exchange is reused across sides
-      val ids = m.select(col("id_a").as("doc_id"))
-        .union(m.select(col("id_b")))
-        .distinct()
-      val wins = docs(s, d)
-        .join(ids.hint("shuffle_hash"), Seq("doc_id"), "left_semi")
-        .select(col("doc_id"), col("text"),
-          length(col("text")).cast("long").as("tl"))
-        .select(col("doc_id"), col("text"),
-          posexplode(filter(call_function("cdc_cuts", col("text")),
-            c => c + lit(64L) <= col("tl")))
-            .as(Seq("pos", "cut")))
-        .select(col("doc_id"), (col("pos") + 1).cast("long").as("idx"),
-          col("text").substr((col("cut") + 1).cast("int"), lit(64))
-            .as("win"))
-      val mv = m
-        .join(wins.as("wa").hint("shuffle_hash"),
-          col("id_a") === col("wa.doc_id") && col("ia") === col("wa.idx"))
-        .join(wins.as("wb").hint("shuffle_hash"),
-          col("id_b") === col("wb.doc_id") && col("ib") === col("wb.idx"))
-        .observe("q181_verify",
-          sum(when(col("wa.win") =!= col("wb.win"), 1L).otherwise(0L))
-            .as("hash_collision_pairs"))
-        .filter(col("wa.win") === col("wb.win"))
-        .select(col("id_a"), col("id_b"), col("ia"), col("ib"))
       val runGrp = col("ia") - row_number().over(
         Window.partitionBy(col("id_a"), col("id_b"), col("ia") - col("ib"))
           .orderBy("ia"))
-      mv.withColumn("diag", col("ia") - col("ib"))
+      m.withColumn("diag", col("ia") - col("ib"))
         .withColumn("grp", runGrp)
         .groupBy("id_a", "id_b", "diag", "grp")
         .agg(count(lit(1)).as("rl"))
