@@ -27,8 +27,47 @@ object GraftSession {
       java.util.Collections.newSetFromMap(
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
+  /** Standard JDK-17 module opens Spark needs; forwarded to forked
+    * executor JVMs in local-cluster mode (the distributed-execution
+    * rehearsal — a real executor boundary so kernel/Aggregator/SparkPlan
+    * serialization is exercised; round-9 verdict item 3). */
+  private val jdk17Opens = Seq(
+    "java.base/java.lang", "java.base/java.lang.invoke",
+    "java.base/java.lang.reflect", "java.base/java.io",
+    "java.base/java.net", "java.base/java.nio",
+    "java.base/java.util", "java.base/java.util.concurrent",
+    "java.base/java.util.concurrent.atomic",
+    "java.base/sun.nio.ch", "java.base/sun.nio.cs",
+    "java.base/sun.security.action", "java.base/sun.util.calendar",
+  ).map(p => s"--add-opens=$p=ALL-UNNAMED").mkString(" ")
+
   def local(cores: Int = Runtime.getRuntime.availableProcessors): SparkSession = {
-    val s = builder(s"local[$cores]", cores).getOrCreate()
+    // SPARK_GRAFT_MASTER overrides the in-process master — e.g.
+    // `local-cluster[2,16,4096]` runs the suite across forked executor
+    // processes (requires launching with java -cp so java.class.path
+    // propagates to the executor command; sbt's launcher classpath
+    // doesn't). Executors inherit the module opens via extraJavaOptions.
+    val master = sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+    val b0 = builder(master, cores)
+    val b = if (master.startsWith("local-cluster")) {
+      // Executors are FORKED processes whose classpath comes from
+      // SPARK_HOME/jars only — without the application classes they fail
+      // in two ways the rehearsal exists to catch (and did, round 9):
+      // codegen can't resolve graft.plans.* kernels, and task lambdas
+      // deserialize to raw SerializedLambda. Forward the driver's
+      // classpath, absolutized (executor CWD is the worker app dir, so
+      // relative entries like target/scala-2.13/classes would dangle).
+      val execCp = System.getProperty("java.class.path")
+        .split(java.io.File.pathSeparator).filter(_.nonEmpty)
+        .map(p => new java.io.File(p).getAbsolutePath)
+        .mkString(java.io.File.pathSeparator)
+      b0.config("spark.executor.extraClassPath", execCp)
+        .config("spark.executor.extraJavaOptions",
+          jdk17Opens + " -XX:ReservedCodeCacheSize=512m")
+        .config("spark.executor.memory",
+          sys.env.getOrElse("SPARK_GRAFT_EXEC_MEM", "4g"))
+    } else b0
+    val s = b.getOrCreate()
     // getOrCreate may have returned a pre-existing session built without
     // our extensions — make the native functions available regardless
     graft.plans.GraftExtensions.install(s)

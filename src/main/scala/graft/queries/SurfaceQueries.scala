@@ -658,5 +658,52 @@ object SurfaceQueries {
         count(when(col("exception").isNull, 1)).cast("long").as("files_ok"),
         count(when(col("exception").isNotNull, 1)).cast("long").as("files_bad"))
       dataAgg.crossJoin(reportAgg)
+    },
+
+    // PARQUET AGGREGATE PUSHDOWN gate (round-9 verdict item 6): corpus
+    // COUNT/MIN/MAX answered from parquet FOOTERS — at 100 TB the
+    // difference between a metadata read and a full scan for the
+    // corpus-stats queries every pipeline runs first. The builder
+    // REQUIREs `PushedAggregation` in the executed plan, so a Spark
+    // upgrade or conf drift that silently regresses to a row scan fails
+    // the gate itself, not just a spec. Pushdown needs the DSv2 parquet
+    // path + the aggregatePushdown conf, both scoped to this query and
+    // restored after (the session default keeps V1 + no-pushdown for
+    // every other query). The one-row result is materialized eagerly
+    // (the confs must be live at execution, and 5 longs is not a
+    // driver-side-loop concern).
+    Q(
+      "q189_footer_stats",
+      """SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(doc_id) AS BIGINT) AS min_id,
+        |  CAST(max(doc_id) AS BIGINT) AS max_id,
+        |  CAST(min(n_chars) AS BIGINT) AS min_chars,
+        |  CAST(max(n_chars) AS BIGINT) AS max_chars
+        |FROM documents""".stripMargin
+    ) { (s, d) =>
+      val keys = Seq("spark.sql.parquet.aggregatePushdown" -> "true",
+        "spark.sql.sources.useV1SourceList" -> "")
+      val prev = keys.map { case (k, _) => k -> s.conf.getOption(k) }
+      val (row, plan) =
+        try {
+          keys.foreach { case (k, v) => s.conf.set(k, v) }
+          val agg = s.read.parquet(s"$d/documents.parquet")
+            .agg(count(lit(1)).cast("long").as("n_docs"),
+              min("doc_id").cast("long").as("min_id"),
+              max("doc_id").cast("long").as("max_id"),
+              min("n_chars").cast("long").as("min_chars"),
+              max("n_chars").cast("long").as("max_chars"))
+          (agg.collect().head, agg.queryExecution.executedPlan.toString)
+        } finally prev.foreach { case (k, vo) =>
+          vo.fold(s.conf.unset(k))(v => s.conf.set(k, v))
+        }
+      require(plan.contains("PushedAggregation"),
+        s"footer stats fell back to a row scan:\n$plan")
+      s.createDataFrame(
+        java.util.List.of(row),
+        org.apache.spark.sql.types.StructType(
+          Seq("n_docs", "min_id", "max_id", "min_chars", "max_chars").map(
+            org.apache.spark.sql.types.StructField(_,
+              org.apache.spark.sql.types.LongType, nullable = true))))
     })
 }

@@ -690,6 +690,7 @@ class StreamingSpec extends SparkSpec {
     }
     val collected = java.util.Collections.synchronizedList(
       new java.util.ArrayList[EventStreams.UpsertDecision]())
+    var stateRows = -1L
     def runPhase(rows: Seq[(Long, Long, String)]): Unit = {
       spark.createDataset(rows).toDF("doc_id", "ver", "text")
         .write.mode("append").parquet(srcDir)
@@ -702,7 +703,11 @@ class StreamingSpec extends SparkSpec {
               _: Long) => df.collect().foreach(collected.add)
         }
         .start()
-      try q.processAllAvailable() finally q.stop()
+      try {
+        q.processAllAvailable()
+        q.recentProgress.filter(_.stateOperators.nonEmpty).lastOption
+          .foreach(p => stateRows = p.stateOperators.map(_.numRowsTotal).max)
+      } finally q.stop()
     }
     runPhase(v1)
     val phase1 = collected.size
@@ -722,6 +727,47 @@ class StreamingSpec extends SparkSpec {
     assert(changed == diff.filter(_._2 == "changed").map(_._1).toSet)
     assert(later.length == added.size + changed.size,
       "a decision was duplicated across the restart boundary")
+    // state-size evidence (round-9 verdict item 5): exactly ONE fixed-
+    // width (ver, md5) state row per distinct doc ever seen — state is
+    // doc-cardinality, independent of redelivery volume (v1 was fed
+    // twice and a stray fragment a third time)
+    assert(stateRows == base.size.toLong,
+      s"state rows $stateRows != distinct docs ${base.size}")
+  }
+
+  test("contextPackStream: state stays bounded under a 5000-turn " +
+    "single-user flood — one row per user, window capped by the budget") {
+    implicit val sqlCtx = spark.sqlContext
+    // 5000 one-token turns (toks = len('a'+' '+'') div 4 + 1 = 1), one
+    // user, budget 64: the kept window can never exceed 64 entries and
+    // per-user state is ONE row however long the history grows
+    val turns = (1 to 5000).map(i =>
+      (i.toLong, new java.sql.Timestamp(i * 1000L), 9L, "a", ""))
+    val mem = MemoryStream[(Long, java.sql.Timestamp, Long, String, String)]
+    val got = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[EventStreams.PackState]())
+    val q = EventStreams.contextPackStream(
+        mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "props"),
+        budget = 64L)
+      .writeStream
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[EventStreams.PackState],
+            _: Long) => df.collect().foreach(got.add)
+      }
+      .outputMode("append").start()
+    var stateRows = -1L
+    try {
+      turns.grouped(500).foreach { b => mem.addData(b); q.processAllAvailable() }
+      q.recentProgress.filter(_.stateOperators.nonEmpty).lastOption
+        .foreach(p => stateRows = p.stateOperators.map(_.numRowsTotal).max)
+    } finally q.stop()
+    import scala.jdk.CollectionConverters._
+    assert(stateRows == 1L, s"state rows $stateRows != 1 user")
+    val fin = got.asScala.last
+    // kept = the newest 64 one-token turns: 4937..5000
+    assert(fin.n_kept == 64L && fin.tokens_kept == 64L)
+    assert(fin.first_kept_event == 4937L)
+    assert(fin.kept_from_us == 4937L * 1000000L)
   }
 
   test("contextPackStream: final state equals the q184 batch pack under " +
