@@ -1019,6 +1019,139 @@ object EventQueries {
           min(when(kept, unix_micros(col("ts")))).cast("long")
             .as("kept_from_us"))
         .orderBy("user_id")
+    },
+
+    // LEAKAGE-FREE TEMPORAL SPLIT — the time-based decontamination twin
+    // of q182's group split: train = events before the 80%-of-span cut,
+    // eval after, and the query PROVES the leakage surface instead of
+    // assuming it (items seen on BOTH sides, and how many eval events
+    // they poison). All integer (epoch-micros, floor-div cut). Scale
+    // shape: the cut is a 1-row aggregate broadcast back onto the
+    // stream (the round-8 note applies: a broadcast scalar serializes
+    // its consumer — one consumer chain here, two scans total); the
+    // item-side table is one (event_type, item)-keyed aggregate whose
+    // per-side counts collapse map-side; the rollup is type-keyed
+    // (bounded).
+    Q(
+      "q190_temporal_split",
+      """WITH e AS (
+        |  SELECT epoch_us(ts) AS t, event_type,
+        |    CAST(json_extract(props, '$.k') AS BIGINT) AS item
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |cut AS (SELECT min(t) + (max(t) - min(t)) * 4 // 5 AS c FROM e),
+        |side AS (
+        |  SELECT event_type, item,
+        |    sum(CASE WHEN t < (SELECT c FROM cut) THEN 1 ELSE 0 END)
+        |      AS n_train,
+        |    sum(CASE WHEN t >= (SELECT c FROM cut) THEN 1 ELSE 0 END)
+        |      AS n_test
+        |  FROM e GROUP BY 1, 2)
+        |SELECT event_type,
+        |  CAST(sum(n_train) AS BIGINT) AS train_events,
+        |  CAST(sum(n_test) AS BIGINT) AS test_events,
+        |  CAST(sum(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS train_items,
+        |  CAST(sum(CASE WHEN n_test > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS test_items,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS leaked_items,
+        |  CAST(sum(CASE WHEN n_train > 0 AND n_test > 0 THEN n_test
+        |    ELSE 0 END) AS BIGINT) AS leaked_test_events
+        |FROM side GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val e = ev(s, d)
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select(unix_micros(col("ts")).as("t"), col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val cut = e.agg(
+        (min("t") + expr("(max(t) - min(t)) * 4 div 5")).as("c"))
+      e.crossJoin(broadcast(cut))
+        .groupBy("event_type", "item")
+        .agg(sum(when(col("t") < col("c"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("t") >= col("c"), 1L).otherwise(0L)).as("n_test"))
+        .groupBy("event_type")
+        .agg(sum("n_train").cast("long").as("train_events"),
+          sum("n_test").cast("long").as("test_events"),
+          sum(when(col("n_train") > 0L, 1L).otherwise(0L)).cast("long")
+            .as("train_items"),
+          sum(when(col("n_test") > 0L, 1L).otherwise(0L)).cast("long")
+            .as("test_items"),
+          sum(when(col("n_train") > 0L && col("n_test") > 0L, 1L)
+            .otherwise(0L)).cast("long").as("leaked_items"),
+          sum(when(col("n_train") > 0L && col("n_test") > 0L,
+            col("n_test")).otherwise(0L)).cast("long")
+            .as("leaked_test_events"))
+        .orderBy("event_type")
+    },
+
+    // PREFERENCE-PAIR CONSTRUCTION — the RLHF/DPO data builder: per
+    // user, items are scored by an integer engagement weight (purchase 3
+    // > signup 2 > click 1 > view 0 > error -2), the top item becomes
+    // `chosen` and the bottom `rejected` (deterministic tie-breaks on
+    // item id both ways, strict margin > 0 so ties never emit), and
+    // pairs aggregate across users. Scale shape: one (user, item)
+    // aggregate, THREE window functions sharing one user-keyed exchange,
+    // a self-join of the SAME windowed subtree (aliased twice — per the
+    // exchange-reuse rule) on user_id, then a bounded pair rollup.
+    Q(
+      "q194_preference_pairs",
+      """WITH e AS (
+        |  SELECT user_id, CAST(json_extract(props, '$.k') AS BIGINT)
+        |      AS item,
+        |    CASE event_type WHEN 'purchase' THEN 3 WHEN 'signup' THEN 2
+        |         WHEN 'click' THEN 1 WHEN 'view' THEN 0 ELSE -2 END AS w
+        |  FROM events WHERE json_extract(props, '$.k') IS NOT NULL),
+        |ui AS (SELECT user_id, item, sum(w) AS eng FROM e GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT user_id, item, eng,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY eng DESC, item) AS rtop,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY eng ASC, item DESC) AS rbot,
+        |    count(*) OVER (PARTITION BY user_id) AS ni
+        |  FROM ui),
+        |pairs AS (
+        |  SELECT t.user_id, t.item AS chosen, b.item AS rejected,
+        |    t.eng - b.eng AS margin
+        |  FROM rk t JOIN rk b USING (user_id)
+        |  WHERE t.rtop = 1 AND b.rbot = 1 AND t.ni >= 2 AND t.eng > b.eng)
+        |SELECT chosen, rejected, CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(margin) AS BIGINT) AS margin_sum
+        |FROM pairs GROUP BY 1, 2
+        |ORDER BY n_users DESC, chosen, rejected LIMIT 50""".stripMargin
+    ) { (s, d) =>
+      val wU = Window.partitionBy("user_id")
+      val rk = ev(s, d)
+        .filter(get_json_object(col("props"), "$.k").isNotNull)
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"),
+          when(col("event_type") === "purchase", 3L)
+            .when(col("event_type") === "signup", 2L)
+            .when(col("event_type") === "click", 1L)
+            .when(col("event_type") === "view", 0L)
+            .otherwise(-2L).as("w"))
+        .groupBy("user_id", "item")
+        .agg(sum("w").as("eng"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .withColumn("rtop", row_number().over(
+          wU.orderBy(col("eng").desc, col("item"))))
+        .withColumn("rbot", row_number().over(
+          wU.orderBy(col("eng").asc, col("item").desc)))
+        .withColumn("ni", count(lit(1)).over(wU))
+      rk.as("t").filter(col("rtop") === 1)
+        .join(rk.as("b").filter(col("rbot") === 1 && col("ni") >= 2L),
+          "user_id")
+        .filter(col("t.eng") > col("b.eng"))
+        .select(col("t.item").as("chosen"), col("b.item").as("rejected"),
+          (col("t.eng") - col("b.eng")).as("margin"))
+        .groupBy("chosen", "rejected")
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("margin").cast("long").as("margin_sum"))
+        .orderBy(col("n_users").desc, col("chosen"), col("rejected"))
+        .limit(50)
     }
   )
 }

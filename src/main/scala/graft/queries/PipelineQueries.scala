@@ -1983,6 +1983,58 @@ object PipelineQueries {
       // corpus size, >= 2 shards at the sf0.01 gate (500 docs / 256)
       val maxId = t.agg(max("doc_id")).head.getLong(0)
       seqPack(t, math.max(256L, maxId / 65536L + 1L))
+    },
+
+    // FILL-IN-THE-MIDDLE TRANSFORM — the PSM (prefix-suffix-middle)
+    // reshaping every code/infilling trainer applies: deterministic
+    // character split at 40%/60% (integer floor on the char length), a
+    // per-lang token budget for the reshaped <PRE>p<SUF>s<MID>m form
+    // (3 sentinel tokens + 3 part costs, all floor-div integers), and a
+    // computed ROUND-TRIP proof (prefix||middle||suffix == text) so a
+    // split-boundary bug fails the gate rather than silently corrupting
+    // training data. Pure map + one bounded lang aggregate — length()
+    // projected to a column once per the expensive-expression rule.
+    Q(
+      "q193_fim_split",
+      """WITH f AS (
+        |  SELECT doc_id, lang, length(text) AS n,
+        |    substr(text, 1, length(text) * 2 // 5) AS pre,
+        |    substr(text, length(text) * 2 // 5 + 1,
+        |           length(text) * 3 // 5 - length(text) * 2 // 5) AS mid,
+        |    substr(text, length(text) * 3 // 5 + 1) AS suf,
+        |    text
+        |  FROM documents)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(pre)) AS BIGINT) AS pre_chars,
+        |  CAST(sum(length(mid)) AS BIGINT) AS mid_chars,
+        |  CAST(sum(length(suf)) AS BIGINT) AS suf_chars,
+        |  CAST(sum(length(pre) // 4 + length(mid) // 4 + length(suf) // 4
+        |    + 6) AS BIGINT) AS psm_tokens,
+        |  CAST(sum(CASE WHEN pre || mid || suf = text THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS roundtrip_ok
+        |FROM f GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val f = docs(s, d)
+        .select(col("doc_id"), col("lang"), col("text"),
+          length(col("text")).cast("long").as("n"))
+        .select(col("lang"), col("text"),
+          col("text").substr(lit(1), expr("n * 2 div 5").cast("int"))
+            .as("pre"),
+          col("text").substr((expr("n * 2 div 5") + 1L).cast("int"),
+            expr("n * 3 div 5 - n * 2 div 5").cast("int")).as("mid"),
+          col("text").substr((expr("n * 3 div 5") + 1L).cast("int"),
+            expr("n - n * 3 div 5").cast("int")).as("suf"))
+      f.groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(length(col("pre"))).cast("long").as("pre_chars"),
+          sum(length(col("mid"))).cast("long").as("mid_chars"),
+          sum(length(col("suf"))).cast("long").as("suf_chars"),
+          sum(expr("length(pre) div 4 + length(mid) div 4 + " +
+            "length(suf) div 4 + 6")).cast("long").as("psm_tokens"),
+          sum(when(concat(col("pre"), col("mid"), col("suf"))
+            === col("text"), 1L).otherwise(0L)).cast("long")
+            .as("roundtrip_ok"))
+        .orderBy("lang")
     }
   )
 

@@ -13,6 +13,16 @@ import graft.functions.TextOps
   */
 object TextQueries {
 
+  /** DuckDB mirror of the md5_prefix60 kernel: 7 + 8 nibbles, each half
+    * integer-exact in doubles, recombined in BIGINT (< 2^60). */
+  private def md560(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 8),
+       |      j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+       |           * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+       |    + CAST(list_sum(list_transform(range(8, 16),
+       |      j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+       |           * 16.0 ** (15 - j))) AS BIGINT)""".stripMargin
+
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
 
@@ -814,6 +824,101 @@ object TextQueries {
           col("tail_count_sum"),
           expr("tail_count_sum div k_tail").as("minkprob_q"))
         .orderBy("doc_id")
+    },
+
+    // INTERPOLATED BIGRAM LM SCORE — the KenLM-shaped fluency signal one
+    // tier above q102's unigram score: each bigram contributes its
+    // corpus count x1000 when seen often enough (count >= 2), else backs
+    // off to its FIRST word's unigram count — a stupid-backoff LM with
+    // integer weights, so the per-doc quotient is floor-div exact. Scale
+    // shape: bigrams and unigrams hash to fixed-width 60-bit keys BEFORE
+    // any exchange (the oracle hashes identically so the gate stays
+    // exact); the two count tables join back shuffle_hash; the doc
+    // rollup is the fourth and last exchange. Two corpus scans (bigram +
+    // unigram passes) — the q160 A/B showed map-side HOF dedup loses to
+    // the extra codegen'd scan on this box.
+    Q(
+      "q191_bigram_lm",
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS b,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1
+        |  FROM tok WHERE len(ws) >= 2),
+        |bh AS (SELECT doc_id, ${md560("b")} AS hb, ${md560("w1")} AS hw
+        |       FROM bg),
+        |cnt AS (SELECT hb, count(*) AS c FROM bh GROUP BY 1),
+        |uni AS (SELECT ${md560("w")} AS hw, count(*) AS cu FROM
+        |        (SELECT unnest(ws) AS w FROM tok) GROUP BY 1),
+        |sc AS (SELECT bh.doc_id,
+        |         CASE WHEN cnt.c >= 2 THEN cnt.c * 1000 ELSE uni.cu END AS s
+        |       FROM bh JOIN cnt USING (hb) JOIN uni USING (hw))
+        |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(s) AS BIGINT) AS score_sum,
+        |  CAST(sum(s) // count(*) AS BIGINT) AS score_q
+        |FROM sc GROUP BY 1 ORDER BY doc_id""".stripMargin
+    ) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      val bh = tok.filter(size(col("ws")) >= 2)
+        .select(col("doc_id"), col("ws"),
+          posexplode(TextOps.shingles(col("ws"), 2)).as(Seq("p", "b")))
+        .select(col("doc_id"),
+          call_function("md5_prefix60", col("b")).as("hb"),
+          call_function("md5_prefix60",
+            element_at(col("ws"), col("p") + 1)).as("hw"))
+      val cnt = bh.groupBy("hb").agg(count(lit(1)).as("c"))
+      val uni = tok.select(explode(col("ws")).as("w"))
+        .select(call_function("md5_prefix60", col("w")).as("hw"))
+        .groupBy("hw").agg(count(lit(1)).as("cu"))
+      bh.join(cnt.hint("shuffle_hash"), Seq("hb"))
+        .join(uni.hint("shuffle_hash"), Seq("hw"))
+        .select(col("doc_id"),
+          when(col("c") >= 2L, col("c") * 1000L).otherwise(col("cu"))
+            .as("s"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          sum("s").cast("long").as("score_sum"))
+        .select(col("doc_id"), col("n_bigrams"), col("score_sum"),
+          expr("score_sum div n_bigrams").as("score_q"))
+        .orderBy("doc_id")
+    },
+
+    // L-DIVERSITY AUDIT — q187's k-anonymity says a class is SAFE when
+    // it is big; l-diversity says it can still leak when everyone in it
+    // shares the sensitive attribute (here: source). Classes are the
+    // (lang, 25-char length bucket) quasi-identifier; a class with
+    // l < 3 distinct sources exposes its members' provenance. Same
+    // scale-trivially-safe shape as q187: two bounded aggregations,
+    // zero joins, class-scale exchanges.
+    Q(
+      "q192_l_diversity",
+      """WITH cls AS (
+        |  SELECT lang, n_chars // 25 AS len_b,
+        |    count(*) AS class_n, count(DISTINCT source) AS l
+        |  FROM documents GROUP BY 1, 2)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(min(l) AS BIGINT) AS min_l,
+        |  CAST(sum(CASE WHEN l < 3 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS low_l_classes,
+        |  CAST(sum(CASE WHEN l < 3 THEN class_n ELSE 0 END) AS BIGINT)
+        |    AS exposed_docs
+        |FROM cls GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .groupBy(col("lang"), expr("n_chars div 25").as("len_b"))
+        .agg(count(lit(1)).as("class_n"),
+          countDistinct(col("source")).as("l"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          min("l").cast("long").as("min_l"),
+          sum(when(col("l") < 3L, 1L).otherwise(0L)).cast("long")
+            .as("low_l_classes"),
+          sum(when(col("l") < 3L, col("class_n")).otherwise(0L))
+            .cast("long").as("exposed_docs"))
+        .orderBy("lang")
     }
   )
 
