@@ -2482,6 +2482,91 @@ object DedupQueries {
       boilerplateRm(docs(s, d),
         seg => call_function("md5_prefix60", seg),
         seg => call_function("md5_prefix60", concat(seg, lit("#2"))))
+    },
+
+    // BOUNDARY-OVERLAP DEDUP — catches the concatenation artifact every
+    // crawl/shard pipeline produces: document B starts with exactly the
+    // text document A ends with (a split doc, or boilerplate glue).
+    // Emits (pred, succ) candidate pairs where pred's last 3 tokens
+    // equal succ's first 3 tokens VERBATIM. Scale shape: one map-only
+    // base (head/tail 3-token boundary + codegen'd 60-bit hashes,
+    // fixed-width BEFORE any exchange) behind a DISK_ONLY checkpoint so
+    // the head- and tail-side derivations read one materialization; each
+    // side is capped at 256 docs per boundary key (row_number by doc_id,
+    // observed metric — a boilerplate boundary shared by a mega-cluster
+    // cannot become a pair factory: output is bounded by 256^2 per key);
+    // the join is shuffle_hash on the 8-byte hash with the boundary TEXT
+    // carried inline for content verify (q181 doctrine: ~25 B payload
+    // per row beats a join-back on dup-heavy corpora).
+    Q(
+      "q197_boundary_overlap",
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hk AS (
+        |  SELECT doc_id,
+        |    list_aggregate(ws[1:3], 'string_agg', ' ') AS head3,
+        |    list_aggregate(ws[-3:], 'string_agg', ' ') AS tail3
+        |  FROM t WHERE len(ws) >= 6),
+        |hh AS (
+        |  SELECT doc_id, head3,
+        |    CAST(list_sum(list_transform(range(1, 8),
+        |      j -> (strpos('0123456789abcdef', substr(md5(head3), j, 1))
+        |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+        |    + CAST(list_sum(list_transform(range(8, 16),
+        |      j -> (strpos('0123456789abcdef', substr(md5(head3), j, 1))
+        |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS hh
+        |  FROM hk),
+        |th AS (
+        |  SELECT doc_id, tail3,
+        |    CAST(list_sum(list_transform(range(1, 8),
+        |      j -> (strpos('0123456789abcdef', substr(md5(tail3), j, 1))
+        |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+        |    + CAST(list_sum(list_transform(range(8, 16),
+        |      j -> (strpos('0123456789abcdef', substr(md5(tail3), j, 1))
+        |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS th
+        |  FROM hk),
+        |hc AS (SELECT doc_id, head3, hh,
+        |         row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS r
+        |       FROM hh),
+        |tc AS (SELECT doc_id, tail3, th,
+        |         row_number() OVER (PARTITION BY th ORDER BY doc_id) AS r
+        |       FROM th)
+        |SELECT a.doc_id AS pred, b.doc_id AS succ
+        |FROM (SELECT * FROM tc WHERE r <= 256) a
+        |JOIN (SELECT * FROM hc WHERE r <= 256) b ON a.th = b.hh
+        |WHERE a.doc_id <> b.doc_id AND a.tail3 = b.head3
+        |ORDER BY pred, succ""".stripMargin
+    ) { (s, d) =>
+      val base = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 6)
+        .select(col("doc_id"),
+          array_join(slice(col("ws"), 1, 3), " ").as("head3"),
+          array_join(slice(col("ws"), -3, 3), " ").as("tail3"))
+        .select(col("doc_id"), col("head3"), col("tail3"),
+          call_function("md5_prefix60", col("head3")).as("hh"),
+          call_function("md5_prefix60", col("tail3")).as("th"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val heads = base.select(col("doc_id"), col("head3"), col("hh"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("hh").orderBy("doc_id")))
+        .observe("q197_cap_h",
+          sum(when(col("r") > 256, 1L).otherwise(0L)).as("dropped_heads"))
+        .filter(col("r") <= 256)
+      val tails = base.select(col("doc_id"), col("tail3"), col("th"))
+        .withColumn("r",
+          row_number().over(Window.partitionBy("th").orderBy("doc_id")))
+        .observe("q197_cap_t",
+          sum(when(col("r") > 256, 1L).otherwise(0L)).as("dropped_tails"))
+        .filter(col("r") <= 256)
+      tails.as("a")
+        .join(heads.as("b").hint("shuffle_hash"),
+          col("a.th") === col("b.hh"))
+        .filter(col("a.doc_id") =!= col("b.doc_id") &&
+          col("a.tail3") === col("b.head3"))
+        .select(col("a.doc_id").as("pred"), col("b.doc_id").as("succ"))
+        .orderBy("pred", "succ")
     }
   )
 

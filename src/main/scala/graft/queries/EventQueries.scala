@@ -1152,6 +1152,120 @@ object EventQueries {
           sum("margin").cast("long").as("margin_sum"))
         .orderBy(col("n_users").desc, col("chosen"), col("rejected"))
         .limit(50)
+    },
+
+    // CONSISTENT PSEUDONYMIZATION — the de-identification step every
+    // shareable event corpus needs: user_id is replaced by a salted
+    // 60-bit hash, and the query PROVES the two properties that make
+    // pseudonymized data usable instead of asserting them: (a) zero
+    // collisions (distinct pseudo == distinct raw per event type, plus
+    // the corpus-wide delta), and (b) multiset preservation — the
+    // busiest pseudonym has exactly the busiest raw user's event count
+    // (a collision would merge two users and inflate it). Scale shape:
+    // one event scan into a (event_type, user) two-phase aggregate; the
+    // pseudonym is computed AFTER the aggregate (map stage over group
+    // keys, codegen'd md5_prefix60); the second aggregate is keyed on
+    // (event_type, pseudo) — user-scale, far under event mass; the
+    // final rollup is event-type-bounded.
+    Q(
+      "q196_pseudonymize",
+      """WITH uu AS (
+        |  SELECT event_type, user_id, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |up AS (
+        |  SELECT event_type, c,
+        |    CAST(list_sum(list_transform(range(1, 8),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('u' || CAST(user_id AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+        |    + CAST(list_sum(list_transform(range(8, 16),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('u' || CAST(user_id AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS pseudo
+        |  FROM uu),
+        |pp AS (
+        |  SELECT event_type, pseudo, count(*) AS n_users, sum(c) AS c_p,
+        |    max(c) AS m_u
+        |  FROM up GROUP BY 1, 2)
+        |SELECT event_type, CAST(sum(c_p) AS BIGINT) AS n_events,
+        |  CAST(sum(n_users) AS BIGINT) AS nd_raw,
+        |  CAST(count(*) AS BIGINT) AS nd_pseudo,
+        |  CAST(sum(n_users) - count(*) AS BIGINT) AS collisions,
+        |  CAST(max(m_u) AS BIGINT) AS max_user_events,
+        |  CAST(max(c_p) AS BIGINT) AS max_pseudo_events
+        |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .groupBy("event_type", "user_id")
+        .agg(count(lit(1)).as("c"))
+        .select(col("event_type"), col("c"),
+          call_function("md5_prefix60",
+            concat(lit("u"), col("user_id").cast("string"))).as("pseudo"))
+        .groupBy("event_type", "pseudo")
+        .agg(count(lit(1)).as("n_users"), sum("c").as("c_p"),
+          max("c").as("m_u"))
+        .groupBy("event_type")
+        .agg(sum("c_p").cast("long").as("n_events"),
+          sum("n_users").cast("long").as("nd_raw"),
+          count(lit(1)).cast("long").as("nd_pseudo"),
+          (sum("n_users") - count(lit(1))).cast("long").as("collisions"),
+          max("m_u").cast("long").as("max_user_events"),
+          max("c_p").cast("long").as("max_pseudo_events"))
+        .orderBy("event_type")
+    },
+
+    // CHAT-FORMAT LINT — conversation-shaped training data must
+    // alternate roles; this validates per-user event sequences against
+    // the two chat-template rules (no same-role adjacency, first turn is
+    // a "user" turn) and histograms users by violation-rate decile so a
+    // corpus-level format report stays bounded. Scale shape: ONE
+    // user-keyed window exchange (lag), and the per-user aggregate
+    // REUSES the window's partitioning (no exchange between them); the
+    // decile rollup is bounded (0..10). Ties broken by event_id so the
+    // sequence — and therefore the lint — is deterministic.
+    Q(
+      "q199_chat_lint",
+      """WITH e AS (
+        |  SELECT user_id, ts, event_id,
+        |    CASE WHEN event_type IN ('click', 'view') THEN 0 ELSE 1 END
+        |      AS role
+        |  FROM events),
+        |l AS (
+        |  SELECT user_id, role,
+        |    lag(role) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |      AS prev
+        |  FROM e),
+        |u AS (
+        |  SELECT user_id, count(*) AS n_turns,
+        |    sum(CASE WHEN prev = role THEN 1 ELSE 0 END) AS viol,
+        |    sum(CASE WHEN prev IS NULL AND role <> 0 THEN 1 ELSE 0 END)
+        |      AS bad_start
+        |  FROM l GROUP BY 1)
+        |SELECT CAST(viol * 10 // n_turns AS BIGINT) AS viol_decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n_turns) AS BIGINT) AS turns,
+        |  CAST(sum(viol) AS BIGINT) AS violations,
+        |  CAST(sum(bad_start) AS BIGINT) AS bad_starts
+        |FROM u GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type").isin("click", "view"), 0L).otherwise(1L)
+            .as("role"))
+        .withColumn("prev", lag("role", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "event_id")))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_turns"),
+          sum(when(col("prev") === col("role"), 1L).otherwise(0L))
+            .as("viol"),
+          sum(when(col("prev").isNull && col("role") =!= 0L, 1L)
+            .otherwise(0L)).as("bad_start"))
+        .groupBy(expr("viol * 10 div n_turns").as("viol_decile"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("n_turns").cast("long").as("turns"),
+          sum("viol").cast("long").as("violations"),
+          sum("bad_start").cast("long").as("bad_starts"))
+        .orderBy("viol_decile")
     }
   )
 }

@@ -2035,6 +2035,50 @@ object PipelineQueries {
             === col("text"), 1L).otherwise(0L)).cast("long")
             .as("roundtrip_ok"))
         .orderBy("lang")
+    },
+
+    // PADDING-WASTE AUDIT — the batching-efficiency report behind
+    // length-bucketed batching: for each 32-token length bucket, how
+    // many pad tokens does bucketed batching burn (pad every sequence
+    // to the bucket max) vs padding everything to the global max? The
+    // delta is the measured win of sequence bucketing — integer-exact
+    // (token cost = n_chars div 4 + 1, same floor model as q193/q184).
+    // Scale shape: one scan into a two-phase bucket aggregate (buckets
+    // bounded by max-doc-length/32); the global max is derived FROM the
+    // bucket table (1-row broadcast), so the corpus is scanned once.
+    Q(
+      "q198_padding_waste",
+      """WITH t AS (
+        |  SELECT n_chars // 4 + 1 AS tok FROM documents),
+        |b AS (
+        |  SELECT tok // 32 AS bucket, count(*) AS n_docs,
+        |    sum(tok) AS tok_sum, max(tok) AS tok_max
+        |  FROM t GROUP BY 1),
+        |gl AS (SELECT max(tok_max) AS gm FROM b)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(tok_sum AS BIGINT) AS tok_sum,
+        |  CAST(tok_max AS BIGINT) AS tok_max,
+        |  CAST(tok_max * n_docs - tok_sum AS BIGINT) AS waste_bucketed,
+        |  CAST((SELECT gm FROM gl) * n_docs - tok_sum AS BIGINT)
+        |    AS waste_global
+        |FROM b ORDER BY bucket""".stripMargin
+    ) { (s, d) =>
+      val b = docs(s, d)
+        .select(expr("n_chars div 4 + 1").as("tok"))
+        .groupBy(expr("tok div 32").as("bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
+          max("tok").as("tok_max"))
+      b.crossJoin(broadcast(b.agg(max("tok_max").as("gm"))))
+        .select(col("bucket").cast("long").as("bucket"),
+          col("n_docs").cast("long").as("n_docs"),
+          col("tok_sum").cast("long").as("tok_sum"),
+          col("tok_max").cast("long").as("tok_max"),
+          (col("tok_max") * col("n_docs") - col("tok_sum")).cast("long")
+            .as("waste_bucketed"),
+          (col("gm") * col("n_docs") - col("tok_sum")).cast("long")
+            .as("waste_global"))
+        .orderBy("bucket")
     }
   )
 

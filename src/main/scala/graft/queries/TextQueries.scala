@@ -919,6 +919,70 @@ object TextQueries {
           sum(when(col("l") < 3L, col("class_n")).otherwise(0L))
             .cast("long").as("exposed_docs"))
         .orderBy("lang")
+    },
+
+    // T-CLOSENESS AUDIT — completes the k-anonymity (q187) / l-diversity
+    // (q192) privacy trilogy: a class whose SENSITIVE-attribute (source)
+    // distribution diverges from the corpus-wide one leaks provenance
+    // even when it is big (k) and diverse (l). Distance = total
+    // variation, kept integer-exact by clearing denominators:
+    // D_class = sum_s |c_{class,s} * N - g_s * n_class|, and
+    // TVD = D / (2 * N * n_class); a class violates t = 0.5 iff
+    // D > N * n_class. The reported ppm uses a two-step floor division
+    // (q div then remainder) so nothing exceeds ~2 * N * 10^6 even at
+    // 10^12 docs — floor(floor(D*1e6/n_c)/(2N)) == floor(D*1e6/(2*N*n_c))
+    // for integer divisors, so both engines agree bit-for-bit. Scale
+    // shape: ONE corpus scan into the (lang, len-bucket, source)
+    // two-phase aggregate; everything downstream (class-source grid,
+    // global marginals, the scalar N) is class-scale and broadcast.
+    Q(
+      "q195_t_closeness",
+      """WITH cls AS (
+        |  SELECT lang, n_chars // 25 AS len_b, source, count(*) AS c
+        |  FROM documents GROUP BY 1, 2, 3),
+        |cn AS (SELECT lang, len_b, sum(c) AS n_c FROM cls GROUP BY 1, 2),
+        |g AS (SELECT source, sum(c) AS g_s FROM cls GROUP BY 1),
+        |tot AS (SELECT sum(c) AS nn FROM cls),
+        |dist AS (
+        |  SELECT cn.lang, cn.len_b, cn.n_c, tot.nn,
+        |    sum(abs(coalesce(cls.c, 0) * tot.nn - g.g_s * cn.n_c)) AS d
+        |  FROM cn CROSS JOIN g CROSS JOIN tot
+        |  LEFT JOIN cls ON cls.lang = cn.lang AND cls.len_b = cn.len_b
+        |    AND cls.source = g.source
+        |  GROUP BY 1, 2, 3, 4)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_classes,
+        |  CAST(max(((d // n_c) * 1000000 + ((d % n_c) * 1000000) // n_c)
+        |    // (2 * nn)) AS BIGINT) AS tvd_max_ppm,
+        |  CAST(sum(CASE WHEN d > nn * n_c THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS t_violations,
+        |  CAST(sum(CASE WHEN d > nn * n_c THEN n_c ELSE 0 END) AS BIGINT)
+        |    AS exposed_docs
+        |FROM dist GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val cls = docs(s, d)
+        .groupBy(col("lang"), expr("n_chars div 25").as("len_b"),
+          col("source"))
+        .agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val cn = cls.groupBy("lang", "len_b").agg(sum("c").as("n_c"))
+      val g = cls.groupBy("source").agg(sum("c").as("g_s"))
+      val tot = cls.agg(sum("c").as("nn"))
+      cn.crossJoin(broadcast(g)).crossJoin(broadcast(tot))
+        .join(broadcast(cls), Seq("lang", "len_b", "source"), "left")
+        .select(col("lang"), col("len_b"), col("n_c"), col("nn"),
+          abs(coalesce(col("c"), lit(0L)) * col("nn")
+            - col("g_s") * col("n_c")).as("term"))
+        .groupBy("lang", "len_b", "n_c", "nn")
+        .agg(sum("term").as("d"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_classes"),
+          max(expr("((d div n_c) * 1000000 + ((d % n_c) * 1000000)" +
+            " div n_c) div (2 * nn)")).cast("long").as("tvd_max_ppm"),
+          sum(when(col("d") > col("nn") * col("n_c"), 1L).otherwise(0L))
+            .cast("long").as("t_violations"),
+          sum(when(col("d") > col("nn") * col("n_c"), col("n_c"))
+            .otherwise(0L)).cast("long").as("exposed_docs"))
+        .orderBy("lang")
     }
   )
 
