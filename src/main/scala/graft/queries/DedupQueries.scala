@@ -2526,10 +2526,12 @@ object DedupQueries {
         |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS th
         |  FROM hk),
         |hc AS (SELECT doc_id, head3, hh,
-        |         row_number() OVER (PARTITION BY hh ORDER BY doc_id) AS r
+        |         row_number() OVER (PARTITION BY hh, head3
+        |                            ORDER BY doc_id) AS r
         |       FROM hh),
         |tc AS (SELECT doc_id, tail3, th,
-        |         row_number() OVER (PARTITION BY th ORDER BY doc_id) AS r
+        |         row_number() OVER (PARTITION BY th, tail3
+        |                            ORDER BY doc_id) AS r
         |       FROM th)
         |SELECT a.doc_id AS pred, b.doc_id AS succ
         |FROM (SELECT * FROM tc WHERE r <= 256) a
@@ -2548,23 +2550,35 @@ object DedupQueries {
           call_function("md5_prefix60", col("tail3")).as("th"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      // Cap plan, two hard-won rules: (a) the observe sits AFTER the
+      // rank filter — a CollectMetrics between Window and Filter blocks
+      // the WindowGroupLimit rewrite (the metric would have to see the
+      // dropped rows), losing the map-side partial cap that prunes
+      // beyond-256 rows BEFORE the exchange (the pair-factory defense
+      // at skew); max(r) hitting 256 is the cap-engaged signal instead.
+      // (b) the window partitions on (hash, content) — the content-
+      // verify equality is extracted into the join keys, and with
+      // requireAllClusterKeysForCoPartition a hash-only window forces a
+      // SECOND exchange per side on (hash, content); since the hash is
+      // a pure function of the content, the two-key window is
+      // semantically identical and one exchange serves window AND join
+      // (verified: WindowGroupLimit partial/final + direct join, no
+      // re-exchange).
       val heads = base.select(col("doc_id"), col("head3"), col("hh"))
-        .withColumn("r",
-          row_number().over(Window.partitionBy("hh").orderBy("doc_id")))
-        .observe("q197_cap_h",
-          sum(when(col("r") > 256, 1L).otherwise(0L)).as("dropped_heads"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("hh", "head3").orderBy("doc_id")))
         .filter(col("r") <= 256)
+        .observe("q197_cap_h", max(col("r")).as("max_head_rank"))
       val tails = base.select(col("doc_id"), col("tail3"), col("th"))
-        .withColumn("r",
-          row_number().over(Window.partitionBy("th").orderBy("doc_id")))
-        .observe("q197_cap_t",
-          sum(when(col("r") > 256, 1L).otherwise(0L)).as("dropped_tails"))
+        .withColumn("r", row_number().over(
+          Window.partitionBy("th", "tail3").orderBy("doc_id")))
         .filter(col("r") <= 256)
+        .observe("q197_cap_t", max(col("r")).as("max_tail_rank"))
       tails.as("a")
         .join(heads.as("b").hint("shuffle_hash"),
-          col("a.th") === col("b.hh"))
-        .filter(col("a.doc_id") =!= col("b.doc_id") &&
-          col("a.tail3") === col("b.head3"))
+          col("a.th") === col("b.hh") &&
+            col("a.tail3") === col("b.head3"))
+        .filter(col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("pred"), col("b.doc_id").as("succ"))
         .orderBy("pred", "succ")
     }

@@ -2064,11 +2064,16 @@ object PipelineQueries {
         |    AS waste_global
         |FROM b ORDER BY bucket""".stripMargin
     ) { (s, d) =>
+      // Bucket table checkpointed: deriving the global max from `b`
+      // without a barrier re-plans the whole scan+aggregate subtree
+      // (verified in the plan — two parquet scans); the checkpoint makes
+      // gm a read of the bounded bucket table instead.
       val b = docs(s, d)
         .select(expr("n_chars div 4 + 1").as("tok"))
         .groupBy(expr("tok div 32").as("bucket"))
         .agg(count(lit(1)).as("n_docs"), sum("tok").as("tok_sum"),
           max("tok").as("tok_max"))
+        .localCheckpoint(true)
       b.crossJoin(broadcast(b.agg(max("tok_max").as("gm"))))
         .select(col("bucket").cast("long").as("bucket"),
           col("n_docs").cast("long").as("n_docs"),
