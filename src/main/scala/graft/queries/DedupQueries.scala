@@ -2539,15 +2539,27 @@ object DedupQueries {
         |WHERE a.doc_id <> b.doc_id AND a.tail3 = b.head3
         |ORDER BY pred, succ""".stripMargin
     ) { (s, d) =>
-      val base = docs(s, d)
+      boundaryOverlap(docs(s, d),
+        c => call_function("md5_prefix60", c))
+    }
+  )
+
+  /** q197 core, parameterized over the boundary hash so the law spec can
+    * force cross-content collisions (unreachable with real 60-bit keys at
+    * any gate SF) and prove the content-verify equality — not the hash —
+    * decides pair emission. `df` needs (doc_id, text). */
+  private[graft] def boundaryOverlap(df: org.apache.spark.sql.DataFrame,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+      val base = df
         .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
         .filter(size(col("ws")) >= 6)
         .select(col("doc_id"),
           array_join(slice(col("ws"), 1, 3), " ").as("head3"),
           array_join(slice(col("ws"), -3, 3), " ").as("tail3"))
         .select(col("doc_id"), col("head3"), col("tail3"),
-          call_function("md5_prefix60", col("head3")).as("hh"),
-          call_function("md5_prefix60", col("tail3")).as("th"))
+          hashFn(col("head3")).as("hh"),
+          hashFn(col("tail3")).as("th"))
         .localCheckpoint(true,
           org.apache.spark.storage.StorageLevel.DISK_ONLY)
       // Cap plan, two hard-won rules: (a) the observe sits AFTER the
@@ -2581,8 +2593,7 @@ object DedupQueries {
         .filter(col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("pred"), col("b.doc_id").as("succ"))
         .orderBy("pred", "succ")
-    }
-  )
+  }
 
   /** The q185 deterministic segmentation: non-overlapping 8-word windows
     * over the whitespace tokens (exposed for the segment-partition law in

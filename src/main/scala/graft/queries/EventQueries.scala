@@ -1195,23 +1195,8 @@ object EventQueries {
         |  CAST(max(c_p) AS BIGINT) AS max_pseudo_events
         |FROM pp GROUP BY 1 ORDER BY 1""".stripMargin
     ) { (s, d) =>
-      ev(s, d)
-        .groupBy("event_type", "user_id")
-        .agg(count(lit(1)).as("c"))
-        .select(col("event_type"), col("c"),
-          call_function("md5_prefix60",
-            concat(lit("u"), col("user_id").cast("string"))).as("pseudo"))
-        .groupBy("event_type", "pseudo")
-        .agg(count(lit(1)).as("n_users"), sum("c").as("c_p"),
-          max("c").as("m_u"))
-        .groupBy("event_type")
-        .agg(sum("c_p").cast("long").as("n_events"),
-          sum("n_users").cast("long").as("nd_raw"),
-          count(lit(1)).cast("long").as("nd_pseudo"),
-          (sum("n_users") - count(lit(1))).cast("long").as("collisions"),
-          max("m_u").cast("long").as("max_user_events"),
-          max("c_p").cast("long").as("max_pseudo_events"))
-        .orderBy("event_type")
+      pseudonymizeAudit(ev(s, d),
+        c => call_function("md5_prefix60", concat(lit("u"), c)))
     },
 
     // CHAT-FORMAT LINT — conversation-shaped training data must
@@ -1268,4 +1253,31 @@ object EventQueries {
         .orderBy("viol_decile")
     }
   )
+
+  /** q196 core, parameterized over the pseudonym hash so the law spec can
+    * force collisions (impossible to reach with the real salted 60-bit
+    * hash at any gate SF) and prove the audit's collision accounting —
+    * `collisions` and the max-multiset drift — is exact. `events` needs
+    * (event_type, user_id); hashFn gets user_id already cast to string. */
+  private[graft] def pseudonymizeAudit(
+      events: org.apache.spark.sql.DataFrame,
+      hashFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column)
+      : org.apache.spark.sql.DataFrame = {
+    events
+      .groupBy("event_type", "user_id")
+      .agg(count(lit(1)).as("c"))
+      .select(col("event_type"), col("c"),
+        hashFn(col("user_id").cast("string")).as("pseudo"))
+      .groupBy("event_type", "pseudo")
+      .agg(count(lit(1)).as("n_users"), sum("c").as("c_p"),
+        max("c").as("m_u"))
+      .groupBy("event_type")
+      .agg(sum("c_p").cast("long").as("n_events"),
+        sum("n_users").cast("long").as("nd_raw"),
+        count(lit(1)).cast("long").as("nd_pseudo"),
+        (sum("n_users") - count(lit(1))).cast("long").as("collisions"),
+        max("m_u").cast("long").as("max_user_events"),
+        max("c_p").cast("long").as("max_pseudo_events"))
+      .orderBy("event_type")
+  }
 }
