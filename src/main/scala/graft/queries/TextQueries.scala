@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.expressions.Window
 import graft.{Q, Tables}
 import graft.functions.TextOps
 
@@ -25,6 +26,16 @@ object TextQueries {
 
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
+
+  /** Memoized max(doc_id) per data dir (q204's decile bound): one
+    * 1-column aggregate job instead of a broadcast-scalar subquery,
+    * which would serialize the consumers' stages (round-8 rule). */
+  private val maxDocIds =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def maxDocId(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    maxDocIds.computeIfAbsent(d,
+      dir => docs(s, dir).agg(max("doc_id")).head().getLong(0))
 
   val queries: Seq[Q] = Seq(
     // Token/word statistics — str.py length/split kernels + counts.
@@ -983,6 +994,301 @@ object TextQueries {
           sum(when(col("d") > col("nn") * col("n_c"), col("n_c"))
             .otherwise(0L)).cast("long").as("exposed_docs"))
         .orderBy("lang")
+    },
+
+    // ZIPF PROFILE — the rank-frequency shape of each language's
+    // vocabulary, reported at power-of-two ranks (1..256) with the
+    // octave-to-octave frequency ratio in ppm (Zipf ⇒ ratio ≈ 500000).
+    // Deliberately NOT a log-log regression: ln() is not bit-identical
+    // across engines, while rank picks and integer ratios are. Scale
+    // shape: corpus-scale (lang, word) two-phase aggregate (map-side
+    // combine shrinks token mass to per-partition vocab); per-lang
+    // top-256 via a rank window whose `r <= 256` filter triggers the
+    // WindowGroupLimit rewrite (map-side pruning to 256 rows per
+    // partition BEFORE the lang exchange); everything after is <= 9
+    // rows per lang. Ratio uses the q195 two-step floor division
+    // (exact while per-(lang,word) counts < 9.2e12 — ~40x the count of
+    // "the" in a 100 TB corpus).
+    Q(
+      "q202_zipf_profile",
+      """WITH wc AS (
+        |  SELECT lang, w, count(*) AS cnt FROM (
+        |    SELECT lang, unnest(string_split(text, ' ')) AS w
+        |    FROM documents) t
+        |  GROUP BY 1, 2),
+        |rk AS (
+        |  SELECT lang, w, cnt,
+        |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, w)
+        |      AS r
+        |  FROM wc),
+        |oct AS (SELECT * FROM rk
+        |        WHERE r IN (1, 2, 4, 8, 16, 32, 64, 128, 256))
+        |SELECT lang, CAST(r AS BIGINT) AS rank, w AS word,
+        |  CAST(cnt AS BIGINT) AS cnt,
+        |  CAST(coalesce(
+        |    (cnt // prev) * 1000000 + ((cnt % prev) * 1000000) // prev,
+        |    0) AS BIGINT) AS ratio_ppm
+        |FROM (SELECT *, lag(cnt) OVER (PARTITION BY lang ORDER BY r)
+        |        AS prev FROM oct) t
+        |ORDER BY lang, rank""".stripMargin
+    ) { (s, d) =>
+      val wc = docs(s, d)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+        .groupBy("lang", "w").agg(count(lit(1)).as("cnt"))
+      val oct = wc
+        .withColumn("r", row_number().over(
+          Window.partitionBy("lang").orderBy(col("cnt").desc, col("w"))))
+        .filter(col("r") <= 256)
+        .filter(col("r").isin(1, 2, 4, 8, 16, 32, 64, 128, 256))
+      oct
+        .withColumn("prev",
+          lag("cnt", 1).over(Window.partitionBy("lang").orderBy("r")))
+        .select(col("lang"), col("r").cast("long").as("rank"),
+          col("w").as("word"), col("cnt").cast("long").as("cnt"),
+          coalesce(
+            expr("(cnt div prev) * 1000000" +
+              " + ((cnt % prev) * 1000000) div prev"),
+            lit(0L)).cast("long").as("ratio_ppm"))
+        .orderBy("lang", "rank")
+    },
+
+    // DOMAIN MIXTURE WEIGHTS — the τ=0.5 temperature-scaled sampling
+    // mixture (XLM-style sqrt reweighting) solved integer-exactly:
+    // weight = isqrt(domain tokens) with a ±1 fp correction (so both
+    // engines agree regardless of libm sqrt rounding), token budget
+    // B = total/2 allocated by largest remainder (deterministic ties by
+    // domain), epochs in ppm. Scale shape: ONE corpus scan into the
+    // bounded (lang, source) domain table; every downstream step is
+    // domain-scale (bounded windows/aggregates). Overflow-safe to
+    // 100 TB: B·w uses the two-step split (B div W)·w + ((B mod W)·w)
+    // div W — exact by the nested-floor law, never forms B·w.
+    Q(
+      "q203_mixture_weights",
+      """WITH dom AS (
+        |  SELECT lang, source, sum(n_chars // 4 + 1) AS toks
+        |  FROM documents GROUP BY 1, 2),
+        |w AS (
+        |  SELECT lang, source, toks,
+        |    CASE WHEN (s0 + 1) * (s0 + 1) <= toks THEN s0 + 1
+        |         WHEN s0 * s0 > toks THEN s0 - 1 ELSE s0 END AS wt
+        |  FROM (SELECT *, CAST(floor(sqrt(CAST(toks AS DOUBLE)))
+        |          AS BIGINT) AS s0 FROM dom) t),
+        |tot AS (SELECT sum(wt) AS ww, sum(toks) // 2 AS b FROM w),
+        |alloc AS (
+        |  SELECT lang, source, toks, wt,
+        |    (b // ww) * wt + ((b % ww) * wt) // ww AS base,
+        |    ((b % ww) * wt) % ww AS rem, b
+        |  FROM w CROSS JOIN tot),
+        |lr AS (
+        |  SELECT *, row_number() OVER (ORDER BY rem DESC, lang, source)
+        |      AS rr,
+        |    b - sum(base) OVER () AS leftover
+        |  FROM alloc)
+        |SELECT lang, source, CAST(toks AS BIGINT) AS toks,
+        |  CAST(wt AS BIGINT) AS weight,
+        |  CAST(base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END
+        |    AS BIGINT) AS alloc,
+        |  CAST(((base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)
+        |      // toks) * 1000000
+        |    + (((base + CASE WHEN rr <= leftover THEN 1 ELSE 0 END)
+        |      % toks) * 1000000) // toks AS BIGINT) AS epochs_ppm
+        |FROM lr ORDER BY lang, source""".stripMargin
+    ) { (s, d) =>
+      val dom = docs(s, d)
+        .groupBy("lang", "source")
+        .agg(sum(expr("n_chars div 4 + 1")).as("toks"))
+      val w = dom
+        .withColumn("s0",
+          floor(sqrt(col("toks").cast("double"))).cast("long"))
+        .withColumn("wt",
+          when((col("s0") + 1) * (col("s0") + 1) <= col("toks"),
+            col("s0") + 1)
+            .when(col("s0") * col("s0") > col("toks"), col("s0") - 1)
+            .otherwise(col("s0")))
+      val tot = w.agg(sum("wt").as("ww"),
+        (sum("toks") / lit(2)).cast("long").as("b"))
+      val alloc = w.crossJoin(broadcast(tot))
+        .select(col("lang"), col("source"), col("toks"), col("wt"),
+          col("b"),
+          expr("(b div ww) * wt + ((b % ww) * wt) div ww").as("base"),
+          expr("((b % ww) * wt) % ww").as("rem"))
+      // every table from here is domain-scale (bounded): the
+      // single-partition windows are over <= |lang|x|source| rows
+      val lr = alloc
+        .withColumn("rr", row_number().over(
+          Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+        .withColumn("leftover",
+          col("b") - sum("base").over(
+            Window.orderBy(lit(1)).rowsBetween(
+              Window.unboundedPreceding, Window.unboundedFollowing)))
+      lr.select(col("lang"), col("source"),
+          col("toks").cast("long").as("toks"),
+          col("wt").cast("long").as("weight"),
+          (col("base") + when(col("rr") <= col("leftover"), 1L)
+            .otherwise(0L)).cast("long").as("alloc"),
+          expr("((base + (CASE WHEN rr <= leftover THEN 1 ELSE 0 END))" +
+            " div toks) * 1000000" +
+            " + (((base + (CASE WHEN rr <= leftover THEN 1 ELSE 0 END))" +
+            " % toks) * 1000000) div toks").cast("long").as("epochs_ppm"))
+        .orderBy("lang", "source")
+    },
+
+    // NOVELTY CURVE — the dataset-growth diagnostic: as the corpus is
+    // ingested in doc_id order (the crawl-order proxy), what fraction of
+    // each decile's distinct 5-grams has never been seen in any earlier
+    // document? A flattening curve says new data is mostly duplicate
+    // mass. Scale shape: explode 5-grams → codegen'd 60-bit hash BEFORE
+    // any exchange (gram strings never cross a shuffle) → (doc, h)
+    // distinct → DISK_ONLY checkpoint (TWO consumers — the
+    // first-occurrence aggregate and the join-back — would otherwise
+    // re-plan the corpus explode; round-8 barrier rule) → min-doc per
+    // hash (two-phase) → shuffle_hash join back on h → per-doc counts →
+    // bounded decile rollup. Token-mass-linear, the honest floor for a
+    // first-occurrence scan; the decile bound comes from a memoized
+    // 1-column max, not a broadcast-scalar subquery (which would
+    // serialize the consumers' stages).
+    Q(
+      "q204_novelty_curve",
+      s"""WITH shr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 3),
+        |           i -> array_to_string(ws[i:i+4], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t),
+        |dh AS (SELECT DISTINCT doc_id, ${md560("s")} AS h FROM shr),
+        |fo AS (SELECT h, min(doc_id) AS first_doc FROM dh GROUP BY 1),
+        |pd AS (
+        |  SELECT dh.doc_id, count(*) AS n_grams,
+        |    sum(CASE WHEN fo.first_doc = dh.doc_id THEN 1 ELSE 0 END)
+        |      AS n_novel
+        |  FROM dh JOIN fo USING (h) GROUP BY 1),
+        |mx AS (SELECT max(doc_id) AS md FROM documents)
+        |SELECT CAST(doc_id * 10 // (md + 1) AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_grams) AS BIGINT) AS grams,
+        |  CAST(sum(n_novel) AS BIGINT) AS novel,
+        |  CAST((sum(n_novel) // sum(n_grams)) * 1000000
+        |    + ((sum(n_novel) % sum(n_grams)) * 1000000) // sum(n_grams)
+        |    AS BIGINT) AS novelty_ppm
+        |FROM pd CROSS JOIN mx GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val md = maxDocId(s, d)
+      val dh = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 5))
+            .as("sh"))
+        .select(col("doc_id"),
+          call_function("md5_prefix60", col("sh")).as("h"))
+        .distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val fo = dh.groupBy("h").agg(min("doc_id").as("first_doc"))
+      dh.join(fo.hint("shuffle_hash"), "h")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .groupBy((col("doc_id") * 10 / lit(md + 1)).cast("long")
+          .as("decile"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n_grams").cast("long").as("grams"),
+          sum("n_novel").cast("long").as("novel"))
+        .select(col("decile"), col("n_docs"), col("grams"), col("novel"),
+          expr("(novel div grams) * 1000000" +
+            " + ((novel % grams) * 1000000) div grams").cast("long")
+            .as("novelty_ppm"))
+        .orderBy("decile")
+    },
+
+    // TAXONOMY CO-OCCURRENCE — category tagging by token-membership
+    // lists (the keyword-taxonomy pass every safety/topic pipeline
+    // runs) with the full pairwise co-occurrence matrix and Jaccard in
+    // ppm. Scale shape: ONE corpus scan, per-doc 0/1 flags via token
+    // intersection (map-only), a SINGLE-ROW aggregate holding all 10
+    // pair sums, then a 10-row stack — no joins, no per-category
+    // passes; output is |categories|²-bounded.
+    Q(
+      "q207_taxonomy_cooccur",
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    CASE WHEN len(list_intersect(string_split(text, ' '),
+        |      ['fast', 'slow', 'big', 'small'])) > 0 THEN 1 ELSE 0 END
+        |      AS c_perf,
+        |    CASE WHEN len(list_intersect(string_split(text, ' '),
+        |      ['scan', 'join', 'sort', 'merge'])) > 0 THEN 1 ELSE 0 END
+        |      AS c_exec,
+        |    CASE WHEN len(list_intersect(string_split(text, ' '),
+        |      ['table', 'column', 'row', 'vector'])) > 0 THEN 1 ELSE 0
+        |      END AS c_data,
+        |    CASE WHEN len(list_intersect(string_split(text, ' '),
+        |      ['stream', 'batch', 'window', 'queue'])) > 0 THEN 1 ELSE 0
+        |      END AS c_stream
+        |  FROM documents),
+        |a AS (SELECT
+        |  sum(c_data*c_data) AS dd, sum(c_data*c_exec) AS de,
+        |  sum(c_data*c_perf) AS dp, sum(c_data*c_stream) AS ds,
+        |  sum(c_exec*c_exec) AS ee, sum(c_exec*c_perf) AS ep,
+        |  sum(c_exec*c_stream) AS es, sum(c_perf*c_perf) AS pp,
+        |  sum(c_perf*c_stream) AS ps, sum(c_stream*c_stream) AS ss
+        |  FROM f)
+        |SELECT cat_a, cat_b, CAST(n_both AS BIGINT) AS n_both,
+        |  CAST(CASE WHEN na + nb - n_both = 0 THEN 0
+        |    ELSE n_both * 1000000 // (na + nb - n_both) END AS BIGINT)
+        |    AS jaccard_ppm
+        |FROM (
+        |  SELECT 'data' AS cat_a, 'data' AS cat_b, dd AS n_both,
+        |    dd AS na, dd AS nb FROM a
+        |  UNION ALL SELECT 'data', 'exec', de, dd, ee FROM a
+        |  UNION ALL SELECT 'data', 'perf', dp, dd, pp FROM a
+        |  UNION ALL SELECT 'data', 'stream', ds, dd, ss FROM a
+        |  UNION ALL SELECT 'exec', 'exec', ee, ee, ee FROM a
+        |  UNION ALL SELECT 'exec', 'perf', ep, ee, pp FROM a
+        |  UNION ALL SELECT 'exec', 'stream', es, ee, ss FROM a
+        |  UNION ALL SELECT 'perf', 'perf', pp, pp, pp FROM a
+        |  UNION ALL SELECT 'perf', 'stream', ps, pp, ss FROM a
+        |  UNION ALL SELECT 'stream', 'stream', ss, ss, ss FROM a) m
+        |ORDER BY cat_a, cat_b""".stripMargin
+    ) { (s, d) =>
+      val cats = Seq(
+        "perf" -> Seq("fast", "slow", "big", "small"),
+        "exec" -> Seq("scan", "join", "sort", "merge"),
+        "data" -> Seq("table", "column", "row", "vector"),
+        "stream" -> Seq("stream", "batch", "window", "queue"))
+      val f = docs(s, d).select(
+        cats.map { case (name, kws) =>
+          when(arrays_overlap(TextOps.tokens(col("text")),
+            array(kws.map(lit): _*)), 1L).otherwise(0L).as(s"c_$name")
+        }: _*)
+      val a = f.agg(
+        sum(expr("c_data * c_data")).as("dd"),
+        sum(expr("c_data * c_exec")).as("de"),
+        sum(expr("c_data * c_perf")).as("dp"),
+        sum(expr("c_data * c_stream")).as("ds"),
+        sum(expr("c_exec * c_exec")).as("ee"),
+        sum(expr("c_exec * c_perf")).as("ep"),
+        sum(expr("c_exec * c_stream")).as("es"),
+        sum(expr("c_perf * c_perf")).as("pp"),
+        sum(expr("c_perf * c_stream")).as("ps"),
+        sum(expr("c_stream * c_stream")).as("ss"))
+      a.selectExpr(
+          """stack(10,
+            |'data', 'data', dd, dd, dd,
+            |'data', 'exec', de, dd, ee,
+            |'data', 'perf', dp, dd, pp,
+            |'data', 'stream', ds, dd, ss,
+            |'exec', 'exec', ee, ee, ee,
+            |'exec', 'perf', ep, ee, pp,
+            |'exec', 'stream', es, ee, ss,
+            |'perf', 'perf', pp, pp, pp,
+            |'perf', 'stream', ps, pp, ss,
+            |'stream', 'stream', ss, ss, ss)
+            |AS (cat_a, cat_b, n_both, na, nb)""".stripMargin)
+        .select(col("cat_a"), col("cat_b"),
+          col("n_both").cast("long").as("n_both"),
+          when(col("na") + col("nb") - col("n_both") === 0L, 0L)
+            .otherwise(expr(
+              "n_both * 1000000 div (na + nb - n_both)"))
+            .cast("long").as("jaccard_ppm"))
+        .orderBy("cat_a", "cat_b")
     }
   )
 
