@@ -187,6 +187,47 @@ object DedupQueries {
       |  FROM ($rpPairsSql) full_pairs) ranked
       |WHERE rn <= 32""".stripMargin
 
+  /** The oracle-SQL twin of [[boundaryOverlap]] with the real 60-bit
+    * hash (q197's pair set, composable — no ORDER BY). */
+  private val boundaryPairsSql: String =
+    """(WITH t AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |hk AS (
+      |  SELECT doc_id,
+      |    list_aggregate(ws[1:3], 'string_agg', ' ') AS head3,
+      |    list_aggregate(ws[-3:], 'string_agg', ' ') AS tail3
+      |  FROM t WHERE len(ws) >= 6),
+      |hh AS (
+      |  SELECT doc_id, head3,
+      |    CAST(list_sum(list_transform(range(1, 8),
+      |      j -> (strpos('0123456789abcdef', substr(md5(head3), j, 1))
+      |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+      |    + CAST(list_sum(list_transform(range(8, 16),
+      |      j -> (strpos('0123456789abcdef', substr(md5(head3), j, 1))
+      |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS hh
+      |  FROM hk),
+      |th AS (
+      |  SELECT doc_id, tail3,
+      |    CAST(list_sum(list_transform(range(1, 8),
+      |      j -> (strpos('0123456789abcdef', substr(md5(tail3), j, 1))
+      |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+      |    + CAST(list_sum(list_transform(range(8, 16),
+      |      j -> (strpos('0123456789abcdef', substr(md5(tail3), j, 1))
+      |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS th
+      |  FROM hk),
+      |hc AS (SELECT doc_id, head3, hh,
+      |         row_number() OVER (PARTITION BY hh, head3
+      |                            ORDER BY doc_id) AS r
+      |       FROM hh),
+      |tc AS (SELECT doc_id, tail3, th,
+      |         row_number() OVER (PARTITION BY th, tail3
+      |                            ORDER BY doc_id) AS r
+      |       FROM th)
+      |SELECT a.doc_id AS pred, b.doc_id AS succ
+      |FROM (SELECT * FROM tc WHERE r <= 256) a
+      |JOIN (SELECT * FROM hc WHERE r <= 256) b ON a.th = b.hh
+      |WHERE a.doc_id <> b.doc_id AND a.tail3 = b.head3)""".stripMargin
+
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
 
@@ -2500,47 +2541,299 @@ object DedupQueries {
     // per row beats a join-back on dup-heavy corpora).
     Q(
       "q197_boundary_overlap",
-      """WITH t AS (
-        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-        |hk AS (
-        |  SELECT doc_id,
-        |    list_aggregate(ws[1:3], 'string_agg', ' ') AS head3,
-        |    list_aggregate(ws[-3:], 'string_agg', ' ') AS tail3
-        |  FROM t WHERE len(ws) >= 6),
-        |hh AS (
-        |  SELECT doc_id, head3,
-        |    CAST(list_sum(list_transform(range(1, 8),
-        |      j -> (strpos('0123456789abcdef', substr(md5(head3), j, 1))
-        |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
-        |    + CAST(list_sum(list_transform(range(8, 16),
-        |      j -> (strpos('0123456789abcdef', substr(md5(head3), j, 1))
-        |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS hh
-        |  FROM hk),
-        |th AS (
-        |  SELECT doc_id, tail3,
-        |    CAST(list_sum(list_transform(range(1, 8),
-        |      j -> (strpos('0123456789abcdef', substr(md5(tail3), j, 1))
-        |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
-        |    + CAST(list_sum(list_transform(range(8, 16),
-        |      j -> (strpos('0123456789abcdef', substr(md5(tail3), j, 1))
-        |            - 1) * 16.0 ** (15 - j))) AS BIGINT) AS th
-        |  FROM hk),
-        |hc AS (SELECT doc_id, head3, hh,
-        |         row_number() OVER (PARTITION BY hh, head3
-        |                            ORDER BY doc_id) AS r
-        |       FROM hh),
-        |tc AS (SELECT doc_id, tail3, th,
-        |         row_number() OVER (PARTITION BY th, tail3
-        |                            ORDER BY doc_id) AS r
-        |       FROM th)
-        |SELECT a.doc_id AS pred, b.doc_id AS succ
-        |FROM (SELECT * FROM tc WHERE r <= 256) a
-        |JOIN (SELECT * FROM hc WHERE r <= 256) b ON a.th = b.hh
-        |WHERE a.doc_id <> b.doc_id AND a.tail3 = b.head3
+      s"""SELECT pred, succ FROM $boundaryPairsSql bp
         |ORDER BY pred, succ""".stripMargin
     ) { (s, d) =>
       boundaryOverlap(docs(s, d),
         c => call_function("md5_prefix60", c))
+        .orderBy("pred", "succ")
+    },
+
+    // SHARD-SPLIT DOCUMENT REASSEMBLY — the consumer of q197's
+    // boundary-overlap pairs: restrict to RELIABLE links (pred has
+    // exactly one successor AND succ has exactly one predecessor — an
+    // ambiguous boundary is boilerplate, not a split), label the
+    // resulting chains with distributed CC, and report the chain-length
+    // histogram with reassembled character mass and cycle count (a
+    // cycle is a boilerplate ring, not a split doc — surfaced, not
+    // silently merged). Scale shape: pair mass is already 256²-bounded
+    // per boundary key; the degree filter is two windows over pair
+    // mass; CC takes degree-1 edges (chains ⇒ propagation rounds =
+    // longest chain); the members/links joins are shuffle_hash over
+    // computed tables; output is max-chain-length-bounded.
+    Q(
+      "q200_chain_reassembly",
+      s"""WITH RECURSIVE pairs AS (SELECT * FROM $boundaryPairsSql bp),
+        |links AS (
+        |  SELECT pred, succ FROM (
+        |    SELECT pred, succ,
+        |      count(*) OVER (PARTITION BY pred) AS outd,
+        |      count(*) OVER (PARTITION BY succ) AS ind
+        |    FROM pairs) t WHERE outd = 1 AND ind = 1),
+        |und AS (SELECT pred AS src, succ AS dst FROM links
+        |        UNION ALL SELECT succ, pred FROM links),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+        |lc AS (SELECT g.lbl, count(*) AS n_links
+        |       FROM links l JOIN grp g ON g.id = l.pred GROUP BY 1),
+        |ch AS (SELECT g.lbl, count(*) AS n_docs, sum(d.n_chars) AS chars
+        |       FROM grp g JOIN documents d ON d.doc_id = g.id
+        |       GROUP BY 1)
+        |SELECT CAST(ch.n_docs AS BIGINT) AS chain_len,
+        |  CAST(count(*) AS BIGINT) AS n_chains,
+        |  CAST(sum(ch.n_docs) AS BIGINT) AS docs_total,
+        |  CAST(sum(ch.chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CASE WHEN lc.n_links = ch.n_docs THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_cycles
+        |FROM ch JOIN lc USING (lbl) GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      val pairs = boundaryOverlap(docs(s, d),
+        c => call_function("md5_prefix60", c))
+      // eager checkpoint: CC re-reads its edge input every propagation
+      // round, and the window-bearing plan would lose AQE coalescing
+      // (same rule as rpEdges)
+      val links = pairs
+        .withColumn("outd", count(lit(1)).over(Window.partitionBy("pred")))
+        .withColumn("ind", count(lit(1)).over(Window.partitionBy("succ")))
+        .filter(col("outd") === 1L && col("ind") === 1L)
+        .select("pred", "succ")
+        .localCheckpoint(true)
+      val grp = graft.functions.GraphOps
+        .connectedComponents(links, "pred", "succ")
+        .select(col("id"), col("lbl"))
+      val ch = grp
+        .join(docs(s, d).select(col("doc_id").as("id"), col("n_chars"))
+          .hint("shuffle_hash"), "id")
+        .groupBy("lbl")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+      val lc = links
+        .join(grp.hint("shuffle_hash"), col("pred") === col("id"))
+        .groupBy("lbl").agg(count(lit(1)).as("n_links"))
+      ch.join(lc, "lbl")
+        .groupBy(col("n_docs").cast("long").as("chain_len"))
+        .agg(count(lit(1)).cast("long").as("n_chains"),
+          sum("n_docs").cast("long").as("docs_total"),
+          sum("chars").cast("long").as("chars_total"),
+          sum(when(col("n_links") === col("n_docs"), 1L).otherwise(0L))
+            .cast("long").as("n_cycles"))
+        .orderBy("chain_len")
+    },
+
+    // BITEXT MINING — margin-based cross-lingual pair extraction (the
+    // translation-pair miner behind every multilingual corpus): for
+    // each vector, its best neighbor in each OTHER language from the
+    // RP-bucketed candidate pairs, accepted when the best beats the
+    // second best by the Lowe ratio (m1·100 ≥ m2·105) — computed on
+    // round(rdot·10⁴) INTEGERS so the accept decision is bit-exact in
+    // both engines. Scale shape: candidate mass is rpPairs (bucketed,
+    // capped, never all-pairs); language attach is two shuffle_hash
+    // joins; the per-(vec, target-lang) top-2 is a rank window whose
+    // `r <= 2` filter triggers WindowGroupLimit (map-side prune), and
+    // best/second collapse in ONE conditional aggregate — no self-join;
+    // output is |lang|²-bounded.
+    Q(
+      "q201_bitext_margin",
+      s"""WITH sym AS (
+        |  SELECT id_a AS src, id_b AS nbr, rdot FROM ($rpPairsSql) p
+        |  UNION ALL
+        |  SELECT id_b, id_a, rdot FROM ($rpPairsSql) p2),
+        |cand AS (
+        |  SELECT s.src, ls.lang AS lang_src, ln.lang AS lang_tgt, s.nbr,
+        |    CAST(round(s.rdot * 10000) AS BIGINT) AS m
+        |  FROM sym s
+        |  JOIN documents ls ON ls.doc_id = s.src
+        |  JOIN documents ln ON ln.doc_id = s.nbr
+        |  WHERE ls.lang <> ln.lang),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY src, lang_tgt
+        |    ORDER BY m DESC, nbr) AS r
+        |  FROM cand),
+        |best AS (
+        |  SELECT src, lang_src, lang_tgt,
+        |    max(CASE WHEN r = 1 THEN m END) AS m1,
+        |    max(CASE WHEN r = 2 THEN m END) AS m2
+        |  FROM rk WHERE r <= 2 GROUP BY 1, 2, 3)
+        |SELECT lang_src, lang_tgt, CAST(count(*) AS BIGINT) AS n_cands,
+        |  CAST(sum(CASE WHEN m2 IS NULL OR m1 * 100 >= m2 * 105
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_accepted,
+        |  CAST(sum(CASE WHEN m2 IS NULL OR m1 * 100 >= m2 * 105
+        |    THEN m1 ELSE 0 END) AS BIGINT) AS sim_sum
+        |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val p = rpPairs(s, d).localCheckpoint(true)
+      val sym = p.select(col("id_a").as("src"), col("id_b").as("nbr"),
+          col("rdot"))
+        .union(p.select(col("id_b").as("src"), col("id_a").as("nbr"),
+          col("rdot")))
+      val lg = docs(s, d).select(col("doc_id"), col("lang"))
+      val cand = sym
+        .join(lg.as("ls").hint("shuffle_hash"),
+          col("src") === col("ls.doc_id"))
+        .join(lg.as("ln").hint("shuffle_hash"),
+          col("nbr") === col("ln.doc_id"))
+        .filter(col("ls.lang") =!= col("ln.lang"))
+        .select(col("src"), col("ls.lang").as("lang_src"),
+          col("ln.lang").as("lang_tgt"), col("nbr"),
+          round(col("rdot") * 10000).cast("long").as("m"))
+      cand
+        .withColumn("r", row_number().over(
+          Window.partitionBy("src", "lang_tgt")
+            .orderBy(col("m").desc, col("nbr"))))
+        .filter(col("r") <= 2)
+        .groupBy("src", "lang_src", "lang_tgt")
+        .agg(max(when(col("r") === 1, col("m"))).as("m1"),
+          max(when(col("r") === 2, col("m"))).as("m2"))
+        .groupBy("lang_src", "lang_tgt")
+        .agg(count(lit(1)).cast("long").as("n_cands"),
+          sum(when(col("m2").isNull ||
+            col("m1") * 100L >= col("m2") * 105L, 1L).otherwise(0L))
+            .cast("long").as("n_accepted"),
+          sum(when(col("m2").isNull ||
+            col("m1") * 100L >= col("m2") * 105L, col("m1"))
+            .otherwise(0L)).cast("long").as("sim_sum"))
+        .orderBy("lang_src", "lang_tgt")
+    },
+
+    // NEAR-DUP PROVENANCE MATRIX — which sources duplicate each other:
+    // the RP near-dup pairs lifted to the (source, source) level with
+    // pair counts, distinct docs involved, and integer similarity mass.
+    // The dedup-budget planning view: a heavy off-diagonal cell means
+    // two crawls overlap and one can be dropped early. Scale shape:
+    // pair mass (bucketed+capped) through two shuffle_hash joins to
+    // attach sources, checkpointed once for its two consumers (pair
+    // stats + distinct-doc explode); output is |sources|²-bounded.
+    Q(
+      "q205_overlap_matrix",
+      s"""WITH sp AS (
+        |  SELECT least(da.source, db.source) AS src_1,
+        |    greatest(da.source, db.source) AS src_2,
+        |    p.id_a, p.id_b, CAST(round(p.rdot * 10000) AS BIGINT) AS m
+        |  FROM ($rpPairsSql) p
+        |  JOIN documents da ON da.doc_id = p.id_a
+        |  JOIN documents db ON db.doc_id = p.id_b),
+        |dd AS (
+        |  SELECT src_1, src_2, count(DISTINCT doc) AS n_docs FROM (
+        |    SELECT src_1, src_2, id_a AS doc FROM sp
+        |    UNION ALL SELECT src_1, src_2, id_b FROM sp) t GROUP BY 1, 2)
+        |SELECT sp.src_1, sp.src_2, CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(max(dd.n_docs) AS BIGINT) AS n_docs,
+        |  CAST(sum(sp.m) AS BIGINT) AS sim_sum
+        |FROM sp JOIN dd USING (src_1, src_2)
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    ) { (s, d) =>
+      val src = docs(s, d).select(col("doc_id"), col("source"))
+      val sp = rpPairs(s, d)
+        .join(src.as("da").hint("shuffle_hash"),
+          col("id_a") === col("da.doc_id"))
+        .join(src.as("db").hint("shuffle_hash"),
+          col("id_b") === col("db.doc_id"))
+        .select(least(col("da.source"), col("db.source")).as("src_1"),
+          greatest(col("da.source"), col("db.source")).as("src_2"),
+          col("id_a"), col("id_b"),
+          round(col("rdot") * 10000).cast("long").as("m"))
+        .localCheckpoint(true)
+      val dd = sp.select(col("src_1"), col("src_2"),
+          col("id_a").as("doc"))
+        .union(sp.select(col("src_1"), col("src_2"),
+          col("id_b").as("doc")))
+        .distinct()
+        .groupBy("src_1", "src_2").agg(count(lit(1)).as("n_docs"))
+      sp.groupBy("src_1", "src_2")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum("m").cast("long").as("sim_sum"))
+        .join(dd, Seq("src_1", "src_2"))
+        .select(col("src_1"), col("src_2"), col("n_pairs"),
+          col("n_docs").cast("long").as("n_docs"), col("sim_sum"))
+        .orderBy("src_1", "src_2")
+    },
+
+    // EMBEDDING OUTLIERS — per-class distance-to-centroid ranking (the
+    // mislabel/noise detector): the 5 farthest members of every label's
+    // centroid. Cross-engine exactness: vectors quantize to
+    // round(x·10⁴) BIGINT (q118 doctrine), the centroid stays an exact
+    // INTEGER sum vector plus a count, and the distance uses the dot
+    // identity d² = v'·v' − 2·v'·c' + c'·c' on v' = v/10⁴,
+    // c' = (s/n)/10⁴ doubles — every op exactly rounded, every dot a
+    // codegen'd index-order kernel, mirrored term-for-term in the
+    // oracle. Scale shape: centroids via posexplode →
+    // (label, dim)-keyed integer partial aggregate (map-side collapse;
+    // 64·|labels| rows out) → bounded per-label gather; members join
+    // the 10-row centroid table BROADCAST; the per-label top-5 is a
+    // rank window whose filter triggers WindowGroupLimit, so the
+    // fixed-cardinality label exchange carries ≤ 5 rows per label per
+    // partition — the fixed-partition window trap defused map-side.
+    Q(
+      "q206_emb_outliers",
+      """WITH ei AS (SELECT vec_id, label,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS v
+        |  FROM embeddings),
+        |cs AS (
+        |  SELECT label, i, sum(v[i]) AS s
+        |  FROM ei, unnest(range(1, 65)) t(i) GROUP BY 1, 2),
+        |cn AS (SELECT label, count(*) AS n FROM ei GROUP BY 1),
+        |cent AS (
+        |  SELECT cs.label, cn.n, list(cs.s ORDER BY cs.i) AS c
+        |  FROM cs JOIN cn USING (label) GROUP BY 1, 2),
+        |d2 AS (
+        |  SELECT e.vec_id, e.label,
+        |    list_sum(list_transform(range(1, 65), i ->
+        |      (CAST(e.v[i] AS DOUBLE) / 10000.0)
+        |      * (CAST(e.v[i] AS DOUBLE) / 10000.0)))
+        |    - 2 * list_sum(list_transform(range(1, 65), i ->
+        |      (CAST(e.v[i] AS DOUBLE) / 10000.0)
+        |      * ((CAST(c.c[i] AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |         / 10000.0)))
+        |    + list_sum(list_transform(range(1, 65), i ->
+        |      ((CAST(c.c[i] AS DOUBLE) / CAST(c.n AS DOUBLE)) / 10000.0)
+        |      * ((CAST(c.c[i] AS DOUBLE) / CAST(c.n AS DOUBLE))
+        |         / 10000.0))) AS dist2
+        |  FROM ei e JOIN cent c USING (label)),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY label
+        |         ORDER BY dist2 DESC, vec_id) AS r FROM d2)
+        |SELECT CAST(label AS BIGINT) AS label, CAST(r AS BIGINT) AS rk,
+        |  vec_id, round(dist2, 4) + 0 AS dist2
+        |FROM rk WHERE r <= 5 ORDER BY label, rk""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.ArrayOps
+      val ei = emb(s, d).select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 10000).cast("long")).as("v"))
+        .localCheckpoint(true) // two consumers: centroid sums + members
+      val cs = ei.select(col("label"),
+          posexplode(col("v")).as(Seq("i0", "x")))
+        .groupBy(col("label"), (col("i0") + 1).as("i"))
+        .agg(sum("x").as("s"), count(lit(1)).as("n"))
+      val cent = cs.groupBy("label")
+        .agg(max("n").as("n"),
+          transform(array_sort(collect_list(struct(col("i"), col("s")))),
+            t => t.getField("s")).as("c"))
+        // c' = (s/n)/1e4 and its self-dot, computed ONCE per label
+        .select(col("label"), col("n"),
+          ArrayOps.bindOnce(transform(col("c"),
+            x => (x.cast("double") / col("n").cast("double")) / 10000.0)) {
+            cp => struct(cp.as("cp"),
+              TextOps.dot(cp, cp).as("cc"))
+          }.as("cx"))
+        .select(col("label"), col("cx.cp").as("cp"), col("cx.cc").as("cc"))
+      val d2 = ei.join(broadcast(cent), "label")
+        .select(col("vec_id"), col("label"),
+          ArrayOps.bindOnce(transform(col("v"),
+            x => x.cast("double") / 10000.0)) { vp =>
+            TextOps.dot(vp, vp) - lit(2d) * TextOps.dot(vp, col("cp")) +
+              col("cc")
+          }.as("dist2"))
+      d2.withColumn("r", row_number().over(
+          Window.partitionBy("label").orderBy(col("dist2").desc,
+            col("vec_id"))))
+        .filter(col("r") <= 5)
+        .select(col("label").cast("long").as("label"),
+          col("r").cast("long").as("rk"), col("vec_id"),
+          (round(col("dist2"), 4) + lit(0.0)).as("dist2"))
+        .orderBy("label", "rk")
     }
   )
 
@@ -2592,7 +2885,6 @@ object DedupQueries {
             col("a.tail3") === col("b.head3"))
         .filter(col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("pred"), col("b.doc_id").as("succ"))
-        .orderBy("pred", "succ")
   }
 
   /** The q185 deterministic segmentation: non-overlapping 8-word windows
