@@ -2589,38 +2589,7 @@ object DedupQueries {
         |  CAST(sum(CASE WHEN lc.n_links = ch.n_docs THEN 1 ELSE 0 END)
         |    AS BIGINT) AS n_cycles
         |FROM ch JOIN lc USING (lbl) GROUP BY 1 ORDER BY 1""".stripMargin
-    ) { (s, d) =>
-      val pairs = boundaryOverlap(docs(s, d),
-        c => call_function("md5_prefix60", c))
-      // eager checkpoint: CC re-reads its edge input every propagation
-      // round, and the window-bearing plan would lose AQE coalescing
-      // (same rule as rpEdges)
-      val links = pairs
-        .withColumn("outd", count(lit(1)).over(Window.partitionBy("pred")))
-        .withColumn("ind", count(lit(1)).over(Window.partitionBy("succ")))
-        .filter(col("outd") === 1L && col("ind") === 1L)
-        .select("pred", "succ")
-        .localCheckpoint(true)
-      val grp = graft.functions.GraphOps
-        .connectedComponents(links, "pred", "succ")
-        .select(col("id"), col("lbl"))
-      val ch = grp
-        .join(docs(s, d).select(col("doc_id").as("id"), col("n_chars"))
-          .hint("shuffle_hash"), "id")
-        .groupBy("lbl")
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
-      val lc = links
-        .join(grp.hint("shuffle_hash"), col("pred") === col("id"))
-        .groupBy("lbl").agg(count(lit(1)).as("n_links"))
-      ch.join(lc, "lbl")
-        .groupBy(col("n_docs").cast("long").as("chain_len"))
-        .agg(count(lit(1)).cast("long").as("n_chains"),
-          sum("n_docs").cast("long").as("docs_total"),
-          sum("chars").cast("long").as("chars_total"),
-          sum(when(col("n_links") === col("n_docs"), 1L).otherwise(0L))
-            .cast("long").as("n_cycles"))
-        .orderBy("chain_len")
-    },
+    ) { (s, d) => chainReassembly(docs(s, d)) },
 
     // BITEXT MINING — margin-based cross-lingual pair extraction (the
     // translation-pair miner behind every multilingual corpus): for
@@ -2663,38 +2632,8 @@ object DedupQueries {
         |    THEN m1 ELSE 0 END) AS BIGINT) AS sim_sum
         |FROM best GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, d) =>
-      val p = rpPairs(s, d).localCheckpoint(true)
-      val sym = p.select(col("id_a").as("src"), col("id_b").as("nbr"),
-          col("rdot"))
-        .union(p.select(col("id_b").as("src"), col("id_a").as("nbr"),
-          col("rdot")))
-      val lg = docs(s, d).select(col("doc_id"), col("lang"))
-      val cand = sym
-        .join(lg.as("ls").hint("shuffle_hash"),
-          col("src") === col("ls.doc_id"))
-        .join(lg.as("ln").hint("shuffle_hash"),
-          col("nbr") === col("ln.doc_id"))
-        .filter(col("ls.lang") =!= col("ln.lang"))
-        .select(col("src"), col("ls.lang").as("lang_src"),
-          col("ln.lang").as("lang_tgt"), col("nbr"),
-          round(col("rdot") * 10000).cast("long").as("m"))
-      cand
-        .withColumn("r", row_number().over(
-          Window.partitionBy("src", "lang_tgt")
-            .orderBy(col("m").desc, col("nbr"))))
-        .filter(col("r") <= 2)
-        .groupBy("src", "lang_src", "lang_tgt")
-        .agg(max(when(col("r") === 1, col("m"))).as("m1"),
-          max(when(col("r") === 2, col("m"))).as("m2"))
-        .groupBy("lang_src", "lang_tgt")
-        .agg(count(lit(1)).cast("long").as("n_cands"),
-          sum(when(col("m2").isNull ||
-            col("m1") * 100L >= col("m2") * 105L, 1L).otherwise(0L))
-            .cast("long").as("n_accepted"),
-          sum(when(col("m2").isNull ||
-            col("m1") * 100L >= col("m2") * 105L, col("m1"))
-            .otherwise(0L)).cast("long").as("sim_sum"))
-        .orderBy("lang_src", "lang_tgt")
+      bitextFromPairs(rpPairs(s, d).localCheckpoint(true),
+        docs(s, d).select(col("doc_id"), col("lang")))
     },
 
     // NEAR-DUP PROVENANCE MATRIX — which sources duplicate each other:
@@ -2724,30 +2663,8 @@ object DedupQueries {
         |FROM sp JOIN dd USING (src_1, src_2)
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     ) { (s, d) =>
-      val src = docs(s, d).select(col("doc_id"), col("source"))
-      val sp = rpPairs(s, d)
-        .join(src.as("da").hint("shuffle_hash"),
-          col("id_a") === col("da.doc_id"))
-        .join(src.as("db").hint("shuffle_hash"),
-          col("id_b") === col("db.doc_id"))
-        .select(least(col("da.source"), col("db.source")).as("src_1"),
-          greatest(col("da.source"), col("db.source")).as("src_2"),
-          col("id_a"), col("id_b"),
-          round(col("rdot") * 10000).cast("long").as("m"))
-        .localCheckpoint(true)
-      val dd = sp.select(col("src_1"), col("src_2"),
-          col("id_a").as("doc"))
-        .union(sp.select(col("src_1"), col("src_2"),
-          col("id_b").as("doc")))
-        .distinct()
-        .groupBy("src_1", "src_2").agg(count(lit(1)).as("n_docs"))
-      sp.groupBy("src_1", "src_2")
-        .agg(count(lit(1)).cast("long").as("n_pairs"),
-          sum("m").cast("long").as("sim_sum"))
-        .join(dd, Seq("src_1", "src_2"))
-        .select(col("src_1"), col("src_2"), col("n_pairs"),
-          col("n_docs").cast("long").as("n_docs"), col("sim_sum"))
-        .orderBy("src_1", "src_2")
+      overlapFromPairs(rpPairs(s, d),
+        docs(s, d).select(col("doc_id"), col("source")))
     },
 
     // EMBEDDING OUTLIERS — per-class distance-to-centroid ranking (the
@@ -2885,6 +2802,111 @@ object DedupQueries {
             col("a.tail3") === col("b.head3"))
         .filter(col("a.doc_id") =!= col("b.doc_id"))
         .select(col("a.doc_id").as("pred"), col("b.doc_id").as("succ"))
+  }
+
+  /** q200 core (parameterized over the doc table for the law spec —
+    * crafted chains/cycles are unreachable at the gate SFs). `df` needs
+    * (doc_id, text, n_chars). */
+  private[graft] def chainReassembly(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = boundaryOverlap(df, c => call_function("md5_prefix60", c))
+    // eager checkpoint: CC re-reads its edge input every propagation
+    // round, and the window-bearing plan would lose AQE coalescing
+    // (same rule as rpEdges)
+    val links = pairs
+      .withColumn("outd", count(lit(1)).over(Window.partitionBy("pred")))
+      .withColumn("ind", count(lit(1)).over(Window.partitionBy("succ")))
+      .filter(col("outd") === 1L && col("ind") === 1L)
+      .select("pred", "succ")
+      .localCheckpoint(true)
+    val grp = graft.functions.GraphOps
+      .connectedComponents(links, "pred", "succ")
+      .select(col("id"), col("lbl"))
+    val ch = grp
+      .join(df.select(col("doc_id").as("id"), col("n_chars"))
+        .hint("shuffle_hash"), "id")
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars"))
+    val lc = links
+      .join(grp.hint("shuffle_hash"), col("pred") === col("id"))
+      .groupBy("lbl").agg(count(lit(1)).as("n_links"))
+    ch.join(lc, "lbl")
+      .groupBy(col("n_docs").cast("long").as("chain_len"))
+      .agg(count(lit(1)).cast("long").as("n_chains"),
+        sum("n_docs").cast("long").as("docs_total"),
+        sum("chars").cast("long").as("chars_total"),
+        sum(when(col("n_links") === col("n_docs"), 1L).otherwise(0L))
+          .cast("long").as("n_cycles"))
+      .orderBy("chain_len")
+  }
+
+  /** q201 core downstream of the candidate pairs (parameterized for the
+    * law spec). `pairs` needs (id_a, id_b, rdot); `lg` needs
+    * (doc_id, lang). */
+  private[graft] def bitextFromPairs(pairs: org.apache.spark.sql.DataFrame,
+      lg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sym = pairs.select(col("id_a").as("src"), col("id_b").as("nbr"),
+        col("rdot"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("nbr"),
+        col("rdot")))
+    val cand = sym
+      .join(lg.as("ls").hint("shuffle_hash"),
+        col("src") === col("ls.doc_id"))
+      .join(lg.as("ln").hint("shuffle_hash"),
+        col("nbr") === col("ln.doc_id"))
+      .filter(col("ls.lang") =!= col("ln.lang"))
+      .select(col("src"), col("ls.lang").as("lang_src"),
+        col("ln.lang").as("lang_tgt"), col("nbr"),
+        round(col("rdot") * 10000).cast("long").as("m"))
+    cand
+      .withColumn("r", row_number().over(
+        Window.partitionBy("src", "lang_tgt")
+          .orderBy(col("m").desc, col("nbr"))))
+      .filter(col("r") <= 2)
+      .groupBy("src", "lang_src", "lang_tgt")
+      .agg(max(when(col("r") === 1, col("m"))).as("m1"),
+        max(when(col("r") === 2, col("m"))).as("m2"))
+      .groupBy("lang_src", "lang_tgt")
+      .agg(count(lit(1)).cast("long").as("n_cands"),
+        sum(when(col("m2").isNull ||
+          col("m1") * 100L >= col("m2") * 105L, 1L).otherwise(0L))
+          .cast("long").as("n_accepted"),
+        sum(when(col("m2").isNull ||
+          col("m1") * 100L >= col("m2") * 105L, col("m1"))
+          .otherwise(0L)).cast("long").as("sim_sum"))
+      .orderBy("lang_src", "lang_tgt")
+  }
+
+  /** q205 core downstream of the candidate pairs (parameterized for the
+    * law spec). `pairs` needs (id_a, id_b, rdot); `src` needs
+    * (doc_id, source). */
+  private[graft] def overlapFromPairs(pairs: org.apache.spark.sql.DataFrame,
+      src: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sp = pairs
+      .join(src.as("da").hint("shuffle_hash"),
+        col("id_a") === col("da.doc_id"))
+      .join(src.as("db").hint("shuffle_hash"),
+        col("id_b") === col("db.doc_id"))
+      .select(least(col("da.source"), col("db.source")).as("src_1"),
+        greatest(col("da.source"), col("db.source")).as("src_2"),
+        col("id_a"), col("id_b"),
+        round(col("rdot") * 10000).cast("long").as("m"))
+      .localCheckpoint(true)
+    val dd = sp.select(col("src_1"), col("src_2"),
+        col("id_a").as("doc"))
+      .union(sp.select(col("src_1"), col("src_2"),
+        col("id_b").as("doc")))
+      .distinct()
+      .groupBy("src_1", "src_2").agg(count(lit(1)).as("n_docs"))
+    sp.groupBy("src_1", "src_2")
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        sum("m").cast("long").as("sim_sum"))
+      .join(dd, Seq("src_1", "src_2"))
+      .select(col("src_1"), col("src_2"), col("n_pairs"),
+        col("n_docs").cast("long").as("n_docs"), col("sim_sum"))
+      .orderBy("src_1", "src_2")
   }
 
   /** The q185 deterministic segmentation: non-overlapping 8-word windows
