@@ -1097,6 +1097,9 @@ object TextQueries {
       val dom = docs(s, d)
         .groupBy("lang", "source")
         .agg(sum(expr("n_chars div 4 + 1")).as("toks"))
+      // bounded domain table checkpointed: `tot` would otherwise re-plan
+      // the whole corpus scan+aggregate (two parquet scans — the q198
+      // lesson, verified in the plan)
       val w = dom
         .withColumn("s0",
           floor(sqrt(col("toks").cast("double"))).cast("long"))
@@ -1105,6 +1108,7 @@ object TextQueries {
             col("s0") + 1)
             .when(col("s0") * col("s0") > col("toks"), col("s0") - 1)
             .otherwise(col("s0")))
+        .localCheckpoint(true)
       val tot = w.agg(sum("wt").as("ww"),
         (sum("toks") / lit(2)).cast("long").as("b"))
       val alloc = w.crossJoin(broadcast(tot))
