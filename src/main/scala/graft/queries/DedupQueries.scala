@@ -24,6 +24,17 @@ object DedupQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.documents(s, d)
 
+  /** DuckDB mirror of the md5_prefix60 kernel (see TextQueries.md560):
+    * 7 + 8 nibbles, each half integer-exact in doubles, recombined in
+    * BIGINT (< 2^60). */
+  private def md560(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 8),
+       |      j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+       |           * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+       |    + CAST(list_sum(list_transform(range(8, 16),
+       |      j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+       |           * 16.0 ** (15 - j))) AS BIGINT)""".stripMargin
+
   /** Shared PQ layout for q138 (flat PQ) and q167 (IVF-PQ): M=4
     * subspaces × K=8 centroids, LUT slot index m*8 + cid (so the
     * 32-slot per-query array is laid out subspace-major), ADC adds the
@@ -2751,6 +2762,57 @@ object DedupQueries {
           col("r").cast("long").as("rk"), col("vec_id"),
           (round(col("dist2"), 4) + lit(0.0)).as("dist2"))
         .orderBy("label", "rk")
+    },
+
+    // WINNOWING FINGERPRINTS (Schleimer-Wilkerson-Aiken, the MOSS
+    // scheme) — the guarantee CDC (q115) and fixed shingles (q51) lack:
+    // every match of >= w+k-1 tokens shares a fingerprint, with density
+    // ~2/(w+1) instead of all-grams. fp_i = min over a w=4 window of
+    // 60-bit 5-gram hashes; per-doc distinct fps, then the corpus
+    // doc-frequency histogram (shared-fp mass = near-dup signal). Scale
+    // shape: grams hash to fixed width BEFORE the doc-keyed window
+    // exchange (8 B/gram); the window is doc-bounded; the distinct's
+    // partial agg collapses fully map-side (doc rows are co-located
+    // after the window); the fp exchange carries only the ~2/(w+1)
+    // winnowed mass. Output is bounded by the max doc-frequency.
+    Q(
+      "q209_winnowing",
+      s"""WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |kg AS (
+        |  SELECT doc_id, len(ws) - 4 AS nk,
+        |    unnest(range(1, len(ws) - 3)) AS p,
+        |    unnest(list_transform(range(1, len(ws) - 3),
+        |      i -> array_to_string(list_slice(ws, i, i + 4), ' '))) AS g
+        |  FROM tok WHERE len(ws) >= 5),
+        |kh AS (SELECT doc_id, nk, p, ${md560("g")} AS h FROM kg),
+        |wm AS (
+        |  SELECT doc_id, nk, p,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY p
+        |      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS fp
+        |  FROM kh),
+        |fps AS (SELECT DISTINCT doc_id, fp FROM wm WHERE p <= nk - 3),
+        |df AS (SELECT fp, count(*) AS nd FROM fps GROUP BY 1)
+        |SELECT CAST(nd AS BIGINT) AS doc_freq,
+        |  CAST(count(*) AS BIGINT) AS n_fps
+        |FROM df GROUP BY 1 ORDER BY doc_freq""".stripMargin
+    ) { (s, d) =>
+      val kh = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) >= 5)
+        .select(col("doc_id"), (size(col("ws")) - 4).as("nk"),
+          posexplode(TextOps.shingles(col("ws"), 5)).as(Seq("p", "g")))
+        .select(col("doc_id"), col("nk"), col("p"),
+          call_function("md5_prefix60", col("g")).as("h"))
+      val w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+      kh.select(col("doc_id"), col("nk"), col("p"),
+          min(col("h")).over(w).as("fp"))
+        .filter(col("p") <= col("nk") - 4) // 0-based: complete windows
+        .select("doc_id", "fp").distinct()
+        .groupBy("fp").agg(count(lit(1)).as("nd"))
+        .groupBy(col("nd").cast("long").as("doc_freq"))
+        .agg(count(lit(1)).cast("long").as("n_fps"))
+        .orderBy("doc_freq")
     }
   )
 

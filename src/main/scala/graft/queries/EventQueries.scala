@@ -1251,6 +1251,45 @@ object EventQueries {
           sum("viol").cast("long").as("violations"),
           sum("bad_start").cast("long").as("bad_starts"))
         .orderBy("viol_decile")
+    },
+
+    // CONTRIBUTION CAPPING — the differential-privacy prep every
+    // user-event release runs BEFORE adding noise: bound each user's
+    // contribution to their newest k=8 events (sensitivity control), and
+    // report per-event-type what the cap clips. A heavy user (bot, test
+    // account) otherwise dominates any histogram the release computes.
+    // Scale shape: ONE user-keyed window exchange (the op must rank
+    // every event; user groups are bounded post-cap but not pre-cap —
+    // rank, don't collect); the per-type rollup collapses map-side to
+    // |event_type| rows. Clipped share is ppm by integer floor division.
+    Q(
+      "q211_contribution_cap",
+      """WITH r AS (
+        |  SELECT event_type,
+        |    row_number() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT event_type, CAST(count(*) AS BIGINT) AS n_pre,
+        |  CAST(sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_post,
+        |  CAST(((count(*) - sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END))
+        |    * 1000000) // count(*) AS BIGINT) AS clipped_ppm
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      ev(s, d)
+        .select(col("event_type"), col("user_id"), col("ts"),
+          col("event_id"))
+        .withColumn("rn", row_number().over(w))
+        .groupBy("event_type")
+        .agg(count(lit(1)).cast("long").as("n_pre"),
+          sum(when(col("rn") <= 8, 1L).otherwise(0L)).cast("long")
+            .as("n_post"))
+        .select(col("event_type"), col("n_pre"), col("n_post"),
+          expr("((n_pre - n_post) * 1000000) div n_pre")
+            .as("clipped_ppm"))
+        .orderBy("event_type")
     }
   )
 

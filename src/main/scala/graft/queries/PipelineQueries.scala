@@ -27,6 +27,15 @@ object PipelineQueries {
   private def emb(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.embeddings(s, d)
 
+  /** DuckDB mirror of the md5_prefix60 kernel (see TextQueries.md560). */
+  private def md560(e: String): String =
+    s"""CAST(list_sum(list_transform(range(1, 8),
+       |      j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+       |           * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+       |    + CAST(list_sum(list_transform(range(8, 16),
+       |      j -> (strpos('0123456789abcdef', substr(md5($e), j, 1)) - 1)
+       |           * 16.0 ** (15 - j))) AS BIGINT)""".stripMargin
+
   val queries: Seq[Q] = Seq(
     // Per-document top-3 salient terms by TF-IDF (linear idf, see above).
     // Scale shape: explode -> (doc, term) partial agg; df is a reuse of
@@ -2084,6 +2093,61 @@ object PipelineQueries {
           (col("gm") * col("n_docs") - col("tok_sum")).cast("long")
             .as("waste_global"))
         .orderBy("bucket")
+    },
+
+    // RAG CHUNKING — the retrieval-side twin of q186's training-side
+    // packing: split every document into OVERLAPPING fixed token windows
+    // (32 tokens, stride 24 — the standard chunk-with-overlap RAG
+    // recipe; starts = 0, 24, ... while start < max(n-8, 1), so a final
+    // fragment shorter than the overlap never becomes its own chunk),
+    // then audit the chunk store: distinct chunk hashes, duplicate-chunk
+    // mass (what chunk-level dedup would reclaim) and hashes spanning
+    // sources (cross-source boilerplate entering the index). Scale
+    // shape: the chunk explode is map-only (starts from `sequence`,
+    // empty-guard OUTSIDE any binding); chunks hash to 60-bit keys
+    // BEFORE the only data-scale exchange (8 B + source per chunk); the
+    // countDistinct plans as two bounded-key aggregates; the final
+    // rollup is single-row.
+    Q(
+      "q208_rag_chunking",
+      s"""WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) > 0),
+        |ch AS (
+        |  SELECT source, array_to_string(
+        |      list_slice(ws, st + 1, least(st + 32, len(ws))), ' ') AS c
+        |  FROM tok, LATERAL (SELECT unnest(
+        |      range(0, greatest(len(ws) - 8, 1), 24)) AS st) starts),
+        |h AS (SELECT source, ${md560("c")} AS hc FROM ch),
+        |g AS (SELECT hc, count(*) AS n, count(DISTINCT source) AS ns
+        |      FROM h GROUP BY 1)
+        |SELECT CAST(count(*) AS BIGINT) AS n_hashes,
+        |  CAST(sum(n) AS BIGINT) AS n_chunks,
+        |  CAST(sum(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+        |    AS dup_chunks,
+        |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS xsource_hashes
+        |FROM g""".stripMargin
+    ) { (s, d) =>
+      val tok = docs(s, d)
+        .select(col("source"), TextOps.tokens(col("text")).as("ws"))
+        .filter(size(col("ws")) > 0)
+      tok
+        .select(col("source"), col("ws"),
+          explode(sequence(lit(0),
+            greatest(size(col("ws")) - 9, lit(0)), lit(24))).as("st"))
+        .select(col("source"),
+          call_function("md5_prefix60",
+            array_join(slice(col("ws"), col("st") + 1, lit(32)), " "))
+            .as("hc"))
+        .groupBy("hc")
+        .agg(count(lit(1)).as("n"), countDistinct(col("source")).as("ns"))
+        .agg(count(lit(1)).cast("long").as("n_hashes"),
+          sum("n").cast("long").as("n_chunks"),
+          sum(when(col("n") > 1L, col("n") - 1L).otherwise(0L))
+            .cast("long").as("dup_chunks"),
+          sum(when(col("ns") > 1L, 1L).otherwise(0L)).cast("long")
+            .as("xsource_hashes"))
     }
   )
 

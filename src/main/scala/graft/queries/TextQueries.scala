@@ -1293,6 +1293,74 @@ object TextQueries {
               "n_both * 1000000 div (na + nb - n_both)"))
             .cast("long").as("jaccard_ppm"))
         .orderBy("cat_a", "cat_b")
+    },
+
+    // COLLOCATION MINING — the phrase-lexicon pass a tokenizer/vocab
+    // curation pipeline runs before merging multiword units: rank
+    // bigrams by PMI-shaped strength c12²/(c1·c2) (corpus-size factor
+    // dropped — constant per corpus, ranking-invariant). The score is a
+    // DOUBLE but summation-free: two IEEE divisions in a fixed order are
+    // bit-identical cross-engine (no libm, no accumulation order). Scale
+    // shape: bigrams/unigrams hash to 60-bit keys BEFORE any exchange
+    // (q191's rule); the bigram-count aggregate carries min(bigram) as
+    // the narrow display payload; the unigram table is built ONCE and
+    // joined twice shuffle_hash (one subtree aliased twice — exchange
+    // reuse); the c12 >= 3 filter prunes the join build side to the
+    // repeated-pair mass; the final top-64 is TakeOrderedAndProject
+    // (never a global window).
+    Q(
+      "q210_collocations",
+      s"""WITH tok AS (
+        |  SELECT string_split(text, ' ') AS ws FROM documents),
+        |bg AS (
+        |  SELECT unnest(list_transform(range(1, len(ws)),
+        |      i -> ws[i] || ' ' || ws[i+1])) AS b,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i])) AS w1,
+        |    unnest(list_transform(range(1, len(ws)), i -> ws[i+1])) AS w2
+        |  FROM tok WHERE len(ws) >= 2),
+        |bh AS (SELECT ${md560("b")} AS hb, b,
+        |         ${md560("w1")} AS hw1, ${md560("w2")} AS hw2 FROM bg),
+        |cnt AS (SELECT hb, count(*) AS c12, min(b) AS bigram,
+        |          min(hw1) AS hw1, min(hw2) AS hw2
+        |        FROM bh GROUP BY 1),
+        |uni AS (SELECT ${md560("w")} AS hw, count(*) AS cu FROM
+        |        (SELECT unnest(ws) AS w FROM tok) GROUP BY 1)
+        |SELECT bigram, CAST(c12 AS BIGINT) AS c12,
+        |  ((CAST(c12 AS DOUBLE) * c12) / u1.cu) / u2.cu AS score
+        |FROM cnt
+        |JOIN uni u1 ON cnt.hw1 = u1.hw
+        |JOIN uni u2 ON cnt.hw2 = u2.hw
+        |WHERE c12 >= 3
+        |ORDER BY score DESC, bigram LIMIT 64""".stripMargin
+    ) { (s, d) =>
+      val tok = docs(s, d)
+        .select(TextOps.tokens(col("text")).as("ws"))
+      val bh = tok.filter(size(col("ws")) >= 2)
+        .select(col("ws"),
+          posexplode(TextOps.shingles(col("ws"), 2)).as(Seq("p", "b")))
+        .select(col("b"),
+          call_function("md5_prefix60", col("b")).as("hb"),
+          call_function("md5_prefix60",
+            element_at(col("ws"), col("p") + 1)).as("hw1"),
+          call_function("md5_prefix60",
+            element_at(col("ws"), col("p") + 2)).as("hw2"))
+      val cnt = bh.groupBy("hb")
+        .agg(count(lit(1)).as("c12"), min("b").as("bigram"),
+          min("hw1").as("hw1"), min("hw2").as("hw2"))
+        .filter(col("c12") >= 3L)
+      val uni = tok.select(explode(col("ws")).as("w"))
+        .select(call_function("md5_prefix60", col("w")).as("hw"))
+        .groupBy("hw").agg(count(lit(1)).as("cu"))
+      cnt
+        .join(uni.select(col("hw").as("hw1"), col("cu").as("cu1"))
+          .hint("shuffle_hash"), Seq("hw1"))
+        .join(uni.select(col("hw").as("hw2"), col("cu").as("cu2"))
+          .hint("shuffle_hash"), Seq("hw2"))
+        .select(col("bigram"), col("c12").cast("long").as("c12"),
+          (col("c12").cast("double") * col("c12") / col("cu1") /
+            col("cu2")).as("score"))
+        .orderBy(col("score").desc, col("bigram"))
+        .limit(64)
     }
   )
 
