@@ -2797,24 +2797,161 @@ object DedupQueries {
         |  CAST(count(*) AS BIGINT) AS n_fps
         |FROM df GROUP BY 1 ORDER BY doc_freq""".stripMargin
     ) { (s, d) =>
-      val kh = docs(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
-        .filter(size(col("ws")) >= 5)
-        .select(col("doc_id"), (size(col("ws")) - 4).as("nk"),
-          posexplode(TextOps.shingles(col("ws"), 5)).as(Seq("p", "g")))
-        .select(col("doc_id"), col("nk"), col("p"),
-          call_function("md5_prefix60", col("g")).as("h"))
-      val w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
-      kh.select(col("doc_id"), col("nk"), col("p"),
-          min(col("h")).over(w).as("fp"))
-        .filter(col("p") <= col("nk") - 4) // 0-based: complete windows
-        .select("doc_id", "fp").distinct()
+      winnowFps(docs(s, d))
         .groupBy("fp").agg(count(lit(1)).as("nd"))
         .groupBy(col("nd").cast("long").as("doc_freq"))
         .agg(count(lit(1)).cast("long").as("n_fps"))
         .orderBy("doc_freq")
+    },
+
+    // IVF RECALL EVAL — the embedding-side twin of q146's LSH recall
+    // gate: measure recall@10 of the q58-style IVF retriever (8 coarse
+    // cells, nprobe=2) against exact brute-force cosine truth on a fixed
+    // 8-probe set, BEFORE trusting the index for semdedup/retrieval.
+    // Scale shape: the centroid/probe seeds are two bounded memoized
+    // collects; cell assignment is an INLINE argmax over 8 broadcast
+    // centroid literals (the round-7 flat-path rule for K <= 16 — no
+    // corpus x K crossJoin, no aggregate); the probe fan-out is a
+    // broadcast crossJoin (x8); both top-10 lists come from ONE
+    // groupBy(qid) with two MinKAgg gathers (O(k) state, map-side
+    // combine — never a window over 8 giant partitions), the IVF side
+    // via a sentinel key so the twin aggregates fuse (q109 rule). Rank
+    // key is (-round(dot*1e4)) * 2^33 + vec_id — integer, tie-exact
+    // cross-engine, and the decode is pmod.
+    Q(
+      "q215_ivf_recall",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |probes AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+        |dots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+        |      AS dot
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY dot DESC, cid) AS rn FROM dots) t WHERE rn = 1),
+        |pr AS (
+        |  SELECT d.vec_id AS qid, d.cid FROM dots d
+        |  JOIN probes p ON d.vec_id = p.qid
+        |  QUALIFY row_number() OVER (PARTITION BY d.vec_id
+        |    ORDER BY dot DESC, cid) <= 2),
+        |bf AS (
+        |  SELECT p.qid, e.vec_id FROM probes p
+        |  JOIN embeddings e ON e.vec_id != p.qid
+        |  QUALIFY row_number() OVER (PARTITION BY p.qid ORDER BY
+        |    CAST(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) DESC, e.vec_id) <= 10),
+        |cand AS (
+        |  SELECT pr.qid, a.vec_id FROM pr
+        |  JOIN assign a ON a.cid = pr.cid AND a.vec_id != pr.qid),
+        |ivf AS (
+        |  SELECT c.qid, c.vec_id FROM cand c
+        |  JOIN embeddings e ON e.vec_id = c.vec_id
+        |  JOIN embeddings q ON q.vec_id = c.qid
+        |  QUALIFY row_number() OVER (PARTITION BY c.qid ORDER BY
+        |    CAST(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) DESC, c.vec_id) <= 10)
+        |SELECT b.qid, CAST(count(i.vec_id) AS BIGINT) AS hits,
+        |  CAST(count(i.vec_id) * 100000 AS BIGINT) AS recall_ppm
+        |FROM bf b LEFT JOIN ivf i
+        |  ON b.qid = i.qid AND b.vec_id = i.vec_id
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+    ) { (s, d) =>
+      import s.implicits._
+      import graft.functions.Aggregators
+      val (cents, probes) = ivfEvalSeeds(s, d)
+      val centStructs = cents.map { case (cid, cv) =>
+        struct(
+          call_function("dot_product", col("embedding"), typedLit(cv))
+            .as("dt"),
+          lit(-cid).as("negid"))
+      }
+      val assigned = emb(s, d).select(col("vec_id"), col("embedding"),
+        (-greatest(centStructs: _*).getField("negid")).as("cid"))
+      val probesDf = broadcast(
+        probes.toDF("qid", "qv", "cell1", "cell2"))
+      val M = 8589934592L // 2^33 id space for the encoded rank key
+      val minK10 = udaf(new Aggregators.MinKAgg(10),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val keyed = assigned.crossJoin(probesDf)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"),
+          (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+            * lit(-M) + col("vec_id")).as("key"),
+          (col("cid") === col("cell1") || col("cid") === col("cell2"))
+            .as("in_cell"))
+      keyed.groupBy("qid")
+        .agg(minK10(col("key")).as("bf"),
+          minK10(when(col("in_cell"), col("key"))
+            .otherwise(lit(Long.MaxValue))).as("ivf"))
+        .select(col("qid"),
+          size(array_intersect(
+            transform(col("bf"), k => pmod(k, lit(M))),
+            transform(col("ivf"), k => pmod(k, lit(M)))))
+            .cast("long").as("hits"))
+        .select(col("qid"), col("hits"),
+          (col("hits") * 100000L).as("recall_ppm"))
+        .orderBy("qid")
     }
   )
+
+  /** q209 core over any (doc_id, text) frame: per-doc DISTINCT winnowed
+    * fingerprints (w=4 window min over 60-bit 5-gram hashes). Factored
+    * for the crafted-topology law: any shared run of >= w+k-1 = 8 tokens
+    * between two docs guarantees a shared fingerprint. */
+  private[graft] def winnowFps(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val kh = d
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 5)
+      .select(col("doc_id"), (size(col("ws")) - 4).as("nk"),
+        posexplode(TextOps.shingles(col("ws"), 5)).as(Seq("p", "g")))
+      .select(col("doc_id"), col("nk"), col("p"),
+        call_function("md5_prefix60", col("g")).as("h"))
+    val w = Window.partitionBy("doc_id").orderBy("p").rowsBetween(0, 3)
+    kh.select(col("doc_id"), col("nk"), col("p"),
+        min(col("h")).over(w).as("fp"))
+      .filter(col("p") <= col("nk") - 4) // 0-based: complete windows
+      .select("doc_id", "fp").distinct()
+  }
+
+  /** Memoized IVF-eval seeds per data dir: the 8 centroids (vec_id < 8)
+    * and the 8 probes (10 <= vec_id < 18) with their nprobe=2 coarse
+    * cells, computed driver-side with the same left-to-right IEEE double
+    * fold DuckDB's list_sum uses — two bounded collects, not
+    * broadcast-scalar subqueries (round-8 rule). */
+  private val ivfSeeds = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float], Long, Long)])]
+  private def ivfEvalSeeds(s: org.apache.spark.sql.SparkSession, d: String)
+      : (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float], Long, Long)]) =
+    ivfSeeds.computeIfAbsent(d, { dir =>
+      def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .sortBy(_._1)
+      val probes = emb(s, dir)
+        .filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .sortBy(_._1)
+        .map { case (qid, qv) =>
+          val cells = cents.map { case (cid, cv) => (cid, dotD(qv, cv)) }
+            .sortBy { case (cid, dt) => (-dt, cid) }.take(2).map(_._1)
+          (qid, qv, cells(0), cells(1))
+        }
+      (cents, probes)
+    })
 
   /** q197 core, parameterized over the boundary hash so the law spec can
     * force cross-content collisions (unreachable with real 60-bit keys at

@@ -16,6 +16,17 @@ object EventQueries {
   private def ev(s: org.apache.spark.sql.SparkSession, d: String) =
     Tables.events(s, d)
 
+  /** Memoized max(unix_micros(ts)) per data dir (q213's decay anchor):
+    * one 1-column aggregate job instead of a broadcast-scalar subquery,
+    * which would serialize its consumers' stages (round-8 rule, same as
+    * TextQueries.maxDocId). */
+  private val maxTsUs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]
+  private def maxTsMicros(s: org.apache.spark.sql.SparkSession,
+      d: String): Long =
+    maxTsUs.computeIfAbsent(d,
+      dir => ev(s, dir).agg(max(expr("unix_micros(ts)"))).head().getLong(0))
+
   /** Non-SQL-expressible entries (rows-only driver check): multimodal
     * decode plumbing — the featurize step runs per-partition via
     * mapPartitions; not expressible as DuckDB SQL over the input tables. */
@@ -1275,23 +1286,70 @@ object EventQueries {
         |  CAST(((count(*) - sum(CASE WHEN rn <= 8 THEN 1 ELSE 0 END))
         |    * 1000000) // count(*) AS BIGINT) AS clipped_ppm
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin
+    ) { (s, d) => contributionCap(ev(s, d)) },
+
+    // FRESHNESS-DECAYED ENGAGEMENT — the time-decay weighting a
+    // recency-aware sampler applies before drawing training interactions:
+    // each positive-value event contributes floor(value*1000) halved per
+    // 7-day age epoch (integer shift — no libm exp, no double
+    // accumulation), summed per user; output is the log2 histogram of
+    // user scores (length(bin(x)) is integer-exact in both engines).
+    // Scale shape: the decay anchor is a memoized driver-side
+    // max(unix_micros) (broadcast-scalar subqueries serialize consumer
+    // stages); the weight is a pure map; the user aggregate collapses
+    // map-side; the histogram exchange is |buckets|-bounded.
+    Q(
+      "q213_freshness",
+      """WITH mx AS (SELECT max(epoch_us(ts)) AS m FROM events),
+        |w AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 1000) AS BIGINT) //
+        |      (1 << least((mx.m - epoch_us(ts)) // 604800000000, 40))
+        |      AS wt
+        |  FROM events, mx WHERE value IS NOT NULL AND value > 0),
+        |u AS (SELECT user_id, sum(wt) AS score FROM w GROUP BY user_id)
+        |SELECT CAST(length(bin(score)) AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(score) AS BIGINT) AS mass
+        |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin
     ) { (s, d) =>
-      val w = Window.partitionBy("user_id")
-        .orderBy(col("ts").desc, col("event_id").desc)
+      val mx = maxTsMicros(s, d)
       ev(s, d)
-        .select(col("event_type"), col("user_id"), col("ts"),
-          col("event_id"))
-        .withColumn("rn", row_number().over(w))
-        .groupBy("event_type")
-        .agg(count(lit(1)).cast("long").as("n_pre"),
-          sum(when(col("rn") <= 8, 1L).otherwise(0L)).cast("long")
-            .as("n_post"))
-        .select(col("event_type"), col("n_pre"), col("n_post"),
-          expr("((n_pre - n_post) * 1000000) div n_pre")
-            .as("clipped_ppm"))
-        .orderBy("event_type")
+        .filter(col("value").isNotNull && col("value") > 0)
+        .select(col("user_id"),
+          expr(s"""cast(floor(value * 1000) AS bigint) div
+            shiftleft(cast(1 AS bigint),
+              cast(least(($mx - unix_micros(ts)) div 604800000000, 40)
+                AS int))""").as("wt"))
+        .groupBy("user_id")
+        .agg(sum("wt").as("score"))
+        .groupBy(expr("cast(length(bin(score)) AS bigint)").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_users"),
+          sum("score").cast("long").as("mass"))
+        .orderBy("bucket")
     }
   )
+
+  /** q211 core over any (event_id, ts, user_id, event_type) frame: rank
+    * each user's events newest-first, keep k=8, report per-type clipped
+    * mass. Factored for crafted laws (exact cap per user, ppm
+    * arithmetic). */
+  private[graft] def contributionCap(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    e.select(col("event_type"), col("user_id"), col("ts"),
+        col("event_id"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_pre"),
+        sum(when(col("rn") <= 8, 1L).otherwise(0L)).cast("long")
+          .as("n_post"))
+      .select(col("event_type"), col("n_pre"), col("n_post"),
+        expr("((n_pre - n_post) * 1000000) div n_pre")
+          .as("clipped_ppm"))
+      .orderBy("event_type")
+  }
 
   /** q196 core, parameterized over the pseudonym hash so the law spec can
     * force collisions (impossible to reach with the real salted 60-bit

@@ -2128,28 +2128,88 @@ object PipelineQueries {
         |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT)
         |    AS xsource_hashes
         |FROM g""".stripMargin
+    ) { (s, d) => ragChunkStats(docs(s, d)) },
+
+    // CURRICULUM BUCKETS — order the corpus easy-to-hard (difficulty =
+    // mean word length in centichars, the cheap fluency proxy) and cut
+    // it into 10 rank-deciles for staged training. Bucket boundaries
+    // come from the DISTINCT-SCORE histogram, not a global row_number:
+    // bucket(score) = floor(10 * #docs-strictly-below / N), so ties
+    // never split across buckets and no single-partition corpus window
+    // ever forms (the q16 percentile shape). Scale: one corpus scan into
+    // the bounded score histogram (map-side collapse), checkpointed so
+    // the scalar N does not re-plan the scan (q203 lesson); the
+    // cumulative window runs over the bounded histogram only; the
+    // score->bucket table broadcasts back onto a second map-side pass.
+    Q(
+      "q212_curriculum",
+      """WITH sc AS (
+        |  SELECT (n_chars * 100) // len(string_split(text, ' ')) AS score,
+        |    len(string_split(text, ' ')) AS n_words
+        |  FROM documents),
+        |h AS (SELECT score, count(*) AS c FROM sc GROUP BY score),
+        |tot AS (SELECT sum(c) AS n FROM h),
+        |b AS (
+        |  SELECT score, coalesce(sum(c) OVER (ORDER BY score
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS below
+        |  FROM h),
+        |bk AS (SELECT score, (below * 10) // tot.n AS bucket
+        |       FROM b, tot)
+        |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(min(sc.score) AS BIGINT) AS min_score,
+        |  CAST(max(sc.score) AS BIGINT) AS max_score,
+        |  CAST(sum(n_words) AS BIGINT) AS words
+        |FROM sc JOIN bk USING (score)
+        |GROUP BY bucket ORDER BY bucket""".stripMargin
     ) { (s, d) =>
-      val tok = docs(s, d)
-        .select(col("source"), TextOps.tokens(col("text")).as("ws"))
-        .filter(size(col("ws")) > 0)
-      tok
-        .select(col("source"), col("ws"),
-          explode(sequence(lit(0),
-            greatest(size(col("ws")) - 9, lit(0)), lit(24))).as("st"))
-        .select(col("source"),
-          call_function("md5_prefix60",
-            array_join(slice(col("ws"), col("st") + 1, lit(32)), " "))
-            .as("hc"))
-        .groupBy("hc")
-        .agg(count(lit(1)).as("n"), countDistinct(col("source")).as("ns"))
-        .agg(count(lit(1)).cast("long").as("n_hashes"),
-          sum("n").cast("long").as("n_chunks"),
-          sum(when(col("n") > 1L, col("n") - 1L).otherwise(0L))
-            .cast("long").as("dup_chunks"),
-          sum(when(col("ns") > 1L, 1L).otherwise(0L)).cast("long")
-            .as("xsource_hashes"))
+      val sc = docs(s, d)
+        .select(col("n_chars"), TextOps.tokens(col("text")).as("ws"))
+        .select(
+          expr("(n_chars * 100) div cast(size(ws) AS bigint)")
+            .as("score"),
+          size(col("ws")).cast("long").as("n_words"))
+      val h = sc.groupBy("score").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true)
+      val wb = Window.orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val bk = h
+        .withColumn("below", coalesce(sum("c").over(wb), lit(0L)))
+        .crossJoin(broadcast(h.agg(sum("c").as("n"))))
+        .select(col("score"), expr("(below * 10) div n").as("bucket"))
+      sc.join(broadcast(bk), Seq("score"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          min("score").cast("long").as("min_score"),
+          max("score").cast("long").as("max_score"),
+          sum("n_words").cast("long").as("words"))
+        .orderBy("bucket")
     }
   )
+
+  /** q208 core over any (source, text) frame: overlapping 32/24 chunk
+    * explode -> 60-bit chunk hashes -> chunk-store dup audit. Factored
+    * for crafted-input laws (chunk-count/coverage under hand-built token
+    * counts). */
+  private[graft] def ragChunkStats(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("source"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+      .select(col("source"), col("ws"),
+        explode(sequence(lit(0),
+          greatest(size(col("ws")) - 9, lit(0)), lit(24))).as("st"))
+      .select(col("source"),
+        call_function("md5_prefix60",
+          array_join(slice(col("ws"), col("st") + 1, lit(32)), " "))
+          .as("hc"))
+      .groupBy("hc")
+      .agg(count(lit(1)).as("n"), countDistinct(col("source")).as("ns"))
+      .agg(count(lit(1)).cast("long").as("n_hashes"),
+        sum("n").cast("long").as("n_chunks"),
+        sum(when(col("n") > 1L, col("n") - 1L).otherwise(0L))
+          .cast("long").as("dup_chunks"),
+        sum(when(col("ns") > 1L, 1L).otherwise(0L)).cast("long")
+          .as("xsource_hashes"))
 
   /** q186 core, parameterized over the shard width: the two-phase global
     * running offset (bounded per-shard base table + intra-shard window)

@@ -1332,37 +1332,87 @@ object TextQueries {
         |JOIN uni u2 ON cnt.hw2 = u2.hw
         |WHERE c12 >= 3
         |ORDER BY score DESC, bigram LIMIT 64""".stripMargin
+    ) { (s, d) => collocations(docs(s, d)) },
+
+    // TOKENIZER FERTILITY — the tokenizer-eval metric (tokens per word,
+    // chars per token) a vocab team tracks per language before and after
+    // a merge-table change: high fertility = the tokenizer fragments
+    // that language's words (worse compression, longer sequences).
+    // Subword count per word is the deterministic ceil(len/4) BPE-piece
+    // proxy. Scale shape: a pure map stage (the per-word fold runs over
+    // ONE bound token array — no explode, no per-word rows) into a
+    // |lang|-bounded aggregate that collapses map-side; ratios are
+    // integer floor divisions on the SUMS, so nothing double-accumulates
+    // cross-engine.
+    Q(
+      "q214_tokenizer_fertility",
+      """WITH t AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS words,
+        |    list_sum(list_transform(string_split(text, ' '),
+        |      w -> (length(w) + 3) // 4)) AS toks,
+        |    n_chars
+        |  FROM documents)
+        |SELECT lang, CAST(sum(words) AS BIGINT) AS words,
+        |  CAST(sum(toks) AS BIGINT) AS toks,
+        |  CAST((sum(toks) * 1000000) // sum(words) AS BIGINT)
+        |    AS fertility_ppm,
+        |  CAST((sum(n_chars) * 100) // sum(toks) AS BIGINT)
+        |    AS chars_per_tok_c
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
     ) { (s, d) =>
-      val tok = docs(s, d)
-        .select(TextOps.tokens(col("text")).as("ws"))
-      val bh = tok.filter(size(col("ws")) >= 2)
-        .select(col("ws"),
-          posexplode(TextOps.shingles(col("ws"), 2)).as(Seq("p", "b")))
-        .select(col("b"),
-          call_function("md5_prefix60", col("b")).as("hb"),
-          call_function("md5_prefix60",
-            element_at(col("ws"), col("p") + 1)).as("hw1"),
-          call_function("md5_prefix60",
-            element_at(col("ws"), col("p") + 2)).as("hw2"))
-      val cnt = bh.groupBy("hb")
-        .agg(count(lit(1)).as("c12"), min("b").as("bigram"),
-          min("hw1").as("hw1"), min("hw2").as("hw2"))
-        .filter(col("c12") >= 3L)
-      val uni = tok.select(explode(col("ws")).as("w"))
-        .select(call_function("md5_prefix60", col("w")).as("hw"))
-        .groupBy("hw").agg(count(lit(1)).as("cu"))
-      cnt
-        .join(uni.select(col("hw").as("hw1"), col("cu").as("cu1"))
-          .hint("shuffle_hash"), Seq("hw1"))
-        .join(uni.select(col("hw").as("hw2"), col("cu").as("cu2"))
-          .hint("shuffle_hash"), Seq("hw2"))
-        .select(col("bigram"), col("c12").cast("long").as("c12"),
-          (col("c12").cast("double") * col("c12") / col("cu1") /
-            col("cu2")).as("score"))
-        .orderBy(col("score").desc, col("bigram"))
-        .limit(64)
+      import graft.functions.ArrayOps
+      docs(s, d)
+        .select(col("lang"), col("n_chars"),
+          size(TextOps.tokens(col("text"))).cast("long").as("words"),
+          ArrayOps.bindOnce(TextOps.tokens(col("text"))) { ws =>
+            aggregate(ws, lit(0L),
+              (acc, w) => acc + shiftright(length(w) + lit(3), 2)
+                .cast("long"))
+          }.as("toks"))
+        .groupBy("lang")
+        .agg(sum("words").cast("long").as("words"),
+          sum("toks").cast("long").as("toks"),
+          expr("(sum(toks) * 1000000) div sum(words)")
+            .as("fertility_ppm"),
+          expr("(sum(n_chars) * 100) div sum(toks)")
+            .as("chars_per_tok_c"))
+        .orderBy("lang")
     }
   )
+
+  /** q210 core over any (text) frame: PMI-shaped bigram lexicon, top-64.
+    * Factored for crafted-corpus laws (always-paired bigram scores
+    * exactly 1.0; Cauchy-Schwarz bound score <= 1). */
+  private[graft] def collocations(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val tok = d.select(TextOps.tokens(col("text")).as("ws"))
+    val bh = tok.filter(size(col("ws")) >= 2)
+      .select(col("ws"),
+        posexplode(TextOps.shingles(col("ws"), 2)).as(Seq("p", "b")))
+      .select(col("b"),
+        call_function("md5_prefix60", col("b")).as("hb"),
+        call_function("md5_prefix60",
+          element_at(col("ws"), col("p") + 1)).as("hw1"),
+        call_function("md5_prefix60",
+          element_at(col("ws"), col("p") + 2)).as("hw2"))
+    val cnt = bh.groupBy("hb")
+      .agg(count(lit(1)).as("c12"), min("b").as("bigram"),
+        min("hw1").as("hw1"), min("hw2").as("hw2"))
+      .filter(col("c12") >= 3L)
+    val uni = tok.select(explode(col("ws")).as("w"))
+      .select(call_function("md5_prefix60", col("w")).as("hw"))
+      .groupBy("hw").agg(count(lit(1)).as("cu"))
+    cnt
+      .join(uni.select(col("hw").as("hw1"), col("cu").as("cu1"))
+        .hint("shuffle_hash"), Seq("hw1"))
+      .join(uni.select(col("hw").as("hw2"), col("cu").as("cu2"))
+        .hint("shuffle_hash"), Seq("hw2"))
+      .select(col("bigram"), col("c12").cast("long").as("c12"),
+        (col("c12").cast("double") * col("c12") / col("cu1") /
+          col("cu2")).as("score"))
+      .orderBy(col("score").desc, col("bigram"))
+      .limit(64)
+  }
 
   /** The BPE induction loop shared by q142 (emits the merge table) and
     * q148 (applies it to encode). Corpus-scale stage: distributed word
