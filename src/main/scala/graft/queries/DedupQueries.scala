@@ -2863,43 +2863,248 @@ object DedupQueries {
         |  ON b.qid = i.qid AND b.vec_id = i.vec_id
         |GROUP BY b.qid ORDER BY b.qid""".stripMargin
     ) { (s, d) =>
+      val (cents, probes) = ivfEvalSeeds(s, d)
+      ivfRecallCore(s, emb(s, d), cents, probes)
+    },
+
+    // HARD-NEGATIVE MINING — the contrastive-training prep every
+    // retrieval/embedding fine-tune runs: for each anchor, the top-5
+    // highest-cosine vectors with a DIFFERENT label (near-misses that
+    // teach the margin; easy negatives are worthless). Scale shape: the
+    // 8 anchors are one bounded memoized collect broadcast across a
+    // map-side cross join (×8); top-5 per anchor is a MinKAgg gather
+    // (O(k) state, never a window over 8 corpus-scale partitions); the
+    // negative's id AND label ride the rank key's low bits
+    // ((-rq)·2³⁷ + vec_id·16 + label), so no join-back scan is needed
+    // to report them. rdot is re-derived from the key — one integer per
+    // candidate ever crosses the exchange.
+    Q(
+      "q216_hard_negatives",
+      """WITH probes AS (SELECT vec_id AS qid, embedding AS qv,
+        |    label AS ql
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+        |hn AS (
+        |  SELECT p.qid, e.vec_id, e.label,
+        |    CAST(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) AS rq
+        |  FROM probes p JOIN embeddings e
+        |    ON e.vec_id != p.qid AND e.label != p.ql
+        |  QUALIFY row_number() OVER (PARTITION BY p.qid
+        |    ORDER BY rq DESC, e.vec_id) <= 5)
+        |SELECT qid,
+        |  CAST(row_number() OVER (PARTITION BY qid
+        |    ORDER BY rq DESC, vec_id) AS BIGINT) AS rk,
+        |  vec_id, CAST(label AS BIGINT) AS neg_label,
+        |  CAST(rq AS DOUBLE) / 10000 AS rdot
+        |FROM hn ORDER BY qid, rk""".stripMargin
+    ) { (s, d) =>
       import s.implicits._
       import graft.functions.Aggregators
-      val (cents, probes) = ivfEvalSeeds(s, d)
-      val centStructs = cents.map { case (cid, cv) =>
-        struct(
-          call_function("dot_product", col("embedding"), typedLit(cv))
-            .as("dt"),
-          lit(-cid).as("negid"))
-      }
-      val assigned = emb(s, d).select(col("vec_id"), col("embedding"),
-        (-greatest(centStructs: _*).getField("negid")).as("cid"))
-      val probesDf = broadcast(
-        probes.toDF("qid", "qv", "cell1", "cell2"))
-      val M = 8589934592L // 2^33 id space for the encoded rank key
-      val minK10 = udaf(new Aggregators.MinKAgg(10),
+      val probes = hardNegProbes(s, d)
+      val probesDf = broadcast(probes.toDF("qid", "qv", "ql"))
+      val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
+      val minK5 = udaf(new Aggregators.MinKAgg(5),
         org.apache.spark.sql.Encoders.scalaLong)
-      val keyed = assigned.crossJoin(probesDf)
-        .filter(col("vec_id") =!= col("qid"))
+      emb(s, d).crossJoin(probesDf)
+        .filter(col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
         .select(col("qid"),
           (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
-            * lit(-M) + col("vec_id")).as("key"),
-          (col("cid") === col("cell1") || col("cid") === col("cell2"))
-            .as("in_cell"))
-      keyed.groupBy("qid")
-        .agg(minK10(col("key")).as("bf"),
-          minK10(when(col("in_cell"), col("key"))
-            .otherwise(lit(Long.MaxValue))).as("ivf"))
+            * lit(-M) + col("vec_id") * 16L + col("label")).as("key"))
+        .groupBy("qid")
+        .agg(minK5(col("key")).as("ks"))
+        .select(col("qid"), posexplode(col("ks")).as(Seq("p", "key")))
+        .select(col("qid"), (col("p") + 1L).cast("long").as("rk"),
+          expr(s"pmod(key, ${M}L) div 16").as("vec_id"),
+          expr(s"pmod(key, ${M}L) % 16").as("neg_label"),
+          // rq = (low - key) / M exactly (Spark `div` TRUNCATES toward
+          // zero and key is negative — a bare `-(key div M)` reads one
+          // low whenever low > 0)
+          (expr(s"(pmod(key, ${M}L) - key) div ${M}L").cast("double")
+            / 10000d).as("rdot"))
+        .orderBy("qid", "rk")
+    },
+
+    // PQ DISTORTION AUDIT — q138/q167 trust the 4x8 product quantizer;
+    // this measures what it costs: among each probe's top-16 ADC
+    // candidates, the pairwise rank inversions between ADC and exact
+    // dot (Kendall-style discordance in ppm) — the validate-the-index
+    // gate a retrieval team runs before shipping a codebook change.
+    // Scale shape: codes/ADC are the q138 map-side stages (broadcast
+    // codebook, broadcast 32-slot LUTs, fixed-order ADC adds); top-16
+    // per probe is a MinKAgg gather (never a window over 3 corpus-scale
+    // partitions — q138's output window is the shape this query
+    // deliberately improves on); everything after the gather is a
+    // 48-row table, eagerly checkpointed so the pair self-join does not
+    // re-plan the corpus subtree (self-join doctrine).
+    Q(
+      "q217_pq_distortion",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |subdots AS (
+        |  SELECT e.vec_id, c.cid, m.m,
+        |    list_sum(list_transform(range(1, 17),
+        |      i -> CAST(e.embedding[m.m * 16 + i] AS DOUBLE) *
+        |           CAST(c.cv[m.m * 16 + i] AS DOUBLE))) AS d
+        |  FROM embeddings e, cent c,
+        |       (SELECT unnest(range(0, 4)) AS m) m),
+        |codes AS (
+        |  SELECT vec_id, m, cid FROM (
+        |    SELECT vec_id, m, cid,
+        |      row_number() OVER (PARTITION BY vec_id, m
+        |        ORDER BY d DESC, cid) AS rn
+        |    FROM subdots) t WHERE rn = 1),
+        |adc AS (
+        |  SELECT l.vec_id AS qid, k.vec_id,
+        |    CAST(round((max(CASE WHEN l.m = 0 THEN l.d END) +
+        |                max(CASE WHEN l.m = 1 THEN l.d END) +
+        |                max(CASE WHEN l.m = 2 THEN l.d END) +
+        |                max(CASE WHEN l.m = 3 THEN l.d END)) * 10000)
+        |      AS BIGINT) AS adc_q
+        |  FROM subdots l JOIN codes k ON l.m = k.m AND l.cid = k.cid
+        |  WHERE l.vec_id IN (20, 21, 22) AND k.vec_id != l.vec_id
+        |  GROUP BY l.vec_id, k.vec_id),
+        |top AS (
+        |  SELECT qid, vec_id, adc_q FROM adc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY adc_q DESC, vec_id) <= 16),
+        |ex AS (
+        |  SELECT t.qid, t.vec_id, t.adc_q,
+        |    CAST(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) *
+        |           CAST(q.embedding[i] AS DOUBLE))) * 10000) AS BIGINT)
+        |      AS ex_q
+        |  FROM top t JOIN embeddings e ON e.vec_id = t.vec_id
+        |  JOIN embeddings q ON q.vec_id = t.qid),
+        |pairs AS (
+        |  SELECT a.qid,
+        |    sum(CASE WHEN (a.adc_q > b.adc_q AND a.ex_q < b.ex_q)
+        |           OR (a.adc_q < b.adc_q AND a.ex_q > b.ex_q)
+        |        THEN 1 ELSE 0 END) AS inv,
+        |    count(*) AS np
+        |  FROM ex a JOIN ex b ON a.qid = b.qid AND a.vec_id < b.vec_id
+        |  GROUP BY a.qid)
+        |SELECT qid, CAST(inv AS BIGINT) AS inversions,
+        |  CAST(np AS BIGINT) AS n_pairs,
+        |  CAST((inv * 1000000) // np AS BIGINT) AS distortion_ppm
+        |FROM pairs ORDER BY qid""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.Aggregators
+      val qids = Seq(20L, 21L, 22L)
+      val e = emb(s, d)
+      val cent = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val dcols = (0 until 4).map(m => TextOps.dot(
+        slice(col("embedding"), m * 16 + 1, 16),
+        slice(col("cv"), m * 16 + 1, 16)).as(s"d$m"))
+      val withD = e.crossJoin(broadcast(cent))
+        .select(Seq(col("vec_id"), col("cid")) ++ dcols: _*)
+      val codes = withD.groupBy("vec_id").agg(
+        max_by(col("cid"), struct(col("d0"), -col("cid"))).as("c0"),
+        max_by(col("cid"), struct(col("d1"), -col("cid"))).as("c1"),
+        max_by(col("cid"), struct(col("d2"), -col("cid"))).as("c2"),
+        max_by(col("cid"), struct(col("d3"), -col("cid"))).as("c3"))
+      val lutArr = Pq.lutArr(withD, qids)
+      val M = 8589934592L // 2^33
+      val minK16 = udaf(new Aggregators.MinKAgg(16),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val top = codes.crossJoin(broadcast(lutArr))
+        .filter(col("vec_id") =!= col("qid"))
         .select(col("qid"),
-          size(array_intersect(
-            transform(col("bf"), k => pmod(k, lit(M))),
-            transform(col("ivf"), k => pmod(k, lit(M)))))
-            .cast("long").as("hits"))
-        .select(col("qid"), col("hits"),
-          (col("hits") * 100000L).as("recall_ppm"))
+          (expr("cast(round((" +
+            "element_at(lut, cast(c0 AS int) + 1) + " +
+            "element_at(lut, cast(c1 AS int) + 9) + " +
+            "element_at(lut, cast(c2 AS int) + 17) + " +
+            "element_at(lut, cast(c3 AS int) + 25)) * 10000) AS bigint)")
+            * lit(-M) + col("vec_id")).as("key"))
+        .groupBy("qid")
+        .agg(minK16(col("key")).as("ks"))
+        .select(col("qid"), explode(col("ks")).as("key"))
+        .select(col("qid"), expr(s"pmod(key, ${M}L)").as("vec_id"),
+          // exact quotient of the negative key (Spark div truncates)
+          expr(s"(pmod(key, ${M}L) - key) div ${M}L").as("adc_q"))
+      val ex = e.select(col("vec_id"), col("embedding").as("ev"))
+        .join(broadcast(top), Seq("vec_id"))
+        .join(broadcast(e.filter(col("vec_id").isin(qids: _*))
+          .select(col("vec_id").as("qid"), col("embedding").as("qv"))),
+          Seq("qid"))
+        .select(col("qid"), col("vec_id"), col("adc_q"),
+          expr("cast(round(dot_product(ev, qv) * 10000) AS bigint)")
+            .as("ex_q"))
+        .localCheckpoint(true)
+      val a = ex.select(col("qid"), col("vec_id").as("va"),
+        col("adc_q").as("aa"), col("ex_q").as("ea"))
+      val b = ex.select(col("qid"), col("vec_id").as("vb"),
+        col("adc_q").as("ab"), col("ex_q").as("eb"))
+      a.join(b, Seq("qid")).filter(col("va") < col("vb"))
+        .groupBy("qid")
+        .agg(sum(when((col("aa") > col("ab") && col("ea") < col("eb")) ||
+            (col("aa") < col("ab") && col("ea") > col("eb")), 1L)
+            .otherwise(0L)).cast("long").as("inversions"),
+          count(lit(1)).cast("long").as("n_pairs"))
+        .select(col("qid"), col("inversions"), col("n_pairs"),
+          expr("(inversions * 1000000) div n_pairs")
+            .as("distortion_ppm"))
         .orderBy("qid")
     }
   )
+
+  /** Memoized hard-negative probe seeds (vec_id, embedding, label) for
+    * q216 — one bounded collect per data dir. */
+  private val hnProbes = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Float], Int)]]
+  private def hardNegProbes(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Long, Seq[Float], Int)] =
+    hnProbes.computeIfAbsent(d, { dir =>
+      emb(s, dir).filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        .select("vec_id", "embedding", "label").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+        .sortBy(_._1)
+    })
+
+  /** q215 core over any (vec_id, embedding) frame plus explicit
+    * centroid/probe seeds. Factored for crafted-cell laws (all-one-cell
+    * corpus must give recall 10/10). */
+  private[graft] def ivfRecallCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      probes: Seq[(Long, Seq[Float], Long, Long)])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val centStructs = cents.map { case (cid, cv) =>
+      struct(
+        call_function("dot_product", col("embedding"), typedLit(cv))
+          .as("dt"),
+        lit(-cid).as("negid"))
+    }
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (-greatest(centStructs: _*).getField("negid")).as("cid"))
+    val probesDf = broadcast(
+      probes.toDF("qid", "qv", "cell1", "cell2"))
+    val M = 8589934592L // 2^33 id space for the encoded rank key
+    val minK10 = udaf(new Aggregators.MinKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val keyed = assigned.crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+          * lit(-M) + col("vec_id")).as("key"),
+        (col("cid") === col("cell1") || col("cid") === col("cell2"))
+          .as("in_cell"))
+    keyed.groupBy("qid")
+      .agg(minK10(col("key")).as("bf"),
+        minK10(when(col("in_cell"), col("key"))
+          .otherwise(lit(Long.MaxValue))).as("ivf"))
+      .select(col("qid"),
+        size(array_intersect(
+          transform(col("bf"), k => pmod(k, lit(M))),
+          transform(col("ivf"), k => pmod(k, lit(M)))))
+          .cast("long").as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits") * 100000L).as("recall_ppm"))
+      .orderBy("qid")
+  }
 
   /** q209 core over any (doc_id, text) frame: per-doc DISTINCT winnowed
     * fingerprints (w=4 window min over 60-bit 5-gram hashes). Factored

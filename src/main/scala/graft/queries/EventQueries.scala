@@ -1312,23 +1312,25 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(score) AS BIGINT) AS mass
         |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin
-    ) { (s, d) =>
-      val mx = maxTsMicros(s, d)
-      ev(s, d)
-        .filter(col("value").isNotNull && col("value") > 0)
-        .select(col("user_id"),
-          expr(s"""cast(floor(value * 1000) AS bigint) div
-            shiftleft(cast(1 AS bigint),
-              cast(least(($mx - unix_micros(ts)) div 604800000000, 40)
-                AS int))""").as("wt"))
-        .groupBy("user_id")
-        .agg(sum("wt").as("score"))
-        .groupBy(expr("cast(length(bin(score)) AS bigint)").as("bucket"))
-        .agg(count(lit(1)).cast("long").as("n_users"),
-          sum("score").cast("long").as("mass"))
-        .orderBy("bucket")
-    }
+    ) { (s, d) => freshnessCore(ev(s, d), maxTsMicros(s, d)) }
   )
+
+  /** q213 core over any (user_id, ts, value) frame and a fixed decay
+    * anchor (micros). Factored for crafted decay laws. */
+  private[graft] def freshnessCore(e: org.apache.spark.sql.DataFrame,
+      mxUs: Long): org.apache.spark.sql.DataFrame =
+    e.filter(col("value").isNotNull && col("value") > 0)
+      .select(col("user_id"),
+        expr(s"""cast(floor(value * 1000) AS bigint) div
+          shiftleft(cast(1 AS bigint),
+            cast(least(($mxUs - unix_micros(ts)) div 604800000000, 40)
+              AS int))""").as("wt"))
+      .groupBy("user_id")
+      .agg(sum("wt").as("score"))
+      .groupBy(expr("cast(length(bin(score)) AS bigint)").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum("score").cast("long").as("mass"))
+      .orderBy("bucket")
 
   /** q211 core over any (event_id, ts, user_id, event_type) frame: rank
     * each user's events newest-first, keep k=8, report per-type clipped

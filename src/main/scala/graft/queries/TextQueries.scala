@@ -1399,9 +1399,16 @@ object TextQueries {
       .agg(count(lit(1)).as("c12"), min("b").as("bigram"),
         min("hw1").as("hw1"), min("hw2").as("hw2"))
       .filter(col("c12") >= 3L)
+    // Checkpointed: the unigram table has TWO consumers (the hw1 and
+    // hw2 joins) and ReuseExchange does NOT dedup the two aliased
+    // subtrees (verified in the plan — three corpus scans without it);
+    // the barrier makes both joins read one vocab-scale materialization.
+    // DISK_ONLY: vocab scales with the corpus (q183 lesson).
     val uni = tok.select(explode(col("ws")).as("w"))
       .select(call_function("md5_prefix60", col("w")).as("hw"))
       .groupBy("hw").agg(count(lit(1)).as("cu"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     cnt
       .join(uni.select(col("hw").as("hw1"), col("cu").as("cu1"))
         .hint("shuffle_hash"), Seq("hw1"))

@@ -515,6 +515,57 @@ object EventStreams {
           out.result().iterator
       }(e1, e2)
 
+  final case class CapEv(event_id: Long, user_id: Long, ts_us: Long,
+      event_type: String)
+  final case class CapEvDecision(user_id: Long, event_id: Long,
+      event_type: String, kept: Boolean)
+
+  /** Streaming CONTRIBUTION CAPPING — the stream twin of q211's DP
+    * sensitivity prep: per user, keep only the NEWEST k events
+    * ((ts, event_id) lexicographic, exactly the batch window's
+    * ts DESC, event_id DESC); a newer arrival evicts the oldest kept
+    * entry. State is the kept set itself — at most k (ts, id, type)
+    * triples per user, independent of stream length or redelivery count.
+    * Emits an admit row per kept event and an evict row per
+    * displacement, so a downstream consumer can maintain the capped set
+    * incrementally; at-least-once redelivery of an already-admitted
+    * event is a no-op (the state-membership guard, same as
+    * domainCapStream). */
+  def contributionCapStream(evs: Dataset[CapEv], k: Int = 8)(
+      implicit e1: org.apache.spark.sql.Encoder[List[(Long, Long, String)]],
+      e2: org.apache.spark.sql.Encoder[CapEvDecision],
+      e3: org.apache.spark.sql.Encoder[Long]): Dataset[CapEvDecision] =
+    evs.groupByKey(_.user_id)(e3)
+      .flatMapGroupsWithState[List[(Long, Long, String)], CapEvDecision](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[CapEv],
+            state: GroupState[List[(Long, Long, String)]]) =>
+          var top = state.getOption.getOrElse(Nil) // (ts_us, event_id, type)
+          // a beats b = a is NEWER under the batch ordering
+          def beats(a: (Long, Long, String), b: (Long, Long, String)) =
+            a._1 > b._1 || (a._1 == b._1 && a._2 > b._2)
+          val out = List.newBuilder[CapEvDecision]
+          it.toSeq.sortBy(e => (-e.ts_us, -e.event_id)).foreach { ev =>
+            val cand = (ev.ts_us, ev.event_id, ev.event_type)
+            if (top.exists(t => t._1 == cand._1 && t._2 == cand._2)) {
+              // redelivery of an admitted event: state already holds it
+            } else if (top.size < k) {
+              top = cand :: top
+              out += CapEvDecision(uid, ev.event_id, ev.event_type, true)
+            } else {
+              val worst = top.reduce((a, b) => if (beats(a, b)) b else a)
+              if (beats(cand, worst)) {
+                top = cand :: top.filterNot(t =>
+                  t._1 == worst._1 && t._2 == worst._2)
+                out += CapEvDecision(uid, ev.event_id, ev.event_type, true)
+                out += CapEvDecision(uid, worst._2, worst._3, false)
+              }
+            }
+          }
+          state.update(top)
+          out.result().iterator
+      }(e1, e2)
+
   final case class Turn(user_id: Long, event_id: Long, ts_us: Long,
       toks: Long)
   final case class PackState(user_id: Long, n_kept: Long, tokens_kept: Long,

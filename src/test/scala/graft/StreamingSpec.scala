@@ -625,6 +625,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contributionCapStream: final kept set equals the q211 batch cap " +
+    "under adversarial batch order + redelivery; state is one row/user") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("tsu"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => EventStreams.CapEv(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3))).toSeq
+    // driver mirror of the batch window: newest 8 per user
+    val mirrorKept = rows.groupBy(_.user_id).values.flatMap { g =>
+      g.sortBy(e => (-e.ts_us, -e.event_id)).take(8).map(_.event_id)
+    }.toSet
+    // batch q211 per-type n_post for the aggregate cross-check
+    val batchPost = SparkEntry.queries("q211_contribution_cap")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val mem = MemoryStream[EventStreams.CapEv]
+    val q = EventStreams.contributionCapStream(mem.toDS()).writeStream
+      .format("memory").queryName("ccap_stream").outputMode("append")
+      .start()
+    try {
+      // adversarial: OLDEST first, so every later batch displaces
+      val ordered = rows.sortBy(e => (e.ts_us, e.event_id))
+      val third = ordered.size / 3
+      mem.addData(ordered.take(third)); q.processAllAvailable()
+      mem.addData(ordered.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
+      // at-least-once redelivery of the newest batch: no double-admit
+      mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
+      val out = spark.table("ccap_stream")
+        .as[EventStreams.CapEvDecision].collect()
+      val lastState = out.groupBy(d => (d.user_id, d.event_id))
+        .map { case (_, rs) => rs.last }
+      val streamKept = lastState.filter(_.kept).map(_.event_id).toSet
+      assert(streamKept == mirrorKept,
+        s"extra=${streamKept.diff(mirrorKept).take(5)} " +
+          s"missing=${mirrorKept.diff(streamKept).take(5)}")
+      val keptRows = rows.filter(e => streamKept(e.event_id))
+      val byType = keptRows.groupBy(_.event_type).view
+        .mapValues(_.size.toLong).toMap
+      assert(byType == batchPost)
+      // state is key-scale: exactly one state row per distinct user
+      val st = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(st == rows.map(_.user_id).distinct.size.toLong,
+        s"state rows $st")
+    } finally q.stop()
+  }
+
   test("upsertDiffStream: added/changed classes match the q168 batch diff") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
