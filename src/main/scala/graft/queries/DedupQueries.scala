@@ -2898,32 +2898,7 @@ object DedupQueries {
         |  vec_id, CAST(label AS BIGINT) AS neg_label,
         |  CAST(rq AS DOUBLE) / 10000 AS rdot
         |FROM hn ORDER BY qid, rk""".stripMargin
-    ) { (s, d) =>
-      import s.implicits._
-      import graft.functions.Aggregators
-      val probes = hardNegProbes(s, d)
-      val probesDf = broadcast(probes.toDF("qid", "qv", "ql"))
-      val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
-      val minK5 = udaf(new Aggregators.MinKAgg(5),
-        org.apache.spark.sql.Encoders.scalaLong)
-      emb(s, d).crossJoin(probesDf)
-        .filter(col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
-        .select(col("qid"),
-          (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
-            * lit(-M) + col("vec_id") * 16L + col("label")).as("key"))
-        .groupBy("qid")
-        .agg(minK5(col("key")).as("ks"))
-        .select(col("qid"), posexplode(col("ks")).as(Seq("p", "key")))
-        .select(col("qid"), (col("p") + 1L).cast("long").as("rk"),
-          expr(s"pmod(key, ${M}L) div 16").as("vec_id"),
-          expr(s"pmod(key, ${M}L) % 16").as("neg_label"),
-          // rq = (low - key) / M exactly (Spark `div` TRUNCATES toward
-          // zero and key is negative — a bare `-(key div M)` reads one
-          // low whenever low > 0)
-          (expr(s"(pmod(key, ${M}L) - key) div ${M}L").cast("double")
-            / 10000d).as("rdot"))
-        .orderBy("qid", "rk")
-    },
+    ) { (s, d) => hardNegCore(s, emb(s, d), hardNegProbes(s, d)) },
 
     // PQ DISTORTION AUDIT — q138/q167 trust the 4x8 product quantizer;
     // this measures what it costs: among each probe's top-16 ADC
@@ -2988,10 +2963,16 @@ object DedupQueries {
         |  CAST(np AS BIGINT) AS n_pairs,
         |  CAST((inv * 1000000) // np AS BIGINT) AS distortion_ppm
         |FROM pairs ORDER BY qid""".stripMargin
-    ) { (s, d) =>
+    ) { (s, d) => pqDistortionCore(emb(s, d), Seq(20L, 21L, 22L)) }
+  )
+
+  /** q217 core over any (vec_id, embedding) frame. Factored for the
+    * perfect-codebook law (a corpus of exact centroid copies must show
+    * zero inversions). */
+  private[graft] def pqDistortionCore(
+      e: org.apache.spark.sql.DataFrame, qids: Seq[Long])
+      : org.apache.spark.sql.DataFrame = {
       import graft.functions.Aggregators
-      val qids = Seq(20L, 21L, 22L)
-      val e = emb(s, d)
       val cent = e.filter(col("vec_id") < 8)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val dcols = (0 until 4).map(m => TextOps.dot(
@@ -3046,8 +3027,7 @@ object DedupQueries {
           expr("(inversions * 1000000) div n_pairs")
             .as("distortion_ppm"))
         .orderBy("qid")
-    }
-  )
+  }
 
   /** Memoized hard-negative probe seeds (vec_id, embedding, label) for
     * q216 — one bounded collect per data dir. */
@@ -3061,6 +3041,38 @@ object DedupQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
         .sortBy(_._1)
     })
+
+  /** q216 core over any (vec_id, embedding, label) frame plus explicit
+    * anchor seeds. Factored for crafted-label laws (the nearest
+    * same-label vector must be excluded). */
+  private[graft] def hardNegCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      probes: Seq[(Long, Seq[Float], Int)])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val probesDf = broadcast(probes.toDF("qid", "qv", "ql"))
+    val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
+    val minK5 = udaf(new Aggregators.MinKAgg(5),
+      org.apache.spark.sql.Encoders.scalaLong)
+    e.crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
+      .select(col("qid"),
+        (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+          * lit(-M) + col("vec_id") * 16L + col("label")).as("key"))
+      .groupBy("qid")
+      .agg(minK5(col("key")).as("ks"))
+      .select(col("qid"), posexplode(col("ks")).as(Seq("p", "key")))
+      .select(col("qid"), (col("p") + 1L).cast("long").as("rk"),
+        expr(s"pmod(key, ${M}L) div 16").as("vec_id"),
+        expr(s"pmod(key, ${M}L) % 16").as("neg_label"),
+        // rq = (low - key) / M exactly (Spark `div` TRUNCATES toward
+        // zero and key is negative — a bare `-(key div M)` reads one
+        // low whenever low > 0)
+        (expr(s"(pmod(key, ${M}L) - key) div ${M}L").cast("double")
+          / 10000d).as("rdot"))
+      .orderBy("qid", "rk")
+  }
 
   /** q215 core over any (vec_id, embedding) frame plus explicit
     * centroid/probe seeds. Factored for crafted-cell laws (all-one-cell
