@@ -2963,8 +2963,124 @@ object DedupQueries {
         |  CAST(np AS BIGINT) AS n_pairs,
         |  CAST((inv * 1000000) // np AS BIGINT) AS distortion_ppm
         |FROM pairs ORDER BY qid""".stripMargin
-    ) { (s, d) => pqDistortionCore(emb(s, d), Seq(20L, 21L, 22L)) }
+    ) { (s, d) => pqDistortionCore(emb(s, d), Seq(20L, 21L, 22L)) },
+
+    // MAXSIM (LATE-INTERACTION) RETRIEVAL — the ColBERT-style scoring a
+    // multi-vector retriever runs: treat each 64-dim vector as 4 16-dim
+    // token vectors; score(q, d) = Σ_i max_j <q_i, d_j> (each query
+    // token matches its best document token). Exactly computable and
+    // integer-quantized per (i, j) BEFORE the max/sum, so both engines
+    // agree bit-for-bit. Scale shape: the 4 query token-sets are one
+    // bounded memoized collect broadcast over a map-side cross join
+    // (×4); the 16 subspace dots are codegen'd slice kernels; top-5 per
+    // query is a MinKAgg gather — never a window over 4 corpus-scale
+    // partitions; the score rides the rank key (exact negative-key
+    // quotient decode).
+    Q(
+      "q218_maxsim",
+      MaxSimOracle.sql
+    ) { (s, d) => maxSimCore(s, emb(s, d), maxSimProbes(s, d)) },
+
+    // DEDUP SURVIVOR BIAS — the audit run after exact keep-first dedup:
+    // did removing duplicates SKEW the language mix? Reports each
+    // lang's corpus share before and after (independently floored ppm)
+    // and the absolute shift. Scale shape: ONE corpus-keyed exchange
+    // (60-bit text hashes, min_by keeps the survivor's lang as an
+    // AGGREGATE — no per-group window, map-side partials); a second
+    // column-pruned (lang-only) scan for the pre counts (two cheap
+    // scans beat carrying lang through the hash exchange twice — q191's
+    // measured rule); both lang tables are bounded and checkpointed so
+    // their scalar totals don't re-plan the scans (q198/q203 lesson).
+    Q(
+      "q220_dedup_shift",
+      s"""WITH k AS (
+        |  SELECT lang, doc_id, ${md560("text")} AS h FROM documents),
+        |post AS (
+        |  SELECT kl AS lang, count(*) AS c_post FROM (
+        |    SELECT h, min_by(lang, doc_id) AS kl FROM k GROUP BY h) t
+        |  GROUP BY kl),
+        |pre AS (SELECT lang, count(*) AS c_pre FROM documents
+        |        GROUP BY lang),
+        |tot AS (SELECT (SELECT sum(c_pre) FROM pre) AS np,
+        |               (SELECT sum(c_post) FROM post) AS nq)
+        |SELECT p.lang, CAST(c_pre AS BIGINT) AS n_pre,
+        |  CAST(coalesce(c_post, 0) AS BIGINT) AS n_post,
+        |  CAST(abs(coalesce(c_post, 0) * 1000000 // tot.nq
+        |         - c_pre * 1000000 // tot.np) AS BIGINT) AS shift_ppm
+        |FROM pre p LEFT JOIN post USING (lang), tot
+        |ORDER BY p.lang""".stripMargin
+    ) { (s, d) => dedupShiftCore(docs(s, d)) }
   )
+
+  /** q220 core over any (doc_id, lang, text) frame. Factored for the
+    * crafted skew law (a lang whose docs are all duplicates must lose
+    * share). */
+  private[graft] def dedupShiftCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val k = d.select(col("lang"), col("doc_id"),
+      call_function("md5_prefix60", col("text")).as("h"))
+    val post = k.groupBy("h")
+      .agg(min_by(col("lang"), col("doc_id")).as("kl"))
+      .groupBy(col("kl").as("lang"))
+      .agg(count(lit(1)).as("c_post"))
+      .localCheckpoint(true)
+    val pre = d.groupBy("lang")
+      .agg(count(lit(1)).as("c_pre"))
+      .localCheckpoint(true)
+    pre.join(post, Seq("lang"), "left")
+      .crossJoin(broadcast(pre.agg(sum("c_pre").as("np"))))
+      .crossJoin(broadcast(post.agg(sum("c_post").as("nq"))))
+      .select(col("lang"), col("c_pre").cast("long").as("n_pre"),
+        coalesce(col("c_post"), lit(0L)).cast("long").as("n_post"),
+        abs(expr("coalesce(c_post, 0) * 1000000 div nq") -
+          expr("c_pre * 1000000 div np")).cast("long").as("shift_ppm"))
+      .orderBy("lang")
+  }
+
+  /** Memoized MaxSim query seeds (vec_id 30..33). */
+  private val msProbes = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Float])]]
+  private def maxSimProbes(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Long, Seq[Float])] =
+    msProbes.computeIfAbsent(d, { dir =>
+      emb(s, dir).filter(col("vec_id") >= 30 && col("vec_id") < 34)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq.sortBy(_._1)
+    })
+
+  /** q218 core over any (vec_id, embedding) frame plus explicit query
+    * seeds. Factored for the crafted one-hot law (a document holding
+    * the query's best token per subspace must rank first). */
+  private[graft] def maxSimCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame, probes: Seq[(Long, Seq[Float])])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val probesDf = broadcast(probes.toDF("qid", "qv"))
+    val M = 8589934592L // 2^33
+    val minK5 = udaf(new Aggregators.MinKAgg(5),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // Σ over query tokens i of max over doc tokens j of the quantized
+    // 16-dim slice dot — each term codegen'd, max/sum over INTEGERS
+    val maxsim = (0 until 4).map { i =>
+      greatest((0 until 4).map { j =>
+        expr(s"""cast(round(dot_product(
+          slice(embedding, ${j * 16 + 1}, 16),
+          slice(qv, ${i * 16 + 1}, 16)) * 10000) AS bigint)""")
+      }: _*)
+    }.reduce(_ + _)
+    e.crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (maxsim * lit(-M) + col("vec_id")).as("key"))
+      .groupBy("qid")
+      .agg(minK5(col("key")).as("ks"))
+      .select(col("qid"), posexplode(col("ks")).as(Seq("p", "key")))
+      .select(col("qid"), (col("p") + 1L).cast("long").as("rk"),
+        expr(s"pmod(key, ${M}L)").as("vec_id"),
+        expr(s"(pmod(key, ${M}L) - key) div ${M}L").as("maxsim_q"))
+      .orderBy("qid", "rk")
+  }
 
   /** q217 core over any (vec_id, embedding) frame. Factored for the
     * perfect-codebook law (a corpus of exact centroid copies must show
@@ -3413,5 +3529,35 @@ object DedupQueries {
           (col("chars_kept") + coalesce(col("d_chars"), lit(0L)))
             .as("chars_kept"))
         .orderBy("doc_id")
+  }
+}
+
+/** Generated DuckDB oracle for q218: the 4x4 quantized subspace-dot
+  * grid, greatest per query token, summed in fixed order — integers
+  * end to end, so max/sum is engine-independent. */
+private object MaxSimOracle {
+  val sql: String = {
+    val terms = (0 until 4).map { i =>
+      val js = (0 until 4).map { j =>
+        s"""CAST(round(list_sum(list_transform(range(1, 17),
+           |      t -> CAST(e.embedding[${j * 16} + t] AS DOUBLE) *
+           |           CAST(q.qv[${i * 16} + t] AS DOUBLE))) * 10000)
+           |    AS BIGINT)""".stripMargin
+      }.mkString(", ")
+      s"greatest($js)"
+    }.mkString(" + ")
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv
+       |  FROM embeddings WHERE vec_id >= 30 AND vec_id < 34),
+       |sc AS (
+       |  SELECT qid, e.vec_id, $terms AS maxsim_q
+       |  FROM embeddings e, q WHERE e.vec_id != q.qid),
+       |r AS (
+       |  SELECT qid, vec_id, maxsim_q,
+       |    row_number() OVER (PARTITION BY qid
+       |      ORDER BY maxsim_q DESC, vec_id) AS rk
+       |  FROM sc)
+       |SELECT qid, CAST(rk AS BIGINT) AS rk, vec_id,
+       |  CAST(maxsim_q AS BIGINT) AS maxsim_q
+       |FROM r WHERE rk <= 5 ORDER BY qid, rk""".stripMargin
   }
 }

@@ -1377,6 +1377,51 @@ object TextQueries {
           expr("(sum(n_chars) * 100) div sum(toks)")
             .as("chars_per_tok_c"))
         .orderBy("lang")
+    },
+
+    // SPAN-CORRUPTION PREP (T5/UL2 denoising) — size the (input,
+    // target) sequences a span-corruption objective produces:
+    // deterministic masking of every 7th 3-token block (~1/7 ≈ 14%
+    // noise density, mean span 3), one sentinel per span on each side.
+    // The per-doc mask/span counts come from a CLOSED FORM over the
+    // token count (validated against the positional definition for
+    // n = 1..199 in Round9fLawsSpec) — a pure arithmetic map stage, no
+    // per-token explode, no HOF; the lang aggregate collapses map-side.
+    Q(
+      "q219_span_corruption",
+      """WITH tok AS (
+        |  SELECT lang, len(string_split(text, ' ')) AS n FROM documents),
+        |d AS (
+        |  SELECT lang, n,
+        |    ((n + 2) // 3 - 1) // 7 + 1 AS m,
+        |    CASE WHEN (((n + 2) // 3 - 1) % 7) = 0
+        |         THEN 3 * ((n + 2) // 3) - n ELSE 0 END AS overhang
+        |  FROM tok),
+        |e AS (SELECT lang, n, m AS spans, 3 * m - overhang AS masked
+        |      FROM d)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n - masked + spans) AS BIGINT) AS input_toks,
+        |  CAST(sum(masked + spans) AS BIGINT) AS target_toks,
+        |  CAST((sum(masked) * 1000000) // sum(n) AS BIGINT) AS mask_ppm
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          size(TextOps.tokens(col("text"))).cast("long").as("n"))
+        .withColumn("nb", expr("(n + 2) div 3"))
+        .select(col("lang"), col("n"),
+          expr("(nb - 1) div 7 + 1").as("spans"),
+          (expr("((nb - 1) div 7 + 1) * 3") -
+            when(expr("(nb - 1) % 7") === 0L, expr("3 * nb - n"))
+              .otherwise(0L)).as("masked"))
+        .groupBy("lang")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum(col("n") - col("masked") + col("spans")).cast("long")
+            .as("input_toks"),
+          sum(col("masked") + col("spans")).cast("long")
+            .as("target_toks"),
+          expr("(sum(masked) * 1000000) div sum(n)").as("mask_ppm"))
+        .orderBy("lang")
     }
   )
 
