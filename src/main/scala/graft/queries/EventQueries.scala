@@ -1312,8 +1312,69 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(score) AS BIGINT) AS mass
         |FROM u GROUP BY 1 ORDER BY bucket""".stripMargin
-    ) { (s, d) => freshnessCore(ev(s, d), maxTsMicros(s, d)) }
+    ) { (s, d) => freshnessCore(ev(s, d), maxTsMicros(s, d)) },
+
+    // WEEKLY MIX DRIFT — the data-drift monitor a pipeline runs on its
+    // ingest stream: total-variation distance (ppm) between each week's
+    // event-type mix and the previous week's. Shares are independently
+    // floored ppm (q220's rule), so nothing multiplies two corpus-scale
+    // counts — overflow-safe at any volume. Scale shape: ONE corpus
+    // exchange into the (week, type) aggregate — bounded keys, map-side
+    // collapse — checkpointed (q203: the week-total/grid consumers
+    // would re-plan the scan); everything downstream (grid completion,
+    // lag window, TVD rollup) runs on the bounded table.
+    Q(
+      "q221_mix_drift",
+      """WITH w AS (
+        |  SELECT epoch_us(ts) // 604800000000 AS wk, event_type,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |wt AS (SELECT wk, sum(c) AS n FROM w GROUP BY wk),
+        |grid AS (
+        |  SELECT wk.wk, t.event_type,
+        |    coalesce(w.c, 0) * 1000000 // wt.n AS share_ppm, wt.n
+        |  FROM (SELECT DISTINCT wk FROM w) wk
+        |  CROSS JOIN (SELECT DISTINCT event_type FROM w) t
+        |  LEFT JOIN w ON w.wk = wk.wk AND w.event_type = t.event_type
+        |  JOIN wt ON wt.wk = wk.wk),
+        |d AS (
+        |  SELECT wk, share_ppm, n,
+        |    lag(share_ppm) OVER (PARTITION BY event_type ORDER BY wk)
+        |      AS prev_ppm
+        |  FROM grid)
+        |SELECT wk AS week, CAST(max(n) AS BIGINT) AS n_events,
+        |  CAST(sum(abs(share_ppm - prev_ppm)) // 2 AS BIGINT) AS tvd_ppm
+        |FROM d WHERE prev_ppm IS NOT NULL
+        |GROUP BY wk ORDER BY week""".stripMargin
+    ) { (s, d) => mixDriftCore(ev(s, d)) }
   )
+
+  /** q221 core over any (ts, event_type) frame. Factored for crafted
+    * drift laws (known two-week mixes with exact TVD). */
+  private[graft] def mixDriftCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val w = e
+      .groupBy(expr("unix_micros(ts) div 604800000000").as("wk"),
+        col("event_type"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val wt = w.groupBy("wk").agg(sum("c").as("n"))
+    val grid = w.select("wk").distinct()
+      .crossJoin(broadcast(w.select("event_type").distinct()))
+      .join(w, Seq("wk", "event_type"), "left")
+      .join(broadcast(wt), Seq("wk"))
+      .select(col("wk"), col("event_type"),
+        expr("coalesce(c, 0) * 1000000 div n").as("share_ppm"),
+        col("n"))
+    val lagw = Window.partitionBy("event_type").orderBy("wk")
+    grid
+      .withColumn("prev_ppm", lag("share_ppm", 1).over(lagw))
+      .filter(col("prev_ppm").isNotNull)
+      .groupBy(col("wk").as("week"))
+      .agg(max("n").cast("long").as("n_events"),
+        expr("sum(abs(share_ppm - prev_ppm)) div 2").as("tvd_ppm"))
+      .orderBy("week")
+  }
 
   /** q213 core over any (user_id, ts, value) frame and a fixed decay
     * anchor (micros). Factored for crafted decay laws. */

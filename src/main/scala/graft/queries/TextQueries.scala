@@ -1422,8 +1422,64 @@ object TextQueries {
             .as("target_toks"),
           expr("(sum(masked) * 1000000) div sum(n)").as("mask_ppm"))
         .orderBy("lang")
-    }
+    },
+
+    // VOCAB COVERAGE / OOV RATE — the tokenizer-eval metric that pairs
+    // with q214's fertility: what share of each language's token mass
+    // falls OUTSIDE the top-16 corpus vocabulary (what a closed vocab
+    // would map to <unk>). Scale shape: words hash to 60-bit keys
+    // BEFORE the vocab-count exchange (min(w) carries the display word,
+    // the q210 pattern); the top-16 cut is TakeOrderedAndProject; the
+    // flag pass is a second token explode against the BROADCAST 16-row
+    // vocab (two scans beat checkpointing token mass — q191's rule),
+    // collapsing map-side to |lang| rows.
+    Q(
+      "q222_vocab_coverage",
+      s"""WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |th AS (SELECT lang, ${md560("w")} AS hw FROM toks),
+        |vocab AS (
+        |  SELECT hw FROM (
+        |    SELECT ${md560("w")} AS hw, count(*) AS c, min(w) AS word
+        |    FROM toks GROUP BY 1)
+        |  ORDER BY c DESC, word LIMIT 16),
+        |fl AS (
+        |  SELECT lang, CASE WHEN vocab.hw IS NULL THEN 1 ELSE 0 END
+        |    AS oov
+        |  FROM th LEFT JOIN vocab ON th.hw = vocab.hw)
+        |SELECT lang, CAST(count(*) AS BIGINT) AS toks,
+        |  CAST(sum(oov) AS BIGINT) AS oov,
+        |  CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
+        |FROM fl GROUP BY lang ORDER BY lang""".stripMargin
+    ) { (s, d) => vocabCoverageCore(docs(s, d)) }
   )
+
+  /** q222 core over any (lang, text) frame. Factored for crafted OOV
+    * laws (a hand-built vocab boundary). */
+  private[graft] def vocabCoverageCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val toks = d
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("w"))
+    val vocab = toks
+      .select(call_function("md5_prefix60", col("w")).as("hw"),
+        col("w"))
+      .groupBy("hw").agg(count(lit(1)).as("c"), min("w").as("word"))
+      .orderBy(col("c").desc, col("word")).limit(16)
+      .select("hw")
+    toks
+      .select(col("lang"),
+        call_function("md5_prefix60", col("w")).as("hw"))
+      .join(broadcast(vocab.withColumn("in_v", lit(1))), Seq("hw"),
+        "left")
+      .groupBy("lang")
+      .agg(count(lit(1)).cast("long").as("toks"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).cast("long")
+          .as("oov"))
+      .select(col("lang"), col("toks"), col("oov"),
+        expr("oov * 1000000 div toks").as("oov_ppm"))
+      .orderBy("lang")
+  }
 
   /** q210 core over any (text) frame: PMI-shaped bigram lexicon, top-64.
     * Factored for crafted-corpus laws (always-paired bigram scores
