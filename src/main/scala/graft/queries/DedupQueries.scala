@@ -3009,8 +3009,94 @@ object DedupQueries {
         |         - c_pre * 1000000 // tot.np) AS BIGINT) AS shift_ppm
         |FROM pre p LEFT JOIN post USING (lang), tot
         |ORDER BY p.lang""".stripMargin
-    ) { (s, d) => dedupShiftCore(docs(s, d)) }
+    ) { (s, d) => dedupShiftCore(docs(s, d)) },
+
+    // NEAR-DEDUP SAVINGS REPORT — the number a curation team actually
+    // budgets by: per source, how many docs and how many chars does
+    // near-dedup reclaim if each q92 connected component keeps only its
+    // q111 canonical member (longest, ties -> min id)? Scale shape: CC
+    // over the degree-bounded rpEdges (existing machinery); the member
+    // table (groups ⋈ docs) is checkpointed ONCE for its three
+    // consumers (best-len, canonical pick, dropped mass — q203 rule);
+    // member-scale is dup mass, not corpus mass; the per-source totals
+    // come from one column-pruned corpus scan; final tables are
+    // |sources|-bounded.
+    Q(
+      "q223_dedup_savings",
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id AS doc_id, min(r) AS group_id FROM reach
+        |        GROUP BY id),
+        |g AS (SELECT grp.doc_id, grp.group_id, d.source, d.n_chars
+        |      FROM grp JOIN documents d USING (doc_id)),
+        |best AS (SELECT group_id, max(n_chars) AS best_len FROM g
+        |         GROUP BY group_id),
+        |canon AS (
+        |  SELECT g.group_id, min(doc_id) AS canonical_id
+        |  FROM g JOIN best USING (group_id)
+        |  WHERE n_chars = best_len GROUP BY g.group_id),
+        |dropped AS (
+        |  SELECT source, n_chars FROM g JOIN canon USING (group_id)
+        |  WHERE doc_id != canonical_id),
+        |tot AS (SELECT source, count(*) AS n_docs,
+        |          sum(n_chars) AS chars_total
+        |        FROM documents GROUP BY source),
+        |dr AS (SELECT source, count(*) AS n_dropped,
+        |         sum(n_chars) AS chars_saved
+        |       FROM dropped GROUP BY source)
+        |SELECT t.source, CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(coalesce(n_dropped, 0) AS BIGINT) AS n_dropped,
+        |  CAST(chars_total AS BIGINT) AS chars_total,
+        |  CAST(coalesce(chars_saved, 0) AS BIGINT) AS chars_saved,
+        |  CAST(coalesce(chars_saved, 0) * 1000000 // chars_total
+        |    AS BIGINT) AS saved_ppm
+        |FROM tot t LEFT JOIN dr USING (source)
+        |ORDER BY t.source""".stripMargin
+    ) { (s, d) =>
+      val grp = graft.functions.GraphOps
+        .connectedComponents(rpEdges(s, d), "id_a", "id_b")
+        .select(col("id").as("doc_id"), col("lbl").as("group_id"))
+      dedupSavingsCore(grp,
+        docs(s, d).select(col("doc_id"), col("source"), col("n_chars")))
+    }
   )
+
+  /** q223 core over explicit (doc_id, group_id) groups and a
+    * (doc_id, source, n_chars) doc table. Factored for crafted-group
+    * laws (exact canonical pick and savings arithmetic). */
+  private[graft] def dedupSavingsCore(
+      grp: org.apache.spark.sql.DataFrame,
+      qual: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val g = grp.join(qual.hint("shuffle_hash"), Seq("doc_id"))
+      .localCheckpoint(true)
+    val best = g.groupBy("group_id").agg(max("n_chars").as("best_len"))
+    val canon = g.join(best.hint("shuffle_hash"), Seq("group_id"))
+      .filter(col("n_chars") === col("best_len"))
+      .groupBy("group_id").agg(min("doc_id").as("canonical_id"))
+    val dropped = g.join(canon.hint("shuffle_hash"), Seq("group_id"))
+      .filter(col("doc_id") =!= col("canonical_id"))
+    val tot = qual.groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("chars_total"))
+    val dr = dropped.groupBy("source")
+      .agg(count(lit(1)).as("n_dropped"),
+        sum("n_chars").as("chars_saved"))
+    tot.join(dr, Seq("source"), "left")
+      .select(col("source"), col("n_docs").cast("long").as("n_docs"),
+        coalesce(col("n_dropped"), lit(0L)).cast("long")
+          .as("n_dropped"),
+        col("chars_total").cast("long").as("chars_total"),
+        coalesce(col("chars_saved"), lit(0L)).cast("long")
+          .as("chars_saved"),
+        expr("coalesce(chars_saved, 0) * 1000000 div chars_total")
+          .as("saved_ppm"))
+      .orderBy("source")
+  }
 
   /** q220 core over any (doc_id, lang, text) frame. Factored for the
     * crafted skew law (a lang whose docs are all duplicates must lose

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.functions._
-import graft.queries.{EventQueries, TextQueries}
+import graft.queries.{DedupQueries, EventQueries, TextQueries}
 
 /** Laws for q221–q222: crafted two-week drift and vocab-boundary cases
   * plus gate-SF brute-force mirrors.
@@ -102,5 +102,41 @@ class Round9gLawsSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
         r.getLong(3))).toSeq
     assert(got == expect)
+  }
+
+  // ---------------------------------------------------------------- q223
+
+  test("law: q223 crafted — each group keeps its longest (ties min id) " +
+    "member; ungrouped docs are never dropped; savings are exact") {
+    val grp = Seq((1L, 100L), (2L, 100L), (3L, 100L), // group 100
+      (10L, 200L), (11L, 200L)) // group 200, tie on length
+      .toDF("doc_id", "group_id")
+    val docs = Seq(
+      (1L, "aa", 50L), (2L, "aa", 80L), (3L, "bb", 80L), // canon: 2
+      (10L, "bb", 60L), (11L, "bb", 60L), // tie -> canon 10
+      (20L, "aa", 999L)) // ungrouped, kept
+      .toDF("doc_id", "source", "n_chars")
+    val got = DedupQueries.dedupSavingsCore(grp, docs).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    // dropped: 1 (aa, 50), 3 (bb, 80), 11 (bb, 60)
+    val expect = Seq(
+      ("aa", 3L, 1L, 1129L, 50L, 50L * 1000000 / 1129),
+      ("bb", 3L, 2L, 200L, 140L, 700000L))
+    assert(got == expect, s"got $got")
+  }
+
+  test("law: q223 at the gate SF conserves mass — chars_saved < " +
+    "chars_total per source and the q111 canonicals are never dropped") {
+    val out = SparkEntry.queries("q223_dedup_savings")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(out.nonEmpty)
+    assert(out.forall { case (_, nd, ndrop, ct, cs) =>
+      ndrop <= nd && cs < ct })
+    // cross-check against q111: total dropped = group members - groups
+    val canon = SparkEntry.queries("q111_canonical_docs")(spark, sf)
+      .collect().map(r => (r.getLong(1))) // n_members per group
+    assert(out.map(_._3).sum == canon.map(_ - 1).sum)
   }
 }
