@@ -24,6 +24,26 @@ object Bench {
       // queries may persist() intermediates (e.g. LSH signatures); drop
       // them so cache memory doesn't leak across measured queries
       spark.catalog.clearCache()
+      // clearCache() only empties the SQL CacheManager — eager
+      // localCheckpoint(true) blocks (44 query sites + GraphOps' per-round
+      // barriers, several DISK_ONLY and non-evictable) bypass it and
+      // accumulated across the one-JVM 208-query suite, starving unified
+      // memory as the run advanced (BENCH_r09: shared-173 queries 2.46x
+      // slower than r08 with per-query plans unchanged). Drop every
+      // persistent RDD after each measured query so one query's barriers
+      // can't tax the next.
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    // leak observability: persistent-RDD count + storage bytes AFTER the
+    // per-query cleanup — a nonzero trend across the suite is the r09
+    // accumulation pathology resurfacing, visible in the run log instead
+    // of costing a round
+    def leakStat(): String = {
+      val n = spark.sparkContext.getPersistentRDDs.size
+      val mem = spark.sparkContext.getExecutorMemoryStatus.values
+        .map { case (max, free) => max - free }.sum
+      s"rdds=$n storageUsed=${mem / (1 << 20)}MB"
     }
 
     // Warm-up: JIT the parquet reader, codegen, shuffle machinery.
@@ -44,7 +64,11 @@ object Bench {
       catch { case e: Throwable =>
         System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      System.err.println(
+        String.format(java.util.Locale.ROOT,
+          "[leak] %s %.3fs %s", q.name, Double.box(dt), leakStat()))
+      q.name -> dt
     }
     // The driver keeps only the LAST 2000 BYTES of stdout and parses the
     // last line as JSON (BENCH_r01/r02 both recorded a 2000-byte tail with

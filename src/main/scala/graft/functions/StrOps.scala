@@ -66,22 +66,30 @@ object StrOps {
 
   /** char-class predicates str.py:201-381 (is_alnum, is_alpha, is_ascii,
     * is_decimal, is_digit, is_lower, is_numeric, is_printable, is_space,
-    * is_title, is_upper) — regex-based. The three digit-family predicates
+    * is_title, is_upper) — regex-based, Unicode-category semantics
+    * matching the reference's Arrow kernels: `is_alpha` = any \p{L}
+    * letter (é, Σ, 漢 all qualify, as in Python str.isalpha);
+    * `is_alnum` = \p{L} or \p{N}. The three digit-family predicates
     * follow Arrow/Python's Unicode distinction: `is_decimal` = Nd only;
     * `is_digit` = Nd plus Numeric_Type=Digit codepoints (super/subscripts);
     * `is_numeric` = any N category (adds vulgar fractions, roman numerals).
     * (Approximation: Python's isnumeric also admits a handful of Lo
     * ideographic numerals — out of scope here, documented divergence.) */
-  def isAlnum(c: Column): Column = c.rlike("^[a-zA-Z0-9]+$")
-  def isAlpha(c: Column): Column = c.rlike("^[a-zA-Z]+$")
+  def isAlnum(c: Column): Column = c.rlike("^[\\p{L}\\p{N}]+$")
+  def isAlpha(c: Column): Column = c.rlike("^\\p{L}+$")
   def isAscii(c: Column): Column = c.rlike("^[\\x00-\\x7F]*$")
   def isDecimal(c: Column): Column = c.rlike("^\\p{Nd}+$")
   def isDigit(c: Column): Column =
     c.rlike("^[\\p{Nd}\\u00B2\\u00B3\\u00B9\\u2070\\u2074-\\u2079\\u2080-\\u2089]+$")
-  def isLower(c: Column): Column = c.rlike("^[^A-Z]*[a-z][^A-Z]*$")
+  // is_lower/is_upper follow Python's cased-char rule: at least one char of
+  // the target case and NO cased char of the opposite case (titlecase Lt
+  // counts as "other case" for both, matching str.islower/isupper on ǅ)
+  def isLower(c: Column): Column =
+    c.rlike("\\p{Ll}") && !c.rlike("[\\p{Lu}\\p{Lt}]")
   def isNumeric(c: Column): Column = c.rlike("^\\p{N}+$")
   def isSpace(c: Column): Column = c.rlike("^\\s+$")
-  def isUpper(c: Column): Column = c.rlike("^[^a-z]*[A-Z][^a-z]*$")
+  def isUpper(c: Column): Column =
+    c.rlike("\\p{Lu}") && !c.rlike("[\\p{Ll}\\p{Lt}]")
 
   /** str.py:333 is_printable — no control/format/separator chars except
     * the plain space; empty string is printable (Python semantics). */

@@ -2833,12 +2833,13 @@ object DedupQueries {
         |assign AS (
         |  SELECT vec_id, cid FROM (
         |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
-        |      ORDER BY dot DESC, cid) AS rn FROM dots) t WHERE rn = 1),
+        |      ORDER BY CAST(round(dot * 10000) AS BIGINT) DESC, cid)
+        |      AS rn FROM dots) t WHERE rn = 1),
         |pr AS (
         |  SELECT d.vec_id AS qid, d.cid FROM dots d
         |  JOIN probes p ON d.vec_id = p.qid
         |  QUALIFY row_number() OVER (PARTITION BY d.vec_id
-        |    ORDER BY dot DESC, cid) <= 2),
+        |    ORDER BY CAST(round(dot * 10000) AS BIGINT) DESC, cid) <= 2),
         |bf AS (
         |  SELECT p.qid, e.vec_id FROM probes p
         |  JOIN embeddings e ON e.vec_id != p.qid
@@ -3257,11 +3258,20 @@ object DedupQueries {
     val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
     val minK5 = udaf(new Aggregators.MinKAgg(5),
       org.apache.spark.sql.Encoders.scalaLong)
+    // the packed key gives label the 4 low bits — a label outside
+    // [0,16) would silently corrupt BOTH the vec_id and neg_label
+    // decodes (the oracle stays correct, so the gate would mismatch
+    // with no error); fail loudly per row instead. Map-side, codegen'd
+    // branch — free next to the dot product.
+    val lbl = when(col("label") >= 0 && col("label") < 16, col("label"))
+      .otherwise(raise_error(concat(
+        lit("q216: label outside [0,16) corrupts the packed rank key: "),
+        col("label").cast("string"))))
     e.crossJoin(probesDf)
       .filter(col("vec_id") =!= col("qid") && col("label") =!= col("ql"))
       .select(col("qid"),
         (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
-          * lit(-M) + col("vec_id") * 16L + col("label")).as("key"))
+          * lit(-M) + col("vec_id") * 16L + lbl).as("key"))
       .groupBy("qid")
       .agg(minK5(col("key")).as("ks"))
       .select(col("qid"), posexplode(col("ks")).as(Seq("p", "key")))
@@ -3288,8 +3298,10 @@ object DedupQueries {
     import graft.functions.Aggregators
     val centStructs = cents.map { case (cid, cv) =>
       struct(
-        call_function("dot_product", col("embedding"), typedLit(cv))
-          .as("dt"),
+        // quantized like the oracle's assign CTE (round(dot*1e4)) so a
+        // near-tie between cells can't flip the assignment cross-engine
+        round(call_function("dot_product", col("embedding"), typedLit(cv))
+          * 10000).cast("long").as("dt"),
         lit(-cid).as("negid"))
     }
     val assigned = e.select(col("vec_id"), col("embedding"),
@@ -3365,7 +3377,12 @@ object DedupQueries {
         .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
         .sortBy(_._1)
         .map { case (qid, qv) =>
-          val cells = cents.map { case (cid, cv) => (cid, dotD(qv, cv)) }
+          // cell pick is quantized to round(dot*1e4) like every rank key
+          // in these queries — a full-precision compare would let a
+          // near-tie between the 2nd and 3rd cell flip the probe set on
+          // any engine whose summation order differs
+          val cells = cents
+            .map { case (cid, cv) => (cid, math.round(dotD(qv, cv) * 10000)) }
             .sortBy { case (cid, dt) => (-dt, cid) }.take(2).map(_._1)
           (qid, qv, cells(0), cells(1))
         }

@@ -2154,7 +2154,8 @@ object PipelineQueries {
         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
         |    AS below
         |  FROM h),
-        |bk AS (SELECT score, (below * 10) // tot.n AS bucket
+        |bk AS (SELECT score,
+        |         CAST((below * 10) // tot.n AS BIGINT) AS bucket
         |       FROM b, tot)
         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
         |  CAST(min(sc.score) AS BIGINT) AS min_score,

@@ -65,6 +65,22 @@ class Round9eLawsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("law: q216 fails LOUDLY on a label outside [0,16) — a silent " +
+    "pack would corrupt both the vec_id and neg_label decodes") {
+    val qv = Seq(1f, 0f, 0f, 0f)
+    val rows = Seq(
+      (10L, qv, 1),
+      (21L, Seq(0.9f, 0f, 0f, 0f), 16)) // 16 needs a 5th low bit
+    val ex = intercept[Exception] {
+      DedupQueries.hardNegCore(spark,
+        rows.toDF("vec_id", "embedding", "label"),
+        Seq((10L, qv, 1))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(ex).exists(_.contains("label outside [0,16)")))
+  }
+
   // ---------------------------------------------------------------- q217
 
   test("law: q217 perfect codebook — a corpus of exact centroid copies " +

@@ -43,6 +43,20 @@ class StrOpsSpec extends SparkSpec {
       Seq(false, false, false, true, false, false))
   }
 
+  test("char-class predicates are Unicode (Python str.is* goldens)") {
+    // é/Σ/漢 are letters; ǅ is titlecase (Lt): neither lower nor upper;
+    // СПАРК (Cyrillic caps) is upper; "héllo1" alnum but not alpha.
+    val df = strs("héllo", "Σλ", "漢字", "héllo1", "ǅ", "СПАРК", "éλ")
+    assert(eval1(df, StrOps.isAlpha(col("s"))) ==
+      Seq(true, true, true, false, true, true, true))
+    assert(eval1(df, StrOps.isAlnum(col("s"))) ==
+      Seq(true, true, true, true, true, true, true))
+    assert(eval1(df, StrOps.isLower(col("s"))) ==
+      Seq(true, false, false, true, false, false, true))
+    assert(eval1(df, StrOps.isUpper(col("s"))) ==
+      Seq(false, false, false, false, false, true, false))
+  }
+
   test("digit-family Unicode classes: is_decimal vs is_digit vs is_numeric") {
     // "42" all three; superscript "4²" digit+numeric, not decimal;
     // vulgar fraction "½" numeric only; roman numeral "Ⅻ" numeric only.
