@@ -70,6 +70,15 @@ object awk {
     graft.functions.Behaviors.withParameter(c, key, value)
   def without_parameters(c: Column): Column =
     graft.functions.Behaviors.withoutParameters(c)
+  /** to_regular/from_regular with the carried size invariant
+    * (structure.py:479-505, 871-895): the fixed width validates per row
+    * AND rides column metadata (parquet-footer-persistent). */
+  def to_regular(c: Column, n: Int, as: String = "value"): Column =
+    ArrayOps.toRegularTyped(c, n, as)
+  def from_regular(c: Column, as: String = "value"): Column =
+    ArrayOps.fromRegularTyped(c, as)
+  def regular_size(df: DataFrame, name: String): Option[Long] =
+    ArrayOps.regularSize(df.schema, name)
 
   // ---- describe (lib/describe.py) ----------------------------------------
   /** `fields` (describe.py:9-24): top-level field names of a DataFrame or

@@ -159,6 +159,38 @@ object ArrayOps {
     * ported from the reference keep their call sites. */
   def fromRegular(arr: Column): Column = arr
 
+  /** Column-metadata key carrying the RegularForm fixed size — the type
+    * invariant the reference round-trips through its form system
+    * (structure.py:871-895 RegularForm.size). Spark's ArrayType has no
+    * fixed-width variant, so the size rides StructField metadata (the
+    * same channel as `with_name`/`with_parameter`), which Spark persists
+    * in the parquet footer and restores on read. */
+  val RegularSizeKey = "graft.regular_size"
+
+  /** [[toRegular]] plus the carried type invariant: validates the width
+    * AND tags the output column with `graft.regular_size = n`, so
+    * downstream code (and a parquet round-trip) can recover that the
+    * column is regular without re-scanning. */
+  def toRegularTyped(arr: Column, n: Int, as: String = "value"): Column = {
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putLong(RegularSizeKey, n.toLong).build()
+    toRegular(arr, n).as(as, meta)
+  }
+
+  /** Read back the RegularForm size carried by [[toRegularTyped]] —
+    * None when the column is irregular (no tag). */
+  def regularSize(schema: org.apache.spark.sql.types.StructType,
+      name: String): Option[Long] =
+    schema.fields.find(_.name == name)
+      .filter(_.metadata.contains(RegularSizeKey))
+      .map(_.metadata.getLong(RegularSizeKey))
+
+  /** [[fromRegular]] plus invariant removal: the var-length view drops
+    * the regular-size tag (empty metadata), mirroring the reference's
+    * RegularForm -> ListOffsetForm conversion. */
+  def fromRegularTyped(arr: Column, as: String = "value"): Column =
+    fromRegular(arr).as(as, org.apache.spark.sql.types.Metadata.empty)
+
   /** Per-row n-choose-2 — reference `combinations(n=2, replacement=,
     * fields=)` (structure.py:296-332). Pairs (x_i, x_j) in index order,
     * i<j (or i<=j with replacement); struct field names default to the

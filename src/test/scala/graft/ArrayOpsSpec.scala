@@ -277,4 +277,26 @@ class ArrayOpsSpec extends SparkSpec {
       if (t == null) Nil else String.valueOf(t.getMessage) +: msgs(t.getCause)
     assert(msgs(e).exists(_.contains("to_regular")), msgs(e).mkString(" | "))
   }
+
+  test("toRegularTyped carries the RegularForm size as column metadata, " +
+    "it survives a parquet round-trip, and fromRegularTyped drops it " +
+    "(reference structure.py:871-895)") {
+    val ok = Seq((0L, Seq(1, 2, 3)), (1L, Seq(4, 5, 6))).toDF("row_id", "xs")
+    val typed = ok.select(col("row_id"),
+      toRegularTyped(col("xs"), 3, as = "xs"))
+    assert(regularSize(typed.schema, "xs").contains(3L))
+    // the invariant must survive persistence: Spark stores StructField
+    // metadata in the parquet footer and restores it on read
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-regular").toString
+    typed.write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir)
+    assert(regularSize(back.schema, "xs").contains(3L))
+    assert(back.orderBy("row_id").select("xs").collect()
+      .map(r => r.getSeq[Int](0)).toSeq == Seq(Seq(1, 2, 3), Seq(4, 5, 6)))
+    // the var-length view drops the tag; an untagged column reads None
+    val untyped = back.select(fromRegularTyped(col("xs"), as = "xs"))
+    assert(regularSize(untyped.schema, "xs").isEmpty)
+    assert(regularSize(ok.schema, "xs").isEmpty)
+  }
 }
