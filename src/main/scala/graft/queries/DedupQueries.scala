@@ -3064,8 +3064,229 @@ object DedupQueries {
         .select(col("id").as("doc_id"), col("lbl").as("group_id"))
       dedupSavingsCore(grp,
         docs(s, d).select(col("doc_id"), col("source"), col("n_chars")))
-    }
+    },
+
+    // RETRIEVAL-QUALITY EVAL (nDCG@10 + MRR@10) — the graded metric
+    // q215/q146 (plain recall) can't express: does the embedding space
+    // rank SAME-LABEL neighbors first? Binary relevance = label match;
+    // the log2 discount table is a shared integer literal
+    // (floor(1e6/log2(r+1)), r=1..10) so neither engine touches libm,
+    // and ndcg/mrr are floor-divided ppm BIGINTs — tie-exact
+    // cross-engine. Scale shape: 16 probes are one bounded memoized
+    // collect broadcast across a map-side cross join (×16); top-10 AND
+    // the per-probe relevant-candidate count come from ONE groupBy(qid)
+    // (MinKAgg gather + a fused conditional count — the q109 twin-agg
+    // rule); label rides the rank key's 4 low bits (q216 encoding, same
+    // loud guard) so no join-back scan; everything after the gather is
+    // a 16-row table.
+    Q(
+      "q224_knn_ndcg",
+      """WITH disc(r, dc, pf) AS (VALUES
+        |  (1,1000000,1000000),(2,630929,1630929),(3,500000,2130929),
+        |  (4,430676,2561605),(5,386852,2948457),(6,356207,3304664),
+        |  (7,333333,3637997),(8,315464,3953461),(9,301029,4254490),
+        |  (10,289064,4543554)),
+        |probes AS (SELECT vec_id AS qid, embedding AS qv, label AS ql
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 26),
+        |cand AS (
+        |  SELECT p.qid, p.ql, e.vec_id, e.label,
+        |    CAST(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) AS rq
+        |  FROM probes p JOIN embeddings e ON e.vec_id != p.qid),
+        |nrel AS (SELECT qid, CAST(count(*) FILTER (label = ql) AS BIGINT)
+        |    AS n_rel
+        |  FROM cand GROUP BY qid),
+        |top10 AS (
+        |  SELECT qid, ql, label,
+        |    row_number() OVER (PARTITION BY qid ORDER BY rq DESC, vec_id)
+        |      AS r
+        |  FROM cand
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY rq DESC, vec_id) <= 10),
+        |dcg AS (
+        |  SELECT t.qid,
+        |    CAST(sum(CASE WHEN t.label = t.ql THEN disc.dc ELSE 0 END)
+        |      AS BIGINT) AS dcg,
+        |    CAST(count(*) FILTER (t.label = t.ql) AS BIGINT) AS hits,
+        |    CAST(coalesce(min(t.r) FILTER (t.label = t.ql), 0) AS BIGINT)
+        |      AS frank
+        |  FROM top10 t JOIN disc ON disc.r = t.r GROUP BY t.qid)
+        |SELECT d.qid, d.hits,
+        |  CAST(CASE WHEN n.n_rel = 0 THEN 0 ELSE d.dcg * 1000000 //
+        |    (SELECT pf FROM disc WHERE r = least(n.n_rel, 10)) END
+        |    AS BIGINT) AS ndcg_ppm,
+        |  CAST(CASE WHEN d.frank = 0 THEN 0 ELSE 1000000 // d.frank END
+        |    AS BIGINT) AS mrr_ppm
+        |FROM dcg d JOIN nrel n ON d.qid = n.qid
+        |ORDER BY d.qid""".stripMargin
+    ) { (s, d) => knnNdcgCore(s, emb(s, d), ndcgProbes(s, d)) },
+
+    // EMBEDDING COVARIANCE AUDIT — the anisotropy check an embedding
+    // team runs before trusting cosine geometry (q55/q121/q215): which
+    // dimension PAIRS carry correlated mass? Top-16 off-diagonal
+    // covariances of the 64-dim space, in fixed-point: components
+    // quantized to 1e4, cov_ij = n·Σqiqj − Σqi·Σqj — pure BIGINT, no
+    // float summation order anywhere. Scale shape: the d(d−1)/2 = 2016
+    // products per row are generated map-side (one bound quantized
+    // array, no self-join) and the partial agg collapses each partition
+    // to ≤ 2016 rows before the exchange; per-dim sums ride a second
+    // 64-group pass of the same projection; everything after is a
+    // 2016-row table. Integer envelope: |q| ≤ 6e3 here, so n·Σqiqj is
+    // exact through n ≈ 5e5 — at corpus scale the audit runs on a
+    // hash-sampled subset (q87 machinery; covariance needs O(d²/ε²)
+    // samples, not the corpus), keeping the envelope AND the cost flat.
+    Q(
+      "q225_emb_covariance",
+      """WITH q AS (SELECT vec_id,
+        |    list_transform(embedding,
+        |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
+        |  FROM embeddings),
+        |dsum AS (
+        |  SELECT i, CAST(sum(qv[i + 1]) AS BIGINT) AS s,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM q, range(0, 64) r(i) GROUP BY i),
+        |psum AS (
+        |  SELECT i, j, CAST(sum(qv[i + 1] * qv[j + 1]) AS BIGINT) AS sij
+        |  FROM q, range(0, 64) r1(i), range(0, 64) r2(j)
+        |  WHERE j > i GROUP BY i, j),
+        |cov AS (
+        |  SELECT p.i, p.j, CAST(a.n * p.sij - a.s * b.s AS BIGINT) AS cov
+        |  FROM psum p JOIN dsum a ON a.i = p.i JOIN dsum b ON b.i = p.j)
+        |SELECT CAST(row_number() OVER (ORDER BY abs(cov) DESC, i, j)
+        |    AS BIGINT) AS rk,
+        |  CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j, cov
+        |FROM cov ORDER BY abs(cov) DESC, i, j LIMIT 16""".stripMargin
+    ) { (s, d) => embCovarianceCore(emb(s, d)) }
   )
+
+  /** q225 core over any (vec_id, embedding) frame. Factored for crafted
+    * covariance laws (known 2-dim hand-computable sums). */
+  private[graft] def embCovarianceCore(
+      e: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.ArrayOps
+    val q = e
+      .filter(size(col("embedding")) >= 2) // guard OUTSIDE the binding
+      .select(transform(col("embedding"),
+        x => round(x.cast("double") * 10000).cast("long")).as("qv"))
+    // ONE corpus scan: the pair products, the per-dim sums (j = -1
+    // sentinel) and the row count (i = j = -1) ride the same explode —
+    // a separate dim-sum subtree would be scanned once per join
+    // consumer (ReuseExchange does not dedup aliased aggregate reads,
+    // the r9 q210 lesson). The 2081-row aggregate is checkpointed once
+    // for its three consumers (q203 rule).
+    val entries = q.select(explode(ArrayOps.bindOnce(col("qv")) { qv =>
+        concat(
+          flatten(transform(sequence(lit(0), size(qv) - 2), i =>
+            transform(sequence(i + 1, size(qv) - 1), j =>
+              struct(i.as("i"), j.as("j"),
+                (element_at(qv, i + 1) * element_at(qv, j + 1)).as("p"))))),
+          transform(sequence(lit(0), size(qv) - 1), i =>
+            struct(i.as("i"), lit(-1).as("j"),
+              element_at(qv, i + 1).as("p"))),
+          array(struct(lit(-1).as("i"), lit(-1).as("j"),
+            lit(1L).as("p"))))
+      }).as("x"))
+      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
+      .agg(sum(col("x.p")).as("sv"))
+      .localCheckpoint(true)
+    val nRow = entries.filter(col("i") === -1 && col("j") === -1)
+      .select(col("sv").as("n"))
+    val dims = entries.filter(col("i") >= 0 && col("j") === -1)
+      .select(col("i"), col("sv").as("s"))
+    val cov = entries.filter(col("j") >= 0)
+      .join(broadcast(dims.select(col("i"), col("s").as("si"))), "i")
+      .join(broadcast(dims.select(col("i").as("j"),
+        col("s").as("sj"))), "j")
+      .crossJoin(broadcast(nRow)) // 1 row off the checkpointed agg
+      .select(col("i"), col("j"),
+        (col("n") * col("sv") - col("si") * col("sj")).as("cov"))
+    cov
+      .withColumn("rk", row_number().over( // 2016-row global window
+        Window.orderBy(abs(col("cov")).desc, col("i"), col("j"))))
+      .filter(col("rk") <= 16)
+      .select(col("rk").cast("long").as("rk"),
+        col("i").cast("long").as("dim_i"),
+        col("j").cast("long").as("dim_j"),
+        col("cov").cast("long").as("cov"))
+      .orderBy("rk")
+  }
+
+  /** Integer nDCG discount table: floor(1e6/log2(r+1)) for r = 1..10,
+    * plus its prefix sums (the ideal-DCG denominators). Shared literals
+    * with the q224 oracle — no libm call in either engine. */
+  private val ndcgDisc: Seq[Long] = Seq(1000000L, 630929L, 500000L,
+    430676L, 386852L, 356207L, 333333L, 315464L, 301029L, 289064L)
+  private val ndcgPref: Seq[Long] = ndcgDisc.scanLeft(0L)(_ + _).tail
+
+  /** Memoized nDCG probe seeds (vec_id, label) ∈ [10, 26) — one bounded
+    * collect per data dir (16 rows). */
+  private val ndcgProbeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, Seq[(Long, Seq[Float], Int)]]
+  private def ndcgProbes(s: org.apache.spark.sql.SparkSession,
+      d: String): Seq[(Long, Seq[Float], Int)] =
+    ndcgProbeMemo.computeIfAbsent(d, { dir =>
+      emb(s, dir).filter(col("vec_id") >= 10 && col("vec_id") < 26)
+        .select("vec_id", "embedding", "label").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2))).toSeq
+        .sortBy(_._1)
+    })
+
+  /** q224 core over any (vec_id, embedding, label) frame plus explicit
+    * probe seeds. Factored for crafted-ranking laws (known ideal /
+    * known-worst orderings pin the nDCG arithmetic). */
+  private[graft] def knnNdcgCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      probes: Seq[(Long, Seq[Float], Int)])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val probesDf = broadcast(probes.toDF("qid", "qv", "ql"))
+    val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
+    val minK10 = udaf(new Aggregators.MinKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // same loud guard as q216: a label outside [0,16) would silently
+    // corrupt the packed decode while the oracle stays correct
+    val lbl = when(col("label") >= 0 && col("label") < 16, col("label"))
+      .otherwise(raise_error(concat(
+        lit("q224: label outside [0,16) corrupts the packed rank key: "),
+        col("label").cast("string"))))
+    val discLit = typedLit(ndcgDisc)
+    val prefLit = typedLit(ndcgPref)
+    val gathered = e.crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("ql"),
+        (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+          * lit(-M) + col("vec_id") * 16L + lbl).as("key"),
+        (col("label") === col("ql")).as("rel"))
+      .groupBy("qid", "ql")
+      .agg(minK10(col("key")).as("ks"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("n_rel"))
+    // 16 rows from here on: unpack ranks, sum the discounted gains
+    gathered
+      .select(col("qid"), col("ql"), col("n_rel"),
+        posexplode(col("ks")).as(Seq("p", "key")))
+      .select(col("qid"), col("n_rel"), (col("p") + 1).as("r"),
+        (expr(s"pmod(key, ${M}L) % 16") === col("ql")).as("rel"))
+      .groupBy("qid", "n_rel")
+      .agg(
+        sum(when(col("rel"), element_at(discLit, col("r").cast("int")))
+          .otherwise(0L)).as("dcg"),
+        sum(when(col("rel"), 1L).otherwise(0L)).as("hits"),
+        min(when(col("rel"), col("r"))).as("frank"))
+      .withColumn("idcg", // greatest(...,1): n_rel=0 rows never read it
+        element_at(prefLit,
+          greatest(least(col("n_rel"), lit(10L)), lit(1L)).cast("int")))
+      .select(col("qid"), col("hits").cast("long").as("hits"),
+        when(col("n_rel") === 0, 0L).otherwise(
+          expr("(dcg * 1000000L) div idcg"))
+          .cast("long").as("ndcg_ppm"),
+        when(col("frank").isNull, 0L)
+          .otherwise(expr("1000000L div frank"))
+          .cast("long").as("mrr_ppm"))
+      .orderBy("qid")
+  }
 
   /** q223 core over explicit (doc_id, group_id) groups and a
     * (doc_id, source, n_chars) doc table. Factored for crafted-group

@@ -1,0 +1,156 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.queries.DedupQueries
+
+/** Laws for the round-10 operators. q224: crafted rankings with known
+  * nDCG/MRR closed forms (ideal, single-hit-at-rank-3, zero-relevant)
+  * plus a gate-SF brute-force mirror.
+  */
+class Round10LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+    var acc = 0.0; var i = 0
+    while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+  private def rq(a: Seq[Float], b: Seq[Float]): Long =
+    BigDecimal(dotD(a, b) * 10000)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  // ---------------------------------------------------------------- q224
+
+  private val qv = Seq(1f, 0f, 0f, 0f)
+  private def v(x: Float) = Seq(x, 0f, 0f, 0f)
+
+  test("law: q224 ideal ranking — 12 same-label vectors fill the top-10 " +
+    "(n_rel > 10 exercises the pref[10] denominator): nDCG = MRR = 1e6") {
+    val rows = (10L, qv, 1) +: (1 to 12).map(i =>
+      (20L + i, v(1f - i * 0.01f), 1)) :+ ((40L, v(0.5f), 2))
+    val got = DedupQueries.knnNdcgCore(spark,
+      rows.toDF("vec_id", "embedding", "label"),
+      Seq((10L, qv, 1))).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 1000000L, 1000000L)), s"got ${r}")
+  }
+
+  test("law: q224 single relevant at rank 3 with n_rel = 1 — " +
+    "nDCG = disc[3]/disc[1] = 500000, MRR = 333333") {
+    val rows = Seq(
+      (10L, qv, 1), // the probe itself
+      (21L, v(0.9f), 2),
+      (22L, v(0.8f), 3),
+      (23L, v(0.7f), 1), // the only relevant, at rank 3
+      (24L, v(0.6f), 4),
+      (25L, v(0.5f), 5))
+    val got = DedupQueries.knnNdcgCore(spark,
+      rows.toDF("vec_id", "embedding", "label"),
+      Seq((10L, qv, 1))).collect()
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 500000L, 333333L)), s"got ${r}")
+  }
+
+  test("law: q224 zero relevant candidates in the corpus — all three " +
+    "metrics are 0 (the n_rel = 0 guard, not a division error)") {
+    val rows = Seq(
+      (10L, qv, 1),
+      (21L, v(0.9f), 2),
+      (22L, v(0.8f), 3))
+    val got = DedupQueries.knnNdcgCore(spark,
+      rows.toDF("vec_id", "embedding", "label"),
+      Seq((10L, qv, 1))).collect()
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 0L, 0L)), s"got ${r}")
+  }
+
+  test("law: q224 at the gate SF equals a driver-side brute-force " +
+    "nDCG/MRR mirror (all 16 probes)") {
+    val disc = Seq(1000000L, 630929L, 500000L, 430676L, 386852L,
+      356207L, 333333L, 315464L, 301029L, 289064L)
+    val pref = disc.scanLeft(0L)(_ + _).tail
+    val e = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding", "label").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1), r.getInt(2)))
+    val probes = e.filter(p => p._1 >= 10 && p._1 < 26).sortBy(_._1)
+    val expect = probes.map { case (qid, pv, ql) =>
+      val cands = e.filter(_._1 != qid)
+      val nRel = cands.count(_._3 == ql).toLong
+      val top = cands.map(o => (o._1, o._3, rq(pv, o._2)))
+        .sortBy { case (id, _, r) => (-r, id) }.take(10)
+      val dcg = top.zipWithIndex.collect {
+        case ((_, l, _), i) if l == ql => disc(i) }.sum
+      val hits = top.count(_._2 == ql).toLong
+      val frank = top.zipWithIndex.collectFirst {
+        case ((_, l, _), i) if l == ql => i + 1L }
+      val ndcg = if (nRel == 0) 0L
+        else dcg * 1000000L / pref((nRel.min(10) - 1).toInt)
+      val mrr = frank.map(1000000L / _).getOrElse(0L)
+      (qid, hits, ndcg, mrr)
+    }.toSeq
+    val got = SparkEntry.queries("q224_knn_ndcg")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+
+  // ---------------------------------------------------------------- q225
+
+  test("law: q225 crafted 2-dim corpus — cov = n·Σq0q1 − Σq0·Σq1 " +
+    "exactly (hand-computed: 3·12e6 − 2000·7000 = 22e6)") {
+    val rows = Seq(
+      (1L, Seq(0.1f, 0.2f)),
+      (2L, Seq(0.3f, 0.4f)),
+      (3L, Seq(-0.2f, 0.1f)))
+    val got = DedupQueries.embCovarianceCore(
+      rows.toDF("vec_id", "embedding")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 0L, 1L, 22000000L)), s"got ${r}")
+  }
+
+  test("law: q225 anti-correlated pair ranks first with negative cov; " +
+    "|cov| ordering beats raw ordering") {
+    // dims: d0 = x, d1 = -x (perfect anti-corr), d2 = tiny noise
+    val rows = Seq(
+      (1L, Seq(0.4f, -0.4f, 0.001f)),
+      (2L, Seq(-0.3f, 0.3f, -0.001f)),
+      (3L, Seq(0.1f, -0.1f, 0.002f)))
+    val got = DedupQueries.embCovarianceCore(
+      rows.toDF("vec_id", "embedding")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.length == 3)
+    assert(got.head._2 == 0L && got.head._3 == 1L && got.head._4 < 0L,
+      s"got ${got.toSeq}")
+  }
+
+  test("law: q225 at the gate SF equals a driver-side exact integer " +
+    "Gram mirror (all 16 rows)") {
+    val e = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getSeq[Float](1).map(x =>
+        BigDecimal(x.toDouble * 10000)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong))
+    val d = e.head.length
+    val n = e.length.toLong
+    val s = (0 until d).map(i => e.map(_(i)).sum)
+    val expect = (for {
+      i <- 0 until d; j <- (i + 1) until d
+    } yield {
+      val sij = e.map(v => v(i) * v(j)).sum
+      (i.toLong, j.toLong, n * sij - s(i) * s(j))
+    }).sortBy { case (i, j, c) => (-math.abs(c), i, j) }.take(16)
+      .zipWithIndex.map { case ((i, j, c), k) => (k + 1L, i, j, c) }
+    val got = SparkEntry.queries("q225_emb_covariance")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == expect)
+  }
+}
