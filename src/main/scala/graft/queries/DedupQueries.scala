@@ -3127,15 +3127,16 @@ object DedupQueries {
     // dimension PAIRS carry correlated mass? Top-16 off-diagonal
     // covariances of the 64-dim space, in fixed-point: components
     // quantized to 1e4, cov_ij = n·Σqiqj − Σqi·Σqj — pure BIGINT, no
-    // float summation order anywhere. Scale shape: the d(d−1)/2 = 2016
-    // products per row are generated map-side (one bound quantized
-    // array, no self-join) and the partial agg collapses each partition
-    // to ≤ 2016 rows before the exchange; per-dim sums ride a second
-    // 64-group pass of the same projection; everything after is a
-    // 2016-row table. Integer envelope: |q| ≤ 6e3 here, so n·Σqiqj is
-    // exact through n ≈ 5e5 — at corpus scale the audit runs on a
-    // hash-sampled subset (q87 machinery; covariance needs O(d²/ε²)
-    // samples, not the corpus), keeping the envelope AND the cost flat.
+    // float summation order anywhere. Scale shape: ONE corpus scan
+    // through a fused GramAgg kernel (pair products + dim sums + count
+    // in one O(d²) buffer; one 33 KB partial per task — never an
+    // explode of n·d²/2 product rows, which HOF lambdas would build
+    // interpreted: measured 44 s vs 2.6 s at the 100× replica);
+    // everything after the gather is a 2016-row table. Integer
+    // envelope: |q| ≤ 6e3 here, so n·Σqiqj is exact through n ≈ 5e5 —
+    // at corpus scale the audit runs on a hash-sampled subset (q87
+    // machinery; covariance needs O(d²/ε²) samples, not the corpus),
+    // keeping the envelope AND the cost flat.
     Q(
       "q225_emb_covariance",
       """WITH q AS (SELECT vec_id,
@@ -3165,31 +3166,33 @@ object DedupQueries {
   private[graft] def embCovarianceCore(
       e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import graft.functions.ArrayOps
-    val q = e
-      .filter(size(col("embedding")) >= 2) // guard OUTSIDE the binding
-      .select(transform(col("embedding"),
-        x => round(x.cast("double") * 10000).cast("long")).as("qv"))
-    // ONE corpus scan: the pair products, the per-dim sums (j = -1
-    // sentinel) and the row count (i = j = -1) ride the same explode —
-    // a separate dim-sum subtree would be scanned once per join
-    // consumer (ReuseExchange does not dedup aliased aggregate reads,
-    // the r9 q210 lesson). The 2081-row aggregate is checkpointed once
-    // for its three consumers (q203 rule).
-    val entries = q.select(explode(ArrayOps.bindOnce(col("qv")) { qv =>
-        concat(
-          flatten(transform(sequence(lit(0), size(qv) - 2), i =>
-            transform(sequence(i + 1, size(qv) - 1), j =>
-              struct(i.as("i"), j.as("j"),
-                (element_at(qv, i + 1) * element_at(qv, j + 1)).as("p"))))),
-          transform(sequence(lit(0), size(qv) - 1), i =>
-            struct(i.as("i"), lit(-1).as("j"),
-              element_at(qv, i + 1).as("p"))),
-          array(struct(lit(-1).as("i"), lit(-1).as("j"),
-            lit(1L).as("p"))))
-      }).as("x"))
-      .groupBy(col("x.i").as("i"), col("x.j").as("j"))
-      .agg(sum(col("x.p")).as("sv"))
+    import graft.functions.Aggregators
+    // d from a 1-row job (dim is uniform per corpus); the whole Gram
+    // then comes from ONE corpus scan through a fused GramAgg kernel —
+    // pair products, dim sums and row count in one O(d²) buffer, one
+    // partial per task, one 33 KB row over the wire (an explode of the
+    // n·d²/2 products was measured 44 s at the 100× replica: HOF
+    // struct-building lambdas never codegen). The ≤ d²+d+1-row result
+    // is checkpointed once for its three consumers (q203 rule).
+    val vecs = e.filter(size(col("embedding")) >= 2)
+      .select(col("embedding"))
+    val d = vecs.select(size(col("embedding")).as("d")).head.getInt(0)
+    val dd = d * d
+    val gram = udaf(new Aggregators.GramAgg(d),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Float]]())
+    val entries = vecs
+      .agg(gram(col("embedding")).as("g"))
+      .select(posexplode(col("g")).as(Seq("k", "sv")))
+      // drop the diagonal/lower-triangle zero slots; decode the layout
+      .filter(col("k") >= dd || expr(s"k div $d") < col("k") % d)
+      .select(
+        when(col("k") === dd + d, lit(-1))
+          .when(col("k") >= dd, col("k") - dd)
+          .otherwise(expr(s"k div $d")).cast("int").as("i"),
+        when(col("k") >= dd, lit(-1))
+          .otherwise(col("k") % d).cast("int").as("j"),
+        col("sv"))
       .localCheckpoint(true)
     val nRow = entries.filter(col("i") === -1 && col("j") === -1)
       .select(col("sv").as("n"))
