@@ -3158,8 +3158,81 @@ object DedupQueries {
         |    AS BIGINT) AS rk,
         |  CAST(i AS BIGINT) AS dim_i, CAST(j AS BIGINT) AS dim_j, cov
         |FROM cov ORDER BY abs(cov) DESC, i, j LIMIT 16""".stripMargin
-    ) { (s, d) => embCovarianceCore(emb(s, d)) }
+    ) { (s, d) => embCovarianceCore(emb(s, d)) },
+
+    // HUBNESS AUDIT — the known pathology of high-dim kNN (Radovanović
+    // et al.): a few "hub" vectors appear in a huge share of other
+    // points' neighbor lists, silently skewing kNN-based dedup,
+    // retrieval and hard-negative mining. k-occurrence distribution:
+    // for every vector, in how many other vectors' top-5 (within the
+    // RP-bucketed candidate graph, rdot > 0.15 — the same graph
+    // q59/q88/q92 trust) does it appear? Scale shape: both directions
+    // of each pair come from ONE pass via a 2-element map-side explode
+    // (a self-union either replans the bucket self-join per side or
+    // checkpoints the full pre-top-5 pair mass — measured 32.0 vs
+    // 11.4 s at the 1000x replica); top-5 per src is a MinKAgg gather
+    // (corpus-scale groups, O(k) state, map-side combine — no sort);
+    // the k-occurrence join is id-keyed; the histogram exchange is
+    // |max-occ|-bounded. The zero bucket comes from a column-pruned
+    // left join against the corpus id list.
+    Q(
+      "q226_hubness",
+      s"""WITH pairs AS ($rpPairsSql),
+        |und AS (SELECT id_a AS src, id_b AS dst, rdot FROM pairs
+        |        UNION ALL SELECT id_b, id_a, rdot FROM pairs),
+        |top5 AS (
+        |  SELECT src, dst FROM und
+        |  QUALIFY row_number() OVER (PARTITION BY src
+        |    ORDER BY CAST(round(rdot * 10000) AS BIGINT) DESC, dst) <= 5),
+        |occ AS (SELECT dst, count(*) AS k FROM top5 GROUP BY dst)
+        |SELECT CAST(coalesce(occ.k, 0) AS BIGINT) AS k_occ,
+        |  CAST(count(*) AS BIGINT) AS n_vecs
+        |FROM embeddings e LEFT JOIN occ ON occ.dst = e.vec_id
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) =>
+      hubnessCore(s,
+        rpPairs(s, d).select(col("id_a"), col("id_b"),
+          expr("cast(round(rdot * 10000) as bigint)").as("rq")),
+        emb(s, d).select(col("vec_id")))
+    }
   )
+
+  /** q226 core over explicit (id_a, id_b, rq) candidate pairs and a
+    * corpus id list. Factored for crafted-topology laws (a designated
+    * hub in everyone's top-5; an isolated vector landing in the zero
+    * bucket). */
+  private[graft] def hubnessCore(s: org.apache.spark.sql.SparkSession,
+      rawPairs: org.apache.spark.sql.DataFrame,
+      ids: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.Aggregators
+    val M = 8589934592L // 2^33 id space for the encoded rank key
+    val minK5 = udaf(new Aggregators.MinKAgg(5),
+      org.apache.spark.sql.Encoders.scalaLong)
+    // both directions from ONE pass over the pair stream: a 2-element
+    // map-side explode instead of a self-union (which either replans
+    // the bucket self-join per side or checkpoints the FULL pre-top-5
+    // pair mass — the materialization, not the compute, dominated the
+    // 1000x replica: 32.0 s with the checkpoint, 11.4 s exploded)
+    val occ = rawPairs
+      .select(explode(array(
+        struct(col("id_a").as("src"),
+          (col("rq") * lit(-M) + col("id_b")).as("key")),
+        struct(col("id_b").as("src"),
+          (col("rq") * lit(-M) + col("id_a")).as("key")))).as("x"))
+      .select(col("x.src").as("src"), col("x.key").as("key"))
+      .groupBy("src").agg(minK5(col("key")).as("ks"))
+      .select(explode(col("ks")).as("key"))
+      .select(pmod(col("key"), lit(M)).as("dst"))
+      .groupBy("dst").agg(count(lit(1)).as("k"))
+    ids
+      .join(occ.hint("shuffle_hash"),
+        col("vec_id") === col("dst"), "left")
+      .groupBy(coalesce(col("k"), lit(0L)).as("k_occ"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"))
+      .select(col("k_occ").cast("long").as("k_occ"), col("n_vecs"))
+      .orderBy("k_occ")
+  }
 
   /** q225 core over any (vec_id, embedding) frame. Factored for crafted
     * covariance laws (known 2-dim hand-computable sums). */

@@ -1346,8 +1346,72 @@ object EventQueries {
         |  CAST(sum(abs(share_ppm - prev_ppm)) // 2 AS BIGINT) AS tvd_ppm
         |FROM d WHERE prev_ppm IS NOT NULL
         |GROUP BY wk ORDER BY week""".stripMargin
-    ) { (s, d) => mixDriftCore(ev(s, d)) }
+    ) { (s, d) => mixDriftCore(ev(s, d)) },
+
+    // DP HISTOGRAM RELEASE — the step AFTER q211's sensitivity prep: a
+    // differentially-private count release over (event_type, day-of-
+    // week) cells. Each user contributes at most C=4 events per cell
+    // (Σ least(c,4) — bounded sensitivity), then integer noise from the
+    // cell key's 60-bit hash (pmod 13 − 6 ≈ a bounded-Laplace stand-in:
+    // REAL deployments draw calibrated randomness at release time; the
+    // engine-side contract — cap, noise-add, clamp-at-0 — is identical
+    // and a deterministic draw keeps the gate exact), clamped ≥ 0.
+    // Scale shape: ONE corpus-scale exchange on (type, dow, user) with
+    // map-side collapse; the cap-sum exchange is |cells|·|users|-scale
+    // → |cells|; noise/clamp are map stages over the bounded cell
+    // table. dow via integer epoch-day % 7 — no timezone/libm paths.
+    Q(
+      "q227_dp_release",
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000) % 7 AS dow, user_id,
+        |    count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |cap AS (
+        |  SELECT event_type, dow, sum(least(c, 4)) AS n_capped
+        |  FROM c GROUP BY 1, 2),
+        |n AS (
+        |  SELECT event_type, dow, n_capped,
+        |    (CAST(list_sum(list_transform(range(1, 8),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('dp|' || event_type || '|' ||
+        |                CAST(dow AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (7 - j))) AS BIGINT) * 4294967296
+        |    + CAST(list_sum(list_transform(range(8, 16),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('dp|' || event_type || '|' ||
+        |                CAST(dow AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (15 - j))) AS BIGINT)) % 13 - 6
+        |      AS noise
+        |  FROM cap)
+        |SELECT event_type, CAST(dow AS BIGINT) AS dow,
+        |  CAST(n_capped AS BIGINT) AS n_capped,
+        |  CAST(noise AS BIGINT) AS noise,
+        |  CAST(greatest(n_capped + noise, 0) AS BIGINT) AS released
+        |FROM n ORDER BY event_type, dow""".stripMargin
+    ) { (s, d) => dpReleaseCore(ev(s, d)) }
   )
+
+  /** q227 core over any (ts, event_type, user_id) frame. Factored for
+    * crafted cap/clamp laws (a 100-event user contributes exactly 4;
+    * a negative-noise empty cell clamps to 0). */
+  private[graft] def dpReleaseCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.groupBy(col("event_type"),
+        expr("(unix_micros(ts) div 86400000000) % 7").as("dow"),
+        col("user_id"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("event_type", "dow")
+      .agg(sum(least(col("c"), lit(4L))).as("n_capped"))
+      .withColumn("noise",
+        expr("""md5_prefix60(concat('dp|', event_type, '|',
+                cast(dow as string))) % 13 - 6"""))
+      .select(col("event_type"), col("dow").cast("long").as("dow"),
+        col("n_capped").cast("long").as("n_capped"),
+        col("noise").cast("long").as("noise"),
+        greatest(col("n_capped") + col("noise"), lit(0L))
+          .cast("long").as("released"))
+      .orderBy("event_type", "dow")
 
   /** q221 core over any (ts, event_type) frame. Factored for crafted
     * drift laws (known two-week mixes with exact TVD). */

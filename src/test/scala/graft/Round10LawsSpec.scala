@@ -153,4 +153,78 @@ class Round10LawsSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got == expect)
   }
+
+  // ---------------------------------------------------------------- q226
+
+  test("law: q226 crafted star topology — the hub is in all 4 spokes' " +
+    "top-5, spokes only in the hub's; isolated vector lands in the " +
+    "zero bucket") {
+    // pairs: hub 99 connects to 1..4 (strong); 1-2 weakly; 50 isolated
+    val pairs = Seq(
+      (1L, 99L, 9000L), (2L, 99L, 9000L), (3L, 99L, 9000L),
+      (4L, 99L, 9000L), (1L, 2L, 2000L))
+    val ids = Seq(1L, 2L, 3L, 4L, 50L, 99L)
+    val got = graft.queries.DedupQueries.hubnessCore(spark,
+      pairs.toDF("id_a", "id_b", "rq"),
+      ids.toDF("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    // occurrences: 99 appears in top-5 of 1,2,3,4 => k_occ 4 (1 vec).
+    // 1 and 2 appear in each other's and the hub's lists => k_occ 2
+    // (2 vecs: ids 1, 2). 3 and 4 appear only in the hub's list =>
+    // k_occ 1 (2 vecs). 50 isolated => k_occ 0 (1 vec).
+    assert(got == Seq((0L, 1L), (1L, 2L), (2L, 2L), (4L, 1L)),
+      s"got ${got}")
+  }
+
+  test("law: q226 top-5 bound — a src with 7 candidates votes for " +
+    "exactly its 5 strongest (rq desc, dst asc ties)") {
+    val pairs = (1L to 7L).map(i => (0L, 10L + i, 1000L * (8 - i)))
+    val ids = (Seq(0L) ++ (11L to 17L)).toSeq
+    val got = graft.queries.DedupQueries.hubnessCore(spark,
+      pairs.toDF("id_a", "id_b", "rq"),
+      ids.toDF("vec_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    // node 0 votes for 11..15 (the 5 strongest); 16,17 miss the cut
+    // but still vote for 0 themselves => 0 has k_occ 7? No: every
+    // spoke has only one candidate (0), so all 7 vote for 0 => k_occ
+    // 7 (1 vec); 11..15 get 1 vote each (5 vecs); 16,17 get 0 (2).
+    assert(got == Map(7L -> 1L, 1L -> 5L, 0L -> 2L), s"got ${got}")
+  }
+
+  // ---------------------------------------------------------------- q227
+
+  test("law: q227 contribution cap — a 100-event user adds exactly 4 " +
+    "to its cell and the release equals max(n_capped + noise, 0) with " +
+    "noise in [-6, 6]") {
+    import java.sql.Timestamp
+    // all events in one (type, dow) cell: epoch-day 0 (dow 0)
+    val heavy = (1 to 100).map(i =>
+      (Timestamp.from(java.time.Instant.ofEpochSecond(i)), "click", 7L))
+    val light = Seq(
+      (Timestamp.from(java.time.Instant.ofEpochSecond(200)), "click", 8L),
+      (Timestamp.from(java.time.Instant.ofEpochSecond(300)), "click", 8L))
+    val df = (heavy ++ light).toDF("ts", "event_type", "user_id")
+    val got = graft.queries.EventQueries.dpReleaseCore(df).collect()
+    assert(got.length == 1)
+    val r = got.head
+    val (cap, noise, rel) = (r.getLong(2), r.getLong(3), r.getLong(4))
+    assert(cap == 6L, s"cap ${cap}") // min(100,4) + min(2,4)
+    assert(noise >= -6L && noise <= 6L)
+    assert(rel == math.max(cap + noise, 0L))
+  }
+
+  test("law: q227 dow split — events 3 epoch-days apart land in " +
+    "different cells with independent caps") {
+    import java.sql.Timestamp
+    def at(day: Int, s: Int) = Timestamp.from(
+      java.time.Instant.ofEpochSecond(day * 86400L + s))
+    val rows = (1 to 10).map(i => (at(0, i), "view", 1L)) ++
+      (1 to 10).map(i => (at(3, i), "view", 1L))
+    val got = graft.queries.EventQueries.dpReleaseCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    assert(got.length == 2)
+    assert(got.forall(_.getLong(2) == 4L), // each cell capped at 4
+      s"got ${got.toSeq}")
+    assert(got.map(_.getLong(1)).toSet == Set(0L, 3L))
+  }
 }
