@@ -3194,8 +3194,75 @@ object DedupQueries {
         rpPairs(s, d).select(col("id_a"), col("id_b"),
           expr("cast(round(rdot * 10000) as bigint)").as("rq")),
         emb(s, d).select(col("vec_id")))
+    },
+
+    // DUP-CLUSTER COHESION AUDIT — before q223 deletes everything but
+    // one canonical per group, validate the GROUPS: transitive LSH
+    // closure chains A~B~C even when sim(A,C) is weak, so a cluster's
+    // weakest edge (and its size) is the "is this one document or a
+    // topic?" gate a dedup rollout reviews. Per CC group: size, edge
+    // count, weakest and mean intra-edge similarity (fixed-point 1e4),
+    // rolled up by group size so output stays bounded. Scale shape:
+    // the q92 CC machinery (degree-bounded edges, per-round
+    // checkpoints); edge stats are ONE id_a-keyed shuffle_hash join of
+    // the (already checkpointed) edge table against the group map;
+    // everything after is group-scale then |distinct-size|-scale.
+    Q(
+      "q228_cluster_cohesion",
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+        |sizes AS (SELECT lbl, count(*) AS sz FROM grp GROUP BY lbl),
+        |er AS (
+        |  SELECT g.lbl, CAST(round(p.rdot * 10000) AS BIGINT) AS rq
+        |  FROM pairs p JOIN grp g ON g.id = p.id_a),
+        |es AS (SELECT lbl, count(*) AS n_edges, min(rq) AS min_rq,
+        |         sum(rq) AS sum_rq
+        |       FROM er GROUP BY lbl),
+        |per AS (SELECT s.sz, e.n_edges, e.min_rq, e.sum_rq
+        |        FROM sizes s JOIN es e USING (lbl))
+        |SELECT CAST(sz AS BIGINT) AS size,
+        |  CAST(count(*) AS BIGINT) AS n_groups,
+        |  CAST(min(min_rq) AS BIGINT) AS weakest_rq,
+        |  CAST(sum(n_edges) AS BIGINT) AS n_edges,
+        |  CAST(sum(sum_rq) // sum(n_edges) AS BIGINT) AS mean_rq
+        |FROM per GROUP BY sz ORDER BY size""".stripMargin
+    ) { (s, d) =>
+      val edges = rpEdges(s, d)
+      val grp = graft.functions.GraphOps
+        .connectedComponents(edges, "id_a", "id_b")
+      clusterCohesionCore(edges, grp)
     }
   )
+
+  /** q228 core over explicit (id_a, id_b, rdot) edges and an (id, lbl)
+    * group map. Factored for crafted-chain laws (a weak transitive
+    * bridge must surface as the cluster's weakest_rq). */
+  private[graft] def clusterCohesionCore(
+      edges: org.apache.spark.sql.DataFrame,
+      grp: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sizes = grp.groupBy("lbl").agg(count(lit(1)).as("sz"))
+    val estats = edges
+      .select(col("id_a"),
+        expr("cast(round(rdot * 10000) as bigint)").as("rq"))
+      .join(grp.hint("shuffle_hash"), col("id_a") === col("id"))
+      .groupBy("lbl")
+      .agg(count(lit(1)).as("n_edges"), min("rq").as("min_rq"),
+        sum("rq").as("sum_rq"))
+    sizes.join(estats, Seq("lbl"))
+      .groupBy(col("sz").cast("long").as("size"))
+      .agg(count(lit(1)).cast("long").as("n_groups"),
+        min("min_rq").cast("long").as("weakest_rq"),
+        sum("n_edges").cast("long").as("n_edges"),
+        expr("sum(sum_rq) div sum(n_edges)").cast("long").as("mean_rq"))
+      .orderBy("size")
+  }
 
   /** q226 core over explicit (id_a, id_b, rq) candidate pairs and a
     * corpus id list. Factored for crafted-topology laws (a designated

@@ -1389,8 +1389,76 @@ object EventQueries {
         |  CAST(noise AS BIGINT) AS noise,
         |  CAST(greatest(n_capped + noise, 0) AS BIGINT) AS released
         |FROM n ORDER BY event_type, dow""".stripMargin
-    ) { (s, d) => dpReleaseCore(ev(s, d)) }
+    ) { (s, d) => dpReleaseCore(ev(s, d)) },
+
+    // JOIN-KEY SKEW AUDIT — the pre-flight a 100 TB join runs before
+    // choosing salting/AQE-skew handling: the per-key cardinality
+    // profile of the join key (user_id), as a log2-bucket histogram
+    // plus the exact Gini coefficient of key mass. Gini WITHOUT a
+    // global per-user sort: users are grouped by their count c first
+    // (≤ max-events-per-user distinct values), and a run of m users
+    // with equal c at ranks below+1..below+m contributes
+    // c·(m·below + m(m+1)/2) to Σ rank·mass — tie order within a run
+    // cannot matter, so the statistic is deterministic AND the rank
+    // window runs over the tiny (c, m) table, not the user table.
+    // Scale shape: one corpus exchange (user counts, map-side
+    // collapse), one user-scale exchange into the ≤|distinct-c| hist
+    // (checkpointed once for its three consumers — q203 rule); the
+    // window, totals and buckets are all bounded-table stages. Integer
+    // envelope: Σ rank·mass ≤ n·S < 2^63 — exact through ~1e8 users ×
+    // 1e10 events; beyond that, pre-bucket c to log2 first.
+    Q(
+      "q229_key_skew",
+      """WITH cnt AS (SELECT user_id, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |hist AS (SELECT c, count(*) AS m FROM cnt GROUP BY c),
+        |cum AS (
+        |  SELECT c, m, coalesce(sum(m) OVER (ORDER BY c
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |    AS below
+        |  FROM hist),
+        |t AS (
+        |  SELECT sum(c * (m * below + (m * (m + 1)) // 2)) AS sic,
+        |    sum(c * m) AS s, sum(m) AS n
+        |  FROM cum),
+        |g AS (SELECT CAST((2 * sic - (n + 1) * s) * 1000000 // (n * s)
+        |    AS BIGINT) AS gini_ppm FROM t),
+        |b AS (SELECT length(bin(c)) AS bucket, sum(m) AS n_users,
+        |        sum(c * m) AS n_events
+        |      FROM hist GROUP BY 1)
+        |SELECT CAST(bucket AS BIGINT) AS bucket,
+        |  CAST(n_users AS BIGINT) AS n_users,
+        |  CAST(n_events AS BIGINT) AS n_events, g.gini_ppm
+        |FROM b, g ORDER BY bucket""".stripMargin
+    ) { (s, d) => keySkewCore(ev(s, d), "user_id") }
   )
+
+  /** q229 core over any frame and key column. Factored for crafted
+    * distribution laws (uniform keys → Gini 0; one dominant key →
+    * Gini → 1). */
+  private[graft] def keySkewCore(
+      e: org.apache.spark.sql.DataFrame, key: String)
+      : org.apache.spark.sql.DataFrame = {
+    val hist = e.groupBy(key).agg(count(lit(1)).as("c"))
+      .groupBy("c").agg(count(lit(1)).as("m"))
+      .localCheckpoint(true) // tiny; three consumers (q203 rule)
+    val w = Window.orderBy("c") // ≤ |distinct-c| rows
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val tot = hist
+      .withColumn("below", coalesce(sum("m").over(w), lit(0L)))
+      .agg(
+        sum(col("c") * (col("m") * col("below") +
+          expr("(m * (m + 1)) div 2"))).as("sic"),
+        sum(col("c") * col("m")).as("s"), sum("m").as("n"))
+      .selectExpr(
+        "cast(((sic * 2 - (n + 1) * s) * 1000000) div (n * s) as long)" +
+          " as gini_ppm")
+    hist.groupBy(length(bin(col("c"))).cast("long").as("bucket"))
+      .agg(sum("m").cast("long").as("n_users"),
+        sum(col("c") * col("m")).cast("long").as("n_events"))
+      .crossJoin(broadcast(tot))
+      .orderBy("bucket")
+  }
 
   /** q227 core over any (ts, event_type, user_id) frame. Factored for
     * crafted cap/clamp laws (a 100-event user contributes exactly 4;

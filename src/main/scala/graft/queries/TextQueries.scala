@@ -1452,8 +1452,84 @@ object TextQueries {
         |  CAST(sum(oov) AS BIGINT) AS oov,
         |  CAST(sum(oov) * 1000000 // count(*) AS BIGINT) AS oov_ppm
         |FROM fl GROUP BY lang ORDER BY lang""".stripMargin
-    ) { (s, d) => vocabCoverageCore(docs(s, d)) }
+    ) { (s, d) => vocabCoverageCore(docs(s, d)) },
+
+    // STOPWORD-PROFILE DIVERGENCE — the cheap stylometric drift check a
+    // source-mix monitor runs: function-word rates are topic-invariant
+    // but SOURCE-variant (register, boilerplate, scraping artifacts),
+    // so each source's 8-stopword ppm profile vs the corpus profile
+    // (L1 distance) flags sources whose text "sounds different" before
+    // any model sees it. All rates independently floored ppm — no
+    // cross-engine float path. Scale shape: the token explode is
+    // map-side and everything not in the 8-word class folds to one
+    // '•other' key BEFORE the exchange (the class-scale-exchange
+    // rule), so the shuffle carries |sources|·9 partial rows; the
+    // (source, class) aggregate is checkpointed once for its four
+    // consumers (totals, grid, corpus profile, corpus total — q203
+    // rule); the grid/L1 stages are |sources|·8-bounded.
+    Q(
+      "q230_stopword_divergence",
+      """WITH tok AS (
+        |  SELECT source, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT source,
+        |    CASE WHEN w IN ('the','of','and','to','in','a','is','that')
+        |      THEN w ELSE chr(8226) END AS w2,
+        |    count(*) AS c
+        |  FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT source, sum(c) AS n FROM c GROUP BY 1),
+        |sw(w) AS (VALUES ('the'),('of'),('and'),('to'),('in'),('a'),
+        |  ('is'),('that')),
+        |grid AS (
+        |  SELECT nt.source, sw.w,
+        |    coalesce(cc.c, 0) * 1000000 // nt.n AS ppm, nt.n
+        |  FROM nt CROSS JOIN sw
+        |  LEFT JOIN c cc ON cc.source = nt.source AND cc.w2 = sw.w),
+        |corp AS (SELECT w2, sum(c) AS c FROM c GROUP BY 1),
+        |ct AS (SELECT sum(c) AS n FROM c),
+        |corpr AS (
+        |  SELECT sw.w, coalesce(corp.c, 0) * 1000000 // ct.n AS ppm
+        |  FROM sw LEFT JOIN corp ON corp.w2 = sw.w, ct)
+        |SELECT g.source, CAST(max(g.n) AS BIGINT) AS n_tokens,
+        |  CAST(sum(abs(g.ppm - r.ppm)) AS BIGINT) AS l1_ppm
+        |FROM grid g JOIN corpr r USING (w)
+        |GROUP BY 1 ORDER BY 1""".stripMargin
+    ) { (s, d) => stopwordDivergenceCore(docs(s, d)) }
   )
+
+  /** q230 core over any (source, text) frame. Factored for crafted
+    * profile laws (identical profiles → L1 = 0; a stopword-free source
+    * diverges by exactly the corpus profile mass). */
+  private[graft] def stopwordDivergenceCore(
+      d: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import d.sparkSession.implicits._
+    val sw = Seq("the", "of", "and", "to", "in", "a", "is", "that")
+    val c = d
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("w"))
+      .groupBy(col("source"),
+        when(col("w").isin(sw: _*), col("w")).otherwise("•")
+          .as("w2"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // |sources|·9 rows; four consumers
+    val nt = c.groupBy("source").agg(sum("c").as("n"))
+    val grid = nt.crossJoin(broadcast(sw.toDF("w")))
+      .join(c.withColumnRenamed("w2", "w"), Seq("source", "w"), "left")
+      .select(col("source"), col("w"),
+        expr("coalesce(c, 0) * 1000000 div n").as("ppm"), col("n"))
+    val corp = broadcast(sw.toDF("w"))
+      .join(c.groupBy("w2").agg(sum("c").as("cc")),
+        col("w") === col("w2"), "left")
+      .crossJoin(broadcast(c.agg(sum("c").as("tn"))))
+      .select(col("w"), expr("coalesce(cc, 0) * 1000000 div tn")
+        .as("cppm"))
+    grid.join(broadcast(corp), Seq("w"))
+      .groupBy("source")
+      .agg(max("n").cast("long").as("n_tokens"),
+        sum(abs(col("ppm") - col("cppm"))).cast("long").as("l1_ppm"))
+      .orderBy("source")
+  }
 
   /** q222 core over any (lang, text) frame. Factored for crafted OOV
     * laws (a hand-built vocab boundary). */

@@ -227,4 +227,77 @@ class Round10LawsSpec extends SparkSpec {
       s"got ${got.toSeq}")
     assert(got.map(_.getLong(1)).toSet == Set(0L, 3L))
   }
+
+  // ---------------------------------------------------------------- q228
+
+  test("law: q228 crafted chain — a weak transitive bridge surfaces as " +
+    "the 3-cluster's weakest_rq; mean is the floored edge average") {
+    val edges = Seq(
+      (1L, 2L, 0.9), // strong
+      (2L, 3L, 0.2), // the weak bridge that glued the cluster
+      (10L, 11L, 0.5)) // a separate pair
+    val grp = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L))
+    val got = graft.queries.DedupQueries.clusterCohesionCore(
+      edges.toDF("id_a", "id_b", "rdot"),
+      grp.toDF("id", "lbl")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    // size 2: 1 group, weakest 5000, 1 edge, mean 5000
+    // size 3: 1 group, weakest 2000, 2 edges, mean (9000+2000) div 2
+    assert(got == Seq((2L, 1L, 5000L, 1L, 5000L),
+      (3L, 1L, 2000L, 2L, 5500L)), s"got ${got}")
+  }
+
+  // ---------------------------------------------------------------- q229
+
+  test("law: q229 uniform keys — Gini is exactly 0") {
+    import java.sql.Timestamp
+    val rows = for { k <- 1 to 10; i <- 1 to 5 } yield
+      (Timestamp.from(java.time.Instant.ofEpochSecond(i)), k.toLong)
+    val got = graft.queries.EventQueries.keySkewCore(
+      rows.toDF("ts", "user_id"), "user_id").collect()
+    assert(got.length == 1) // all keys in one log2 bucket (c = 5)
+    assert((got.head.getLong(1), got.head.getLong(2),
+      got.head.getLong(3)) == ((10L, 50L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("law: q229 one dominant key — grouped-rank Gini matches the " +
+    "hand-computed closed form (891000 ppm)") {
+    import java.sql.Timestamp
+    // 99 keys with 1 event, key 1000 with 901 events: n=100, S=1000,
+    // sic = 1*(99*0 + 99*100/2) + 901*(1*99 + 1) = 4950 + 90100
+    // gini = (2*95050 - 101*1000) * 1e6 // (100*1000) = 891000
+    val rows = (1 to 99).map(k =>
+      (Timestamp.from(java.time.Instant.ofEpochSecond(k)), k.toLong)) ++
+      (1 to 901).map(i =>
+        (Timestamp.from(java.time.Instant.ofEpochSecond(i)), 1000L))
+    val got = graft.queries.EventQueries.keySkewCore(
+      rows.toDF("ts", "user_id"), "user_id").collect()
+    assert(got.forall(_.getLong(3) == 891000L), s"got ${got.toSeq}")
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .toSeq.sorted == Seq((1L, 99L, 99L), (10L, 1L, 901L)),
+      s"got ${got.toSeq}")
+  }
+
+  // ---------------------------------------------------------------- q230
+
+  test("law: q230 identical texts across sources — every source's " +
+    "profile equals the corpus profile, L1 = 0") {
+    val rows = Seq(("a", "the cat of note"), ("b", "the cat of note"))
+    val got = graft.queries.TextQueries.stopwordDivergenceCore(
+      rows.toDF("source", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 4L), ("b", 4L)).map(t => (t._1, t._2, 0L)),
+      s"got ${got}")
+  }
+
+  test("law: q230 asymmetric crafted profiles — hand-computed L1 " +
+    "(the: 500000 vs corpus 250000 => 250000 each side)") {
+    val rows = Seq(("a", "the x"), ("b", "x y"))
+    val got = graft.queries.TextQueries.stopwordDivergenceCore(
+      rows.toDF("source", "text")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("a", 2L, 250000L), ("b", 2L, 250000L)),
+      s"got ${got}")
+  }
 }
