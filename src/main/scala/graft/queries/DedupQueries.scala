@@ -3237,8 +3237,83 @@ object DedupQueries {
       val grp = graft.functions.GraphOps
         .connectedComponents(edges, "id_a", "id_b")
       clusterCohesionCore(edges, grp)
+    },
+
+    // DEDUP THRESHOLD SWEEP — the tuning curve a dedup rollout reviews
+    // before picking its similarity cutoff: for each candidate
+    // threshold (0.20..0.80 fixed-point), how many candidate pairs
+    // survive and how many distinct documents they touch. One pass
+    // over the SAME capped bucketed pair mass every near-dup operator
+    // trusts — not seven. Scale shape: the pair table is checkpointed
+    // narrow once (id, id, rq — bounded by the bucket caps); each pair
+    // fans out map-side to only the thresholds it passes (a 7-element
+    // literal-array filter, never a pairs×7 join); both rollups
+    // (pair counts, distinct-doc counts) run on the fan-out with
+    // partial-agg collapse; the output grid is 7-row bounded.
+    Q(
+      "q232_threshold_sweep",
+      s"""WITH pairs AS ($rpPairsSql),
+        |t(thr) AS (VALUES (2000), (3000), (4000), (5000), (6000),
+        |  (7000), (8000)),
+        |pt AS (
+        |  SELECT t.thr, p.id_a, p.id_b FROM pairs p
+        |  JOIN t ON CAST(round(p.rdot * 10000) AS BIGINT) >= t.thr),
+        |np AS (SELECT thr, count(*) AS n_pairs FROM pt GROUP BY thr),
+        |nd AS (
+        |  SELECT thr, count(DISTINCT id) AS n_docs FROM (
+        |    SELECT thr, id_a AS id FROM pt
+        |    UNION ALL SELECT thr, id_b FROM pt) u
+        |  GROUP BY thr)
+        |SELECT CAST(t.thr AS BIGINT) AS thr,
+        |  CAST(coalesce(np.n_pairs, 0) AS BIGINT) AS n_pairs,
+        |  CAST(coalesce(nd.n_docs, 0) AS BIGINT) AS n_docs
+        |FROM t LEFT JOIN np USING (thr) LEFT JOIN nd USING (thr)
+        |ORDER BY thr""".stripMargin
+    ) { (s, d) =>
+      thresholdSweepCore(s,
+        rpPairs(s, d).select(col("id_a"), col("id_b"),
+          expr("cast(round(rdot * 10000) as bigint)").as("rq")))
     }
   )
+
+  /** q232 core over explicit (id_a, id_b, rq) pairs. Factored for
+    * crafted sweep laws (pairs placed exactly on threshold
+    * boundaries). */
+  private[graft] def thresholdSweepCore(
+      s: org.apache.spark.sql.SparkSession,
+      rawPairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val thresholds = Seq(2000L, 3000L, 4000L, 5000L, 6000L, 7000L, 8000L)
+    // ONE pass over the pair mass (both endpoints via a 2-element
+    // map-side explode — the q226 lesson; a checkpoint + per-threshold
+    // fan-out + DISTINCT measured 58.5 s at the 1000x replica, this
+    // shape 6.4 s): per id, the max incident rq (n_docs: id passes t
+    // iff mx >= t) and the per-threshold incident-pair counts (n_pairs:
+    // each pair is counted at both ends, so Σ div 2) fused into one
+    // id-scale groupBy; the 7-level rollup is then a single scalar
+    // aggregate unpivoted with stack — no distinct, no second pair
+    // scan, nothing above id-scale ever crosses an exchange.
+    val ends = rawPairs.select(explode(array(
+        struct(col("id_a").as("id"), col("rq")),
+        struct(col("id_b").as("id"), col("rq")))).as("x"))
+      .select(col("x.id").as("id"), col("x.rq").as("rq"))
+    val perIdAggs = max(col("rq")).as("mx") +:
+      thresholds.map(t =>
+        sum(when(col("rq") >= t, 1L).otherwise(0L)).as(s"c$t"))
+    val perId = ends.groupBy("id").agg(perIdAggs.head, perIdAggs.tail: _*)
+    val totAggs = thresholds.flatMap(t => Seq(
+      sum(col(s"c$t")).as(s"p$t"),
+      sum(when(col("mx") >= t, 1L).otherwise(0L)).as(s"d$t")))
+    val tot = perId.agg(totAggs.head, totAggs.tail: _*)
+    val stackExpr = s"stack(${thresholds.size}, " + thresholds.map(t =>
+      s"${t}L, coalesce(p$t, 0) div 2, coalesce(d$t, 0)").mkString(", ") +
+      ") as (thr, n_pairs, n_docs)"
+    tot.selectExpr(stackExpr)
+      .select(col("thr").cast("long").as("thr"),
+        col("n_pairs").cast("long").as("n_pairs"),
+        col("n_docs").cast("long").as("n_docs"))
+      .orderBy("thr")
+  }
 
   /** q228 core over explicit (id_a, id_b, rdot) edges and an (id, lbl)
     * group map. Factored for crafted-chain laws (a weak transitive

@@ -1430,8 +1430,49 @@ object EventQueries {
         |  CAST(n_users AS BIGINT) AS n_users,
         |  CAST(n_events AS BIGINT) AS n_events, g.gini_ppm
         |FROM b, g ORDER BY bucket""".stripMargin
-    ) { (s, d) => keySkewCore(ev(s, d), "user_id") }
+    ) { (s, d) => keySkewCore(ev(s, d), "user_id") },
+
+    // ENGAGEMENT DIVERSITY — bot/spam accounts and scrapers hammer one
+    // event type; engaged humans spread across them. Per-user
+    // Gini–Simpson diversity 1 − Σ pᵢ² — the RATIONAL diversity index
+    // (Shannon entropy needs libm logs; Simpson is exact in integers:
+    // ppm = 1e6 − s2·1e6 div n²) — histogrammed by decile so the
+    // output stays 10-row bounded. The diversity-decile profile feeds
+    // the q153-style engagement selectors. Scale shape: one corpus
+    // exchange into (user, type) counts with map-side collapse; the
+    // per-user rollup is user-scale; the decile rollup is bounded.
+    // Overflow: s2 ≤ n², so s2·1e6 is exact while n ≤ 3e6 events per
+    // user — a per-user bound, not a corpus bound.
+    Q(
+      "q231_simpson_diversity",
+      """WITH c AS (
+        |  SELECT user_id, event_type, count(*) AS c
+        |  FROM events GROUP BY 1, 2),
+        |u AS (SELECT user_id, sum(c) AS n, sum(c * c) AS s2
+        |      FROM c GROUP BY 1),
+        |p AS (SELECT user_id, n,
+        |        1000000 - (s2 * 1000000 // (n * n)) AS ppm
+        |      FROM u)
+        |SELECT CAST(ppm // 100000 AS BIGINT) AS decile,
+        |  CAST(count(*) AS BIGINT) AS n_users,
+        |  CAST(sum(n) AS BIGINT) AS n_events
+        |FROM p GROUP BY 1 ORDER BY decile""".stripMargin
+    ) { (s, d) => simpsonDiversityCore(ev(s, d)) }
   )
+
+  /** q231 core over any (user_id, event_type) frame. Factored for
+    * crafted diversity laws (single-type user → 0; uniform k-type user
+    * → 1e6·(k−1)/k floored). */
+  private[graft] def simpsonDiversityCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.groupBy("user_id", "event_type").agg(count(lit(1)).as("c"))
+      .groupBy("user_id")
+      .agg(sum("c").as("n"), sum(col("c") * col("c")).as("s2"))
+      .selectExpr("n", "1000000 - (s2 * 1000000 div (n * n)) as ppm")
+      .groupBy(expr("ppm div 100000").cast("long").as("decile"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum("n").cast("long").as("n_events"))
+      .orderBy("decile")
 
   /** q229 core over any frame and key column. Factored for crafted
     * distribution laws (uniform keys → Gini 0; one dominant key →

@@ -566,6 +566,47 @@ object EventStreams {
           out.result().iterator
       }(e1, e2)
 
+  final case class DpEv(event_id: Long, user_id: Long, ts_us: Long,
+      event_type: String)
+  final case class DpAdmit(event_type: String, dow: Long, user_id: Long,
+      event_id: Long, admitted: Boolean)
+  /** Streaming twin of q227's sensitivity stage: admit at most c events
+    * per (user, event_type, epoch-dow) cell, idempotent under
+    * at-least-once redelivery (state holds the admitted event ids —
+    * bounded at c rows per cell, so state is cells·c-scale, never
+    * event-scale). Unlike contributionCapStream's newest-k window, DP
+    * capping is order-free: ANY c admitted events bound the cell's
+    * sensitivity, so first-come admission keeps state minimal and the
+    * admitted COUNT per cell equals the batch Σ least(count, c)
+    * exactly. The release tail (hash noise + clamp, dpReleaseCore's
+    * map stages) runs on the admitted sink at window close. */
+  def dpCapStream(evs: Dataset[DpEv], c: Int = 4)(
+      implicit e1: org.apache.spark.sql.Encoder[List[Long]],
+      e2: org.apache.spark.sql.Encoder[DpAdmit],
+      e3: org.apache.spark.sql.Encoder[(Long, String, Long)])
+      : Dataset[DpAdmit] =
+    evs.groupByKey(e =>
+        (e.user_id, e.event_type, e.ts_us / 86400000000L % 7))(e3)
+      .flatMapGroupsWithState[List[Long], DpAdmit](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (key: (Long, String, Long), it: Iterator[DpEv],
+            state: GroupState[List[Long]]) =>
+          var ids = state.getOption.getOrElse(Nil)
+          val out = List.newBuilder[DpAdmit]
+          it.foreach { ev =>
+            if (ids.contains(ev.event_id)) {
+              // redelivery of an admitted event: no double-admit
+            } else if (ids.size < c) {
+              ids = ev.event_id :: ids
+              out += DpAdmit(key._2, key._3, key._1, ev.event_id, true)
+            } else {
+              out += DpAdmit(key._2, key._3, key._1, ev.event_id, false)
+            }
+          }
+          state.update(ids)
+          out.result().iterator
+      }(e1, e2)
+
   final case class Turn(user_id: Long, event_id: Long, ts_us: Long,
       toks: Long)
   final case class PackState(user_id: Long, n_kept: Long, tokens_kept: Long,

@@ -300,4 +300,39 @@ class Round10LawsSpec extends SparkSpec {
     assert(got == Seq(("a", 2L, 250000L), ("b", 2L, 250000L)),
       s"got ${got}")
   }
+
+  // ---------------------------------------------------------------- q231
+
+  test("law: q231 diversity closed forms — single-type user ppm 0 " +
+    "(decile 0), uniform 4-type user ppm 750000 (decile 7)") {
+    val rows = (1 to 8).map(i => (1L, "click")) ++ // single-type
+      Seq("a", "b", "c", "d").flatMap(t =>
+        (1 to 2).map(_ => (2L, t))) // uniform over 4 types
+    val got = graft.queries.EventQueries.simpsonDiversityCore(
+      rows.toDF("user_id", "event_type")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    // user 1: s2=64 n=8 -> ppm 0, decile 0; user 2: s2=16 n=8 ->
+    // 1e6 - 250000 = 750000, decile 7
+    assert(got == Seq((0L, 1L, 8L), (7L, 1L, 8L)), s"got ${got}")
+  }
+
+  // ---------------------------------------------------------------- q232
+
+  test("law: q232 boundary pairs — a pair exactly ON a threshold " +
+    "counts for it; each level's n_pairs/n_docs are exact") {
+    val pairs = Seq(
+      (1L, 2L, 0.8), // >= all 7 thresholds
+      (3L, 4L, 0.45), // >= 2000,3000,4000
+      (5L, 6L, 0.2), // exactly on 2000
+      (1L, 3L, 0.3)) // >= 2000,3000
+    val got = graft.queries.DedupQueries.thresholdSweepCore(spark,
+      pairs.toDF("id_a", "id_b", "rdot")
+        .selectExpr("id_a", "id_b",
+          "cast(round(rdot * 10000) as bigint) as rq")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      (2000L, 4L, 6L), (3000L, 3L, 4L), (4000L, 2L, 4L),
+      (5000L, 1L, 2L), (6000L, 1L, 2L), (7000L, 1L, 2L),
+      (8000L, 1L, 2L)), s"got ${got}")
+  }
 }

@@ -677,6 +677,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dpCapStream: admitted counts per cell equal the q227 batch " +
+    "n_capped under split delivery + redelivery; state is cell-scale") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(org.apache.spark.sql.functions.col("event_id"),
+        org.apache.spark.sql.functions.col("user_id"),
+        org.apache.spark.sql.functions.expr("unix_micros(ts)").as("tsu"),
+        org.apache.spark.sql.functions.col("event_type"))
+      .collect()
+      .map(r => EventStreams.DpEv(r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getString(3))).toSeq
+    // batch q227 per-cell n_capped (the sensitivity bound)
+    val batchCap = SparkEntry.queries("q227_dp_release")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+    val mem = MemoryStream[EventStreams.DpEv]
+    val q = EventStreams.dpCapStream(mem.toDS()).writeStream
+      .format("memory").queryName("dpcap_stream").outputMode("append")
+      .start()
+    try {
+      val ordered = rows.sortBy(e => (e.ts_us, e.event_id))
+      val third = ordered.size / 3
+      mem.addData(ordered.take(third)); q.processAllAvailable()
+      mem.addData(ordered.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
+      // at-least-once redelivery: no double-admit
+      mem.addData(ordered.take(third)); q.processAllAvailable()
+      val out = spark.table("dpcap_stream")
+        .as[EventStreams.DpAdmit].collect()
+      // decisions are unique per event (redelivered admits are silent)
+      assert(out.map(_.event_id).distinct.length == out.length)
+      val streamCap = out.filter(_.admitted)
+        .groupBy(a => (a.event_type, a.dow)).view
+        .mapValues(_.size.toLong).toMap
+      assert(streamCap == batchCap,
+        s"extra=${streamCap.toSet.diff(batchCap.toSet).take(3)} " +
+          s"missing=${batchCap.toSet.diff(streamCap.toSet).take(3)}")
+      // state is cell-scale: one row per distinct (user, type, dow)
+      val cells = rows.map(e =>
+        (e.user_id, e.event_type, e.ts_us / 86400000000L % 7))
+        .distinct.size.toLong
+      val st = q.lastProgress.stateOperators.head.numRowsTotal
+      assert(st == cells, s"state rows $st vs cells $cells")
+    } finally q.stop()
+  }
+
   test("upsertDiffStream: added/changed classes match the q168 batch diff") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
