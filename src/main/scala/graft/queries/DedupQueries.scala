@@ -3273,8 +3273,145 @@ object DedupQueries {
       thresholdSweepCore(s,
         rpPairs(s, d).select(col("id_a"), col("id_b"),
           expr("cast(round(rdot * 10000) as bigint)").as("rq")))
-    }
+    },
+
+    // SQ8 RECALL AUDIT — the q217 exercise for SCALAR int8 quantization
+    // (the compression every production vector store ships first): per
+    // dim, affine-map the corpus range to [-127, 127], then measure
+    // recall@10 of int8-dot retrieval against exact-dot truth on the 16
+    // eval probes. The int8 dot is EXACT in doubles (|q| ≤ 127 ⇒
+    // products ≤ 16129, 64-term sums ≪ 2^53), so the codegen'd
+    // dot_product kernel gives an integer score identical in both
+    // engines regardless of summation order — no rounding convention
+    // needed on the quantized side. Scale shape: the per-dim (min, max)
+    // ranges are ONE bounded 64-row aggregate (memoized collect, q215
+    // seed rule — not a broadcast-scalar subquery); quantization is a
+    // map stage; both top-10 gathers (exact + SQ8) come from ONE
+    // groupBy(qid) with two MinKAgg gathers; everything after is a
+    // 16-row table.
+    Q(
+      "q233_sq8_recall",
+      """WITH rng AS (
+        |  SELECT i, min(embedding[i + 1]) AS mn, max(embedding[i + 1])
+        |    AS mx
+        |  FROM embeddings, range(0, 64) r(i) GROUP BY i),
+        |rr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i)
+        |    AS mxs FROM rng),
+        |qz AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN rr.mxs[i] > rr.mns[i] THEN
+        |        CAST(round((CAST(e.embedding[i] AS DOUBLE) - rr.mns[i])
+        |          * 254 / (rr.mxs[i] - rr.mns[i])) AS BIGINT) - 127
+        |      ELSE 0 END) AS q8
+        |  FROM embeddings e, rr),
+        |probes AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 26),
+        |pq AS (SELECT q.vec_id AS qid, q.q8 AS pq8 FROM qz q
+        |  JOIN probes p ON p.qid = q.vec_id),
+        |sc AS (
+        |  SELECT p.qid, e.vec_id,
+        |    CAST(round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) *
+        |           CAST(p.qv[i] AS DOUBLE))) * 10000) AS BIGINT) AS rq,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(z.q8[i] AS DOUBLE) * CAST(w.pq8[i] AS DOUBLE)))
+        |      AS BIGINT) AS qd
+        |  FROM probes p
+        |  JOIN embeddings e ON e.vec_id != p.qid
+        |  JOIN qz z ON z.vec_id = e.vec_id
+        |  JOIN pq w ON w.qid = p.qid),
+        |bf AS (
+        |  SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY rq DESC, vec_id) <= 10),
+        |sq AS (
+        |  SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY qd DESC, vec_id) <= 10)
+        |SELECT b.qid, CAST(count(s.vec_id) AS BIGINT) AS hits,
+        |  CAST(count(s.vec_id) * 100000 AS BIGINT) AS recall_ppm
+        |FROM bf b LEFT JOIN sq s
+        |  ON b.qid = s.qid AND b.vec_id = s.vec_id
+        |GROUP BY b.qid ORDER BY b.qid""".stripMargin
+    ) { (s, d) => sq8RecallCore(s, emb(s, d), ndcgProbes(s, d),
+        sqRanges(s, d)) }
   )
+
+  /** Memoized per-dim (min, max) corpus ranges for SQ8 — one bounded
+    * 64-row aggregate per data dir. */
+  private val sqRangeMemo = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[Double], Seq[Double])]
+  private def sqRanges(s: org.apache.spark.sql.SparkSession,
+      d: String): (Seq[Double], Seq[Double]) =
+    sqRangeMemo.computeIfAbsent(d, { dir =>
+      val rows = emb(s, dir)
+        .select(posexplode(col("embedding")).as(Seq("i", "v")))
+        .groupBy("i")
+        .agg(min(col("v").cast("double")).as("mn"),
+          max(col("v").cast("double")).as("mx"))
+        .orderBy("i").collect()
+      (rows.map(_.getDouble(1)).toSeq, rows.map(_.getDouble(2)).toSeq)
+    })
+
+  /** q233 core over any (vec_id, embedding) frame, probe seeds and
+    * per-dim ranges. Factored for crafted laws (an identity
+    * quantization grid must give recall 10/10). */
+  private[graft] def sq8RecallCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      probes: Seq[(Long, Seq[Float], Int)],
+      ranges: (Seq[Double], Seq[Double]))
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val (mns, mxs) = ranges
+    val mnL = typedLit(mns)
+    val mxL = typedLit(mxs)
+    // int8 per-dim affine quantization; the (x, i) transform lambda is
+    // O(d) per row (not d²), so the interpreted HOF is fine here
+    def quantize(v: org.apache.spark.sql.Column) =
+      org.apache.spark.sql.functions.transform(v, (x, i) => {
+        val mn = element_at(mnL, i + 1)
+        val mx = element_at(mxL, i + 1)
+        when(mx > mn,
+          round((x.cast("double") - mn) * 254 / (mx - mn)).cast("long")
+            - 127).otherwise(0L).cast("double")
+      })
+    val quantizedProbes = probes.map { case (qid, qv, _) =>
+      val mapped = qv.indices.map { i =>
+        if (mxs(i) > mns(i))
+          (BigDecimal(
+            (qv(i).toDouble - mns(i)) * 254 / (mxs(i) - mns(i)))
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong - 127)
+            .toDouble
+        else 0d
+      }
+      (qid, qv, mapped)
+    }
+    val probesDf = broadcast(quantizedProbes.toDF("qid", "qv", "pq8"))
+    val M = 8589934592L // 2^33
+    val minK10 = udaf(new Aggregators.MinKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    e.select(col("vec_id"), col("embedding"),
+        quantize(col("embedding")).as("q8"))
+      .crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+          * lit(-M) + col("vec_id")).as("bfk"),
+        (expr("cast(dot_product(q8, pq8) AS bigint)")
+          * lit(-M) + col("vec_id")).as("sqk"))
+      .groupBy("qid")
+      .agg(minK10(col("bfk")).as("bf"), minK10(col("sqk")).as("sq"))
+      .select(col("qid"),
+        size(array_intersect(
+          transform(col("bf"), k => pmod(k, lit(M))),
+          transform(col("sq"), k => pmod(k, lit(M)))))
+          .cast("long").as("hits"))
+      .select(col("qid"), col("hits"),
+        (col("hits") * 100000L).as("recall_ppm"))
+      .orderBy("qid")
+  }
 
   /** q232 core over explicit (id_a, id_b, rq) pairs. Factored for
     * crafted sweep laws (pairs placed exactly on threshold

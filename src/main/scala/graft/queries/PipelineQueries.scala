@@ -2185,8 +2185,106 @@ object PipelineQueries {
           max("score").cast("long").as("max_score"),
           sum("n_words").cast("long").as("words"))
         .orderBy("bucket")
+    },
+
+    // ROBUST LENGTH-OUTLIER AUDIT (median + MAD) — mean/std length
+    // filters (q122's Gopher rules) are exactly what a heavy-tailed
+    // source breaks: one 10 MB doc drags the mean. Median and MAD are
+    // breakdown-50% robust, and both are EXACT integers here: the
+    // k-th smallest (k = (n+1) div 2, lower median) picked off the
+    // cumulative (source, n_chars) histogram, then the same pick on
+    // the |x − med| deviation histogram; outliers are docs beyond
+    // 5·MAD. Scale shape: ONE corpus scan into the bounded (source,
+    // value) histogram (map-side collapse), checkpointed once for its
+    // four consumers (q203 rule); both median picks are windows over
+    // the bounded histogram, never over docs; the outlier rollup is
+    // |sources|-scale.
+    Q(
+      "q234_mad_outliers",
+      """WITH h AS (
+        |  SELECT source, n_chars AS v, count(*) AS c
+        |  FROM documents GROUP BY 1, 2),
+        |n AS (SELECT source, sum(c) AS n FROM h GROUP BY source),
+        |med AS (
+        |  SELECT source, min(v) AS med FROM (
+        |    SELECT h.source, h.v,
+        |      coalesce(sum(c) OVER (PARTITION BY h.source ORDER BY v
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS below, c, n.n
+        |    FROM h JOIN n USING (source)) t
+        |  WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + c
+        |  GROUP BY source),
+        |dh AS (
+        |  SELECT h.source, abs(h.v - m.med) AS dv, sum(c) AS c
+        |  FROM h JOIN med m USING (source) GROUP BY 1, 2),
+        |mad AS (
+        |  SELECT source, min(dv) AS mad FROM (
+        |    SELECT dh.source, dh.dv,
+        |      coalesce(sum(c) OVER (PARTITION BY dh.source ORDER BY dv
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS below, c, n.n
+        |    FROM dh JOIN n USING (source)) t
+        |  WHERE below < (n + 1) // 2 AND (n + 1) // 2 <= below + c
+        |  GROUP BY source),
+        |outl AS (
+        |  SELECT h.source, sum(CASE WHEN abs(h.v - m.med) > 5 * d.mad
+        |    THEN c ELSE 0 END) AS n_out
+        |  FROM h JOIN med m USING (source) JOIN mad d USING (source)
+        |  GROUP BY 1)
+        |SELECT n.source, CAST(n.n AS BIGINT) AS n_docs,
+        |  CAST(m.med AS BIGINT) AS med, CAST(d.mad AS BIGINT) AS mad,
+        |  CAST(o.n_out AS BIGINT) AS n_outliers,
+        |  CAST(o.n_out * 1000000 // n.n AS BIGINT) AS outlier_ppm
+        |FROM n JOIN med m USING (source) JOIN mad d USING (source)
+        |JOIN outl o USING (source)
+        |ORDER BY n.source""".stripMargin
+    ) { (s, d) =>
+      madOutliersCore(docs(s, d).select(col("source"), col("n_chars")))
     }
   )
+
+  /** Lower-median pick off a (source, value, count) histogram: the
+    * k-th smallest with k = (n+1) div 2 — integer-exact and identical
+    * in both engines. */
+  private def histMedian(h: org.apache.spark.sql.DataFrame,
+      n: org.apache.spark.sql.DataFrame, out: String)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("source").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    h.join(n, Seq("source"))
+      .withColumn("below", coalesce(sum("c").over(w), lit(0L)))
+      .filter(expr("below < (n + 1) div 2") &&
+        expr("(n + 1) div 2 <= below + c"))
+      .groupBy("source").agg(min("v").as(out))
+  }
+
+  /** q234 core over any (source, n_chars) frame. Factored for crafted
+    * median/MAD laws (odd/even counts, a planted mega-outlier). */
+  private[graft] def madOutliersCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = d.groupBy(col("source"), col("n_chars").as("v"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // bounded histogram; four consumers
+    val n = h.groupBy("source").agg(sum("c").as("n"))
+    val med = histMedian(h, n, "med")
+    val dh = h.join(med, Seq("source"))
+      .groupBy(col("source"), abs(col("v") - col("med")).as("v"))
+      .agg(sum("c").as("c"))
+    val mad = histMedian(dh, n, "mad")
+      .withColumnRenamed("mad", "madv")
+    val outl = h.join(med, Seq("source")).join(mad, Seq("source"))
+      .groupBy("source")
+      .agg(sum(when(abs(col("v") - col("med")) > col("madv") * 5,
+        col("c")).otherwise(0L)).as("n_out"))
+    n.join(med, Seq("source")).join(mad, Seq("source"))
+      .join(outl, Seq("source"))
+      .select(col("source"), col("n").cast("long").as("n_docs"),
+        col("med").cast("long").as("med"),
+        col("madv").cast("long").as("mad"),
+        col("n_out").cast("long").as("n_outliers"),
+        expr("n_out * 1000000 div n").cast("long").as("outlier_ppm"))
+      .orderBy("source")
+  }
 
   /** q208 core over any (source, text) frame: overlapping 32/24 chunk
     * explode -> 60-bit chunk hashes -> chunk-store dup audit. Factored

@@ -1495,8 +1495,59 @@ object TextQueries {
         |  CAST(sum(abs(g.ppm - r.ppm)) AS BIGINT) AS l1_ppm
         |FROM grid g JOIN corpr r USING (w)
         |GROUP BY 1 ORDER BY 1""".stripMargin
-    ) { (s, d) => stopwordDivergenceCore(docs(s, d)) }
+    ) { (s, d) => stopwordDivergenceCore(docs(s, d)) },
+
+    // TEMPLATE-PREFIX CLUSTERS — machine-generated/template spam shares
+    // its OPENING (boilerplate headers, form letters, SEO stubs) even
+    // when tails differ, which full-doc dedup (q50) and shingle LSH
+    // (q52, density-diluted by long unique tails) both under-weight.
+    // Cluster docs by the 60-bit hash of their first-8-token prefix;
+    // report the cluster-size histogram with document/char mass so a
+    // curation rollout sees how much template mass each size tier
+    // holds. Scale shape: the prefix hashes to fixed width BEFORE the
+    // exchange (8 B/doc — the md5_prefix64 doctrine); the cluster
+    // aggregate is hash-keyed with map-side collapse; the histogram
+    // exchange is |max-cluster-size|-bounded.
+    Q(
+      "q235_prefix_clusters",
+      s"""WITH t AS (
+        |  SELECT doc_id, n_chars, string_split(text, ' ') AS ws
+        |  FROM documents),
+        |p AS (
+        |  SELECT doc_id, n_chars,
+        |    ${md560("list_aggregate(ws[1:8], 'string_agg', ' ')")} AS pk
+        |  FROM t WHERE len(ws) >= 8),
+        |cl AS (SELECT pk, count(*) AS m, sum(n_chars) AS chars
+        |       FROM p GROUP BY pk),
+        |d AS (SELECT m, count(*) AS n_clusters, sum(m) AS n_docs,
+        |        sum(chars) AS chars
+        |      FROM cl WHERE m >= 2 GROUP BY m)
+        |SELECT CAST(m AS BIGINT) AS cluster_size,
+        |  CAST(n_clusters AS BIGINT) AS n_clusters,
+        |  CAST(n_docs AS BIGINT) AS n_docs,
+        |  CAST(chars AS BIGINT) AS chars
+        |FROM d ORDER BY cluster_size""".stripMargin
+    ) { (s, d) => prefixClustersCore(docs(s, d)) }
   )
+
+  /** q235 core over any (doc_id, text, n_chars) frame. Factored for
+    * crafted template laws (shared prefix + distinct tails must
+    * cluster; 7-token docs must not participate). */
+  private[graft] def prefixClustersCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("n_chars"), TextOps.tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) >= 8)
+      .select(col("n_chars"),
+        call_function("md5_prefix60",
+          concat_ws(" ", slice(col("ws"), 1, 8))).as("pk"))
+      .groupBy("pk")
+      .agg(count(lit(1)).as("m"), sum("n_chars").as("chars"))
+      .filter(col("m") >= 2)
+      .groupBy(col("m").cast("long").as("cluster_size"))
+      .agg(count(lit(1)).cast("long").as("n_clusters"),
+        sum("m").cast("long").as("n_docs"),
+        sum("chars").cast("long").as("chars"))
+      .orderBy("cluster_size")
 
   /** q230 core over any (source, text) frame. Factored for crafted
     * profile laws (identical profiles → L1 = 0; a stopword-free source

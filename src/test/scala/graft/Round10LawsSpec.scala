@@ -335,4 +335,55 @@ class Round10LawsSpec extends SparkSpec {
       (5000L, 1L, 2L), (6000L, 1L, 2L), (7000L, 1L, 2L),
       (8000L, 1L, 2L)), s"got ${got}")
   }
+
+  // ---------------------------------------------------------------- q233
+
+  test("law: q233 small corpus with a constant dim — the degenerate-" +
+    "range guard maps it to 0 and SQ8 recall is total (both top-10s " +
+    "are the full candidate set)") {
+    // dim 2 is constant across the corpus (mx == mn)
+    val rows = (1L to 9L).map(i =>
+      (i, Seq(i.toFloat / 10, 1f - i.toFloat / 10, 0.5f)))
+    val probes = Seq((1L, rows.head._2, 0))
+    val got = graft.queries.DedupQueries.sq8RecallCore(spark,
+      rows.toDF("vec_id", "embedding"), probes,
+      (Seq(0.1, 0.1, 0.5), Seq(0.9, 0.9, 0.5))).collect()
+    assert(got.length == 1)
+    // 8 candidates (self excluded), both top-10s hold all 8
+    assert((got.head.getLong(1), got.head.getLong(2)) ==
+      ((8L, 800000L)), s"got ${got.toSeq}")
+  }
+
+  // ---------------------------------------------------------------- q234
+
+  test("law: q234 crafted odd/even medians and a planted mega-outlier " +
+    "— med, MAD and outlier count match the closed forms") {
+    val rows = Seq(("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("a", 100L), // odd n=5: med 3, MAD 1, one 5-MAD outlier
+      ("b", 1L), ("b", 2L), ("b", 3L), ("b", 4L)) // even n=4: med 2
+    val got = graft.queries.PipelineQueries.madOutliersCore(
+      rows.toDF("source", "n_chars")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSeq
+    assert(got == Seq(
+      ("a", 5L, 3L, 1L, 1L, 200000L),
+      ("b", 4L, 2L, 1L, 0L, 0L)), s"got ${got}")
+  }
+
+  // ---------------------------------------------------------------- q235
+
+  test("law: q235 shared 8-token prefix with distinct tails clusters; " +
+    "7-token docs and unique prefixes do not participate") {
+    val pre = "a b c d e f g h"
+    val rows = Seq(
+      (1L, s"$pre tail one", 10L),
+      (2L, s"$pre completely different tail", 20L),
+      (3L, "a b c d e f g", 7L), // 7 tokens: excluded
+      (4L, "z y x w v u t s unique", 9L)) // unique prefix: no cluster
+    val got = graft.queries.TextQueries.prefixClustersCore(
+      rows.toDF("doc_id", "text", "n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((2L, 1L, 2L, 30L)), s"got ${got}")
+  }
 }
