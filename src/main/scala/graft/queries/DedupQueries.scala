@@ -3335,8 +3335,177 @@ object DedupQueries {
         |  ON b.qid = s.qid AND b.vec_id = s.vec_id
         |GROUP BY b.qid ORDER BY b.qid""".stripMargin
     ) { (s, d) => sq8RecallCore(s, emb(s, d), ndcgProbes(s, d),
-        sqRanges(s, d)) }
+        sqRanges(s, d)) },
+
+    // MINHASH ESTIMATOR CALIBRATION — q51's signatures drive q52's
+    // banding, but HOW GOOD is the k=4 estimate itself? On the q54
+    // adjacent-pair calibration sample (a deterministic, corpus-scale
+    // sample — calibration never needs candidate discovery), compare
+    // the minhash-estimated Jaccard (matching slots × 250000 ppm)
+    // against the exact hashed-shingle Jaccard, histogrammed by error
+    // decile with mean est/exact per bucket. Scale shape: ONE scan,
+    // ONE shingle+signature computation per doc, the q54 pair-reduce
+    // (each doc emits to its two pairs — never a self-join of computed
+    // shingle tables); per-group state is exactly two rows; the error
+    // rollup is 11-row bounded.
+    Q(
+      "q236_minhash_calibration",
+      s"""WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |hs AS (
+        |  SELECT doc_id, list_distinct(list_transform(
+        |    list_transform(range(1, len(ws) - 1),
+        |      i -> array_to_string(ws[i:i+2], ' ')),
+        |    s -> CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT))) AS sh
+        |  FROM ws),
+        |sg AS (
+        |  SELECT doc_id, sh,
+        |    [list_min(list_transform(sh,
+        |       x -> (1000003 * (x % 4294967291) + 12345) % 4294967291)),
+        |     list_min(list_transform(sh,
+        |       x -> (2000029 * (x % 4294967291) + 54321) % 4294967291)),
+        |     list_min(list_transform(sh,
+        |       x -> (3000073 * (x % 4294967291) + 98765) % 4294967291)),
+        |     list_min(list_transform(sh,
+        |       x -> (4000037 * (x % 4294967291) + 13579) % 4294967291))]
+        |      AS sig
+        |  FROM hs WHERE len(sh) >= 1),
+        |pr AS (
+        |  SELECT a.sh AS sa, a.sig AS ga, b.sh AS sb, b.sig AS gb
+        |  FROM sg a JOIN sg b ON b.doc_id = a.doc_id + 1),
+        |e AS (
+        |  SELECT CAST(list_sum(list_transform(range(1, 5),
+        |      j -> CASE WHEN ga[j] = gb[j] THEN 1 ELSE 0 END))
+        |      AS BIGINT) * 250000 AS est,
+        |    CAST(len(list_intersect(sa, sb)) AS BIGINT) * 1000000 //
+        |      len(list_distinct(list_concat(sa, sb))) AS exact
+        |  FROM pr)
+        |SELECT CAST(abs(est - exact) // 100000 AS BIGINT) AS err_decile,
+        |  CAST(count(*) AS BIGINT) AS n_pairs,
+        |  CAST(sum(est) // count(*) AS BIGINT) AS mean_est_ppm,
+        |  CAST(sum(exact) // count(*) AS BIGINT) AS mean_exact_ppm
+        |FROM e GROUP BY 1 ORDER BY err_decile""".stripMargin
+    ) { (s, d) => minhashCalibrationCore(docs(s, d)) },
+
+    // BLOOM-PREFILTER FP AUDIT — decontamination joins (q109-style)
+    // against a benchmark set usually run behind a hashed-bucket
+    // prefilter (a 2^16-bucket Bloom stand-in) so the expensive exact
+    // join only sees candidates. This measures what that prefilter
+    // costs: per source, how many probe docs the bucket filter PASSES
+    // vs how many are TRUE exact matches — the false-positive ppm the
+    // exact join must absorb. Fixed 2^16 buckets is deliberate: the
+    // audit EXPOSES the fixed-width FP growth the adaptive-width
+    // doctrine exists to avoid (real deployments size m from |bench|;
+    // this query is the gauge that tells them to). Scale shape: the
+    // benchmark key table is |bench|-scale and checkpointed once for
+    // its two distinct-set consumers; both membership tests are
+    // broadcast joins (a benchmark is small by nature) on ONE probe
+    // scan; the rollup is |sources|-bounded.
+    Q(
+      "q237_bloom_prefilter",
+      s"""WITH kb AS (
+        |  SELECT doc_id, source, dg, dg % 65536 AS bucket FROM (
+        |    SELECT doc_id, source, ${md560("'bp|' || text")} AS dg
+        |    FROM documents) k),
+        |bench AS (SELECT bucket, dg FROM kb WHERE doc_id % 97 = 0),
+        |bb AS (SELECT DISTINCT bucket FROM bench),
+        |bd AS (SELECT DISTINCT dg FROM bench),
+        |pr AS (
+        |  SELECT kb.source,
+        |    CASE WHEN bb.bucket IS NULL THEN 0 ELSE 1 END AS pass,
+        |    CASE WHEN bd.dg IS NULL THEN 0 ELSE 1 END AS tru
+        |  FROM kb
+        |  LEFT JOIN bb ON bb.bucket = kb.bucket
+        |  LEFT JOIN bd ON bd.dg = kb.dg
+        |  WHERE kb.doc_id % 97 != 0)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pass) AS BIGINT) AS n_pass,
+        |  CAST(sum(tru) AS BIGINT) AS n_true,
+        |  CAST((sum(pass) - sum(tru)) * 1000000 //
+        |    greatest(sum(pass), 1) AS BIGINT) AS fp_ppm
+        |FROM pr GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      bloomPrefilterCore(docs(s, d).select(col("doc_id"), col("source"),
+        col("text")))
+    }
   )
+
+  /** q237 core over any (doc_id, source, text) frame. Factored for
+    * crafted FP laws (a planted bucket collision between distinct
+    * texts must count as pass-not-true). */
+  private[graft] def bloomPrefilterCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val kb = d.select(col("doc_id"), col("source"),
+        call_function("md5_prefix60",
+          concat(lit("bp|"), col("text"))).as("dg"))
+      .withColumn("bucket", pmod(col("dg"), lit(65536L)))
+    val bench = kb.filter(col("doc_id") % 97 === 0)
+      .select(col("bucket"), col("dg"))
+      .localCheckpoint(true) // |bench|-scale; two distinct-set consumers
+    val bb = broadcast(bench.select(col("bucket")).distinct()
+      .withColumn("hitb", lit(1L)))
+    val bd = broadcast(bench.select(col("dg")).distinct()
+      .withColumn("hitd", lit(1L)))
+    kb.filter(col("doc_id") % 97 =!= 0)
+      .join(bb, Seq("bucket"), "left")
+      .join(bd, Seq("dg"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(coalesce(col("hitb"), lit(0L))).as("n_pass"),
+        sum(coalesce(col("hitd"), lit(0L))).as("n_true"))
+      .select(col("source"), col("n_docs"),
+        col("n_pass").cast("long").as("n_pass"),
+        col("n_true").cast("long").as("n_true"),
+        expr("(n_pass - n_true) * 1000000 div greatest(n_pass, 1)")
+          .cast("long").as("fp_ppm"))
+      .orderBy("source")
+  }
+
+  /** q236 core over any (doc_id, text) frame. Factored for crafted
+    * estimator laws (identical docs → est = exact = 1e6, err 0;
+    * disjoint docs → est = exact = 0). */
+  private[graft] def minhashCalibrationCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val P = 4294967291L
+    val hashes = Seq((1000003L, 12345L), (2000029L, 54321L),
+      (3000073L, 98765L), (4000037L, 13579L))
+    val sh = array_distinct(transform(
+      TextOps.shingles(TextOps.tokens(col("text")), 3),
+      sg => call_function("md5_prefix64", sg)))
+    val base = d.select(col("doc_id"), sh.as("sh"))
+      .filter(size(col("sh")) >= 1)
+      .select(col("doc_id"), col("sh"),
+        array(hashes.map { case (a, b) =>
+          array_min(transform(col("sh"),
+            x => (lit(a) * (x % P) + lit(b)) % P))
+        }: _*).as("sig"))
+    val sides = base.select(explode(array(
+      struct(col("doc_id").as("pair"), lit(0).as("role"), col("sh"),
+        col("sig")),
+      struct((col("doc_id") - 1).as("pair"), lit(1).as("role"),
+        col("sh"), col("sig")))).as("e"))
+      .select(col("e.pair"), col("e.role"), col("e.sh"), col("e.sig"))
+    sides.groupBy("pair")
+      .agg(sort_array(collect_list(struct(col("role"), col("sh"),
+        col("sig")))).as("rs"))
+      .filter(size(col("rs")) === 2)
+      .select(
+        (expr("""aggregate(zip_with(rs[0].sig, rs[1].sig,
+            (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)""")
+          * 250000L).as("est"),
+        expr("""cast(size(array_intersect(rs[0].sh, rs[1].sh)) as bigint)
+            * 1000000 div size(array_union(rs[0].sh, rs[1].sh))""")
+          .as("exact"))
+      .groupBy(expr("abs(est - exact) div 100000").cast("long")
+        .as("err_decile"))
+      .agg(count(lit(1)).cast("long").as("n_pairs"),
+        expr("sum(est) div count(1)").cast("long").as("mean_est_ppm"),
+        expr("sum(exact) div count(1)").cast("long")
+          .as("mean_exact_ppm"))
+      .orderBy("err_decile")
+  }
 
   /** Memoized per-dim (min, max) corpus ranges for SQ8 — one bounded
     * 64-row aggregate per data dir. */

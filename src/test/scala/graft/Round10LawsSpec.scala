@@ -386,4 +386,55 @@ class Round10LawsSpec extends SparkSpec {
         r.getLong(3))).toSeq
     assert(got == Seq((2L, 1L, 2L, 30L)), s"got ${got}")
   }
+
+  // ---------------------------------------------------------------- q236
+
+  test("law: q236 identical adjacent docs — est = exact = 1e6 ppm, " +
+    "error decile 0; pair count is n_docs - 1") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val rows = (1L to 4L).map(i => (i, t))
+    val got = graft.queries.DedupQueries.minhashCalibrationCore(
+      rows.toDF("doc_id", "text")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).toSeq
+    assert(got == Seq((0L, 3L, 1000000L, 1000000L)), s"got ${got}")
+  }
+
+  test("law: q236 estimator sanity on the gate SF — deciles partition " +
+    "all adjacent pairs and means stay within [0, 1e6]") {
+    val sf001 = "/root/testdata/sf0.001"
+    val nDocs = Tables.documents(spark, sf001).count()
+    val got = SparkEntry.queries("q236_minhash_calibration")(spark, sf001)
+      .collect()
+    assert(got.map(_.getLong(1)).sum == nDocs - 1)
+    assert(got.forall { r =>
+      val (e, x) = (r.getLong(2), r.getLong(3))
+      e >= 0 && e <= 1000000 && x >= 0 && x <= 1000000
+    })
+  }
+
+  // ---------------------------------------------------------------- q237
+
+  test("law: q237 a planted exact dup passes the bucket filter AND " +
+    "counts true; fp_ppm is consistent with (pass - true)") {
+    val t0 = "the benchmark document text zero"
+    val t2 = "a completely unrelated probe document"
+    // id 0: bench (0 % 97 == 0); ids 1, 2: probes in source 'a'
+    val rows = Seq((0L, "bench", t0), (1L, "a", t0), (2L, "a", t2))
+    val got = graft.queries.DedupQueries.bloomPrefilterCore(
+      rows.toDF("doc_id", "source", "text")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    // does t2 collide with t0's bucket? compute with the same kernel
+    val b = spark.sql(
+      s"""SELECT pmod(md5_prefix60('bp|' || 'PLACEHOLDER0'), 65536) AS b0,
+         |pmod(md5_prefix60('bp|' || 'PLACEHOLDER2'), 65536) AS b2"""
+        .stripMargin
+        .replace("PLACEHOLDER0", t0).replace("PLACEHOLDER2", t2))
+      .head
+    val collide = if (b.getLong(0) == b.getLong(1)) 1L else 0L
+    val a = got("a")
+    assert(a._1 == 2L && a._2 == 1L + collide && a._3 == 1L)
+    assert(a._4 == (a._2 - a._3) * 1000000L / math.max(a._2, 1L))
+  }
 }
