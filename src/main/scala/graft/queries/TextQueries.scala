@@ -1569,8 +1569,8 @@ object TextQueries {
       .join(c.withColumnRenamed("w2", "w"), Seq("source", "w"), "left")
       .select(col("source"), col("w"),
         expr("coalesce(c, 0) * 1000000 div n").as("ppm"), col("n"))
-    val corp = broadcast(sw.toDF("w"))
-      .join(c.groupBy("w2").agg(sum("c").as("cc")),
+    val corp = sw.toDF("w") // broadcast the RIGHT side: a left join
+      .join(broadcast(c.groupBy("w2").agg(sum("c").as("cc"))),
         col("w") === col("w2"), "left")
       .crossJoin(broadcast(c.agg(sum("c").as("tn"))))
       .select(col("w"), expr("coalesce(cc, 0) * 1000000 div tn")
