@@ -3429,8 +3429,278 @@ object DedupQueries {
     ) { (s, d) =>
       bloomPrefilterCore(docs(s, d).select(col("doc_id"), col("source"),
         col("text")))
+    },
+
+    // MULTI-PROBE RECALL SWEEP — q215 fixes nprobe=2; this is the
+    // TUNING CURVE (recall@10 at nprobe ∈ {1, 2, 4}) an IVF rollout
+    // reads before picking its latency/recall point — the retrieval
+    // twin of q232's threshold sweep. All three probe levels AND the
+    // exact-truth gather come from ONE keyed pass: cell assignment is
+    // the q215 inline argmax over 8 broadcast centroid literals (flat
+    // path, K ≤ 16); each candidate's key feeds FOUR MinKAgg gathers
+    // in one groupBy(qid) (sentinel Long.MaxValue for non-members —
+    // the q215 fusion generalized to n levels; never a window, never
+    // one pass per level); everything after is an 8-row table
+    // unpivoted to 24.
+    Q(
+      "q238_multiprobe_sweep",
+      """WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+        |  FROM embeddings WHERE vec_id < 8),
+        |probes AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 18),
+        |dots AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(c.cv[i] AS DOUBLE)))
+        |      AS dot
+        |  FROM embeddings e, cent c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+        |      ORDER BY CAST(round(dot * 10000) AS BIGINT) DESC, cid)
+        |      AS rn FROM dots) t WHERE rn = 1),
+        |pr AS (
+        |  SELECT d.vec_id AS qid, d.cid,
+        |    row_number() OVER (PARTITION BY d.vec_id
+        |      ORDER BY CAST(round(dot * 10000) AS BIGINT) DESC, cid)
+        |      AS cr
+        |  FROM dots d JOIN probes p ON d.vec_id = p.qid
+        |  QUALIFY cr <= 4),
+        |sc AS (
+        |  SELECT p.qid, e.vec_id, a.cid,
+        |    CAST(round(list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) AS rq
+        |  FROM probes p
+        |  JOIN embeddings e ON e.vec_id != p.qid
+        |  JOIN assign a ON a.vec_id = e.vec_id),
+        |bf AS (
+        |  SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY rq DESC, vec_id) <= 10),
+        |n(np) AS (VALUES (1), (2), (4)),
+        |iv AS (
+        |  SELECT sc.qid, n.np, sc.vec_id FROM sc JOIN n ON EXISTS (
+        |    SELECT 1 FROM pr WHERE pr.qid = sc.qid AND pr.cid = sc.cid
+        |      AND pr.cr <= n.np)
+        |  QUALIFY row_number() OVER (PARTITION BY sc.qid, n.np
+        |    ORDER BY sc.rq DESC, sc.vec_id) <= 10)
+        |SELECT b.qid, CAST(n.np AS BIGINT) AS nprobe,
+        |  CAST(count(i.vec_id) AS BIGINT) AS hits,
+        |  CAST(count(i.vec_id) * 100000 AS BIGINT) AS recall_ppm
+        |FROM bf b CROSS JOIN n
+        |LEFT JOIN iv i ON i.qid = b.qid AND i.np = n.np
+        |  AND i.vec_id = b.vec_id
+        |GROUP BY b.qid, n.np ORDER BY b.qid, nprobe""".stripMargin
+    ) { (s, d) =>
+      val (cents, probes) = multiProbeSeeds(s, d)
+      multiProbeCore(s, emb(s, d), cents, probes)
+    },
+
+    // CANONICAL FLIP RATE — the day-2 stability audit an incremental
+    // dedup pipeline (q116/q159/q220) runs before re-emitting training
+    // shards: when the day-2 docs (doc_id % 10 == 7, the q168 ingest
+    // convention) land, how many DAY-1 docs see their dedup canonical
+    // change? A flip invalidates the shard the doc was packed into, so
+    // the flip ppm IS the recompute bill. Canonical = q223's rule
+    // (longest, then lowest id) on both days' CC groups; absent-from-
+    // any-group docs are self-canonical. Scale shape: the q92 CC
+    // machinery twice (day-1 edge subset + full), each member table
+    // checkpointed once for its three consumers (q223 rule, dup-mass
+    // scale); the flip join is doc-keyed; the rollup is
+    // |sources|-bounded.
+    Q(
+      "q239_canonical_flip",
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
+        |p1 AS (SELECT id_a, id_b FROM pairs
+        |       WHERE id_a % 10 != 7 AND id_b % 10 != 7),
+        |u1 AS (SELECT id_a AS src, id_b AS dst FROM p1
+        |       UNION ALL SELECT id_b, id_a FROM p1),
+        |r1(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM u1) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM u1 u JOIN r1 rc ON rc.id = u.dst),
+        |g1 AS (SELECT id AS doc_id, min(r) AS lbl FROM r1 GROUP BY id),
+        |u2 AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |       UNION ALL SELECT id_b, id_a FROM pairs),
+        |r2(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM u2) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM u2 u JOIN r2 rc ON rc.id = u.dst),
+        |g2 AS (SELECT id AS doc_id, min(r) AS lbl FROM r2 GROUP BY id),
+        |m1 AS (
+        |  SELECT g.doc_id, c.can FROM g1 g JOIN (
+        |    SELECT gg.lbl, min(gg.doc_id) AS can
+        |    FROM (SELECT g1.doc_id, g1.lbl, d.n_chars FROM g1
+        |          JOIN documents d USING (doc_id)) gg
+        |    JOIN (SELECT g1.lbl, max(d.n_chars) AS bl FROM g1
+        |          JOIN documents d USING (doc_id) GROUP BY g1.lbl) b
+        |      ON b.lbl = gg.lbl AND gg.n_chars = b.bl
+        |    GROUP BY gg.lbl) c ON c.lbl = g.lbl),
+        |m2 AS (
+        |  SELECT g.doc_id, c.can FROM g2 g JOIN (
+        |    SELECT gg.lbl, min(gg.doc_id) AS can
+        |    FROM (SELECT g2.doc_id, g2.lbl, d.n_chars FROM g2
+        |          JOIN documents d USING (doc_id)) gg
+        |    JOIN (SELECT g2.lbl, max(d.n_chars) AS bl FROM g2
+        |          JOIN documents d USING (doc_id) GROUP BY g2.lbl) b
+        |      ON b.lbl = gg.lbl AND gg.n_chars = b.bl
+        |    GROUP BY gg.lbl) c ON c.lbl = g.lbl),
+        |f AS (
+        |  SELECT d.source,
+        |    CASE WHEN coalesce(m1.can, d.doc_id) !=
+        |      coalesce(m2.can, d.doc_id) THEN 1 ELSE 0 END AS fl
+        |  FROM documents d
+        |  LEFT JOIN m1 ON m1.doc_id = d.doc_id
+        |  LEFT JOIN m2 ON m2.doc_id = d.doc_id
+        |  WHERE d.doc_id % 10 != 7)
+        |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(fl) AS BIGINT) AS n_flipped,
+        |  CAST(sum(fl) * 1000000 // count(*) AS BIGINT) AS flip_ppm
+        |FROM f GROUP BY source ORDER BY source""".stripMargin
+    ) { (s, d) =>
+      val edges = rpEdges(s, d)
+      val e1 = edges.filter(col("id_a") % 10 =!= 7 &&
+        col("id_b") % 10 =!= 7)
+      val dq = docs(s, d).select(col("doc_id"), col("source"),
+        col("n_chars"))
+      canonicalFlipCore(
+        graft.functions.GraphOps.connectedComponents(e1, "id_a", "id_b"),
+        graft.functions.GraphOps.connectedComponents(edges, "id_a",
+          "id_b"),
+        dq)
     }
   )
+
+  /** Canonical map (doc_id → canonical id) under q223's rule from an
+    * (id, lbl) group frame and a (doc_id, n_chars) quality table. */
+  private def canonMap(grp: org.apache.spark.sql.DataFrame,
+      dq: org.apache.spark.sql.DataFrame, out: String)
+      : org.apache.spark.sql.DataFrame = {
+    val g = grp.select(col("id").as("doc_id"), col("lbl"))
+      .join(dq.hint("shuffle_hash"), Seq("doc_id"))
+      .localCheckpoint(true) // dup-mass scale; three consumers
+    val best = g.groupBy("lbl").agg(max("n_chars").as("bl"))
+    val can = g.join(best, Seq("lbl"))
+      .filter(col("n_chars") === col("bl"))
+      .groupBy("lbl").agg(min("doc_id").as(out))
+    g.select(col("doc_id"), col("lbl")).join(can, Seq("lbl"))
+      .select(col("doc_id"), col(out))
+  }
+
+  /** q239 core over explicit day-1/day-2 group frames and a (doc_id,
+    * source, n_chars) table. Factored for crafted-merge laws (a day-2
+    * doc that bridges two day-1 groups must flip the losing side). */
+  private[graft] def canonicalFlipCore(
+      g1: org.apache.spark.sql.DataFrame,
+      g2: org.apache.spark.sql.DataFrame,
+      dq: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val q = dq.select(col("doc_id"), col("n_chars"))
+    val m1 = canonMap(g1, q, "can1")
+    val m2 = canonMap(g2, q, "can2")
+    dq.filter(col("doc_id") % 10 =!= 7)
+      .join(m1.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(m2.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .select(col("source"),
+        (coalesce(col("can1"), col("doc_id")) =!=
+          coalesce(col("can2"), col("doc_id"))).as("fl"))
+      .groupBy("source")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum(when(col("fl"), 1L).otherwise(0L)).as("nf"))
+      .select(col("source"), col("n_docs"),
+        col("nf").cast("long").as("n_flipped"),
+        expr("nf * 1000000 div n_docs").cast("long").as("flip_ppm"))
+      .orderBy("source")
+  }
+
+  /** Memoized multi-probe seeds: the 8 coarse centroids plus each
+    * probe's 4 nearest cells under the quantized ordering (q215 seed
+    * rule — bounded collects, not broadcast-scalar subqueries). */
+  private val mpSeeds = new java.util.concurrent.ConcurrentHashMap[
+    String, (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float], Seq[Long])])]
+  private def multiProbeSeeds(s: org.apache.spark.sql.SparkSession,
+      d: String)
+      : (Seq[(Long, Seq[Float])], Seq[(Long, Seq[Float], Seq[Long])]) =
+    mpSeeds.computeIfAbsent(d, { dir =>
+      def dotD(a: Seq[Float], b: Seq[Float]): Double = {
+        var acc = 0.0; var i = 0
+        while (i < a.length) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+        acc
+      }
+      val cents = emb(s, dir).filter(col("vec_id") < 8)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .sortBy(_._1)
+      val probes = emb(s, dir)
+        .filter(col("vec_id") >= 10 && col("vec_id") < 18)
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1))).toSeq
+        .sortBy(_._1)
+        .map { case (qid, qv) =>
+          val cells = cents
+            .map { case (cid, cv) =>
+              (cid, math.round(dotD(qv, cv) * 10000)) }
+            .sortBy { case (cid, dt) => (-dt, cid) }.take(4).map(_._1)
+          (qid, qv, cells)
+        }
+      (cents, probes)
+    })
+
+  /** q238 core over any (vec_id, embedding) frame plus explicit
+    * centroid/probe seeds. Factored for crafted laws (an all-one-cell
+    * corpus gives recall 10/10 at every nprobe). */
+  private[graft] def multiProbeCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      cents: Seq[(Long, Seq[Float])],
+      probes: Seq[(Long, Seq[Float], Seq[Long])])
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val centStructs = cents.map { case (cid, cv) =>
+      struct(
+        round(call_function("dot_product", col("embedding"), typedLit(cv))
+          * 10000).cast("long").as("dt"),
+        lit(-cid).as("negid"))
+    }
+    val assigned = e.select(col("vec_id"), col("embedding"),
+      (-greatest(centStructs: _*).getField("negid")).as("cid"))
+    val probesDf = broadcast(probes.map { case (qid, qv, cs) =>
+      (qid, qv, cs(0), cs(1), cs(2), cs(3))
+    }.toDF("qid", "qv", "c1", "c2", "c3", "c4"))
+    val M = 8589934592L // 2^33
+    val minK10 = udaf(new Aggregators.MinKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def gate(cond: org.apache.spark.sql.Column) =
+      minK10(when(cond, col("key")).otherwise(lit(Long.MaxValue)))
+    val keyed = assigned.crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("cid"),
+        col("c1"), col("c2"), col("c3"), col("c4"),
+        (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+          * lit(-M) + col("vec_id")).as("key"))
+    def ids(c: org.apache.spark.sql.Column) =
+      transform(c, k => pmod(k, lit(M)))
+    keyed.groupBy("qid")
+      .agg(minK10(col("key")).as("bf"),
+        gate(col("cid") === col("c1")).as("n1"),
+        gate(col("cid") === col("c1") || col("cid") === col("c2"))
+          .as("n2"),
+        gate(col("cid") === col("c1") || col("cid") === col("c2") ||
+          col("cid") === col("c3") || col("cid") === col("c4")).as("n4"))
+      .select(col("qid"),
+        size(array_intersect(ids(col("bf")), ids(col("n1"))))
+          .cast("long").as("h1"),
+        size(array_intersect(ids(col("bf")), ids(col("n2"))))
+          .cast("long").as("h2"),
+        size(array_intersect(ids(col("bf")), ids(col("n4"))))
+          .cast("long").as("h4"))
+      .selectExpr("qid",
+        "stack(3, 1L, h1, 2L, h2, 4L, h4) as (nprobe, hits)")
+      .select(col("qid"), col("nprobe").cast("long").as("nprobe"),
+        col("hits"), (col("hits") * 100000L).as("recall_ppm"))
+      .orderBy("qid", "nprobe")
+  }
 
   /** q237 core over any (doc_id, source, text) frame. Factored for
     * crafted FP laws (a planted bucket collision between distinct

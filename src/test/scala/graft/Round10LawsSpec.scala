@@ -437,4 +437,55 @@ class Round10LawsSpec extends SparkSpec {
     assert(a._1 == 2L && a._2 == 1L + collide && a._3 == 1L)
     assert(a._4 == (a._2 - a._3) * 1000000L / math.max(a._2, 1L))
   }
+
+  // ---------------------------------------------------------------- q238
+
+  test("law: q238 all-one-cell corpus — recall is total at EVERY " +
+    "nprobe level (the n-level gather fusion cannot drop members)") {
+    // centroid 0 dominates every corpus vector; probes probe cells
+    // (0, 1, 2, 3) in that order
+    val cents = (0L to 7L).map(c =>
+      (c, (0 until 8).map(i =>
+        if (i == c) (if (c == 0) 10f else 0.1f) else 0f).toSeq))
+    val corpus = (20L to 27L).map(i =>
+      (i, Seq(1f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val probes = Seq((20L, corpus.head._2, Seq(0L, 1L, 2L, 3L)))
+    val got = graft.queries.DedupQueries.multiProbeCore(spark,
+      corpus.toDF("vec_id", "embedding"), cents, probes).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    // 7 candidates (self excluded), all in cell 0 = c1
+    assert(got == Seq((1L, 7L, 700000L), (2L, 7L, 700000L),
+      (4L, 7L, 700000L)), s"got ${got}")
+  }
+
+  test("law: q238 recall is monotone in nprobe at the gate SF") {
+    val got = SparkEntry.queries("q238_multiprobe_sweep")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    got.values.foreach { rows =>
+      val byNp = rows.sortBy(_._2).map(_._3)
+      assert(byNp.sorted.sameElements(byNp),
+        s"recall not monotone: ${rows.toSeq}")
+    }
+  }
+
+  // ---------------------------------------------------------------- q239
+
+  test("law: q239 a day-2 bridge merging two day-1 groups flips the " +
+    "losing side's canonicals; singletons never flip") {
+    val g1 = Seq((1L, 100L), (2L, 100L), (3L, 200L), (4L, 200L))
+    val g2 = Seq((1L, 100L), (2L, 100L), (3L, 100L), (4L, 100L),
+      (7L, 100L))
+    val dq = Seq((1L, "a", 10L), (2L, "a", 20L), (3L, "a", 10L),
+      (4L, "a", 30L), (5L, "a", 15L), (7L, "a", 5L))
+    val got = graft.queries.DedupQueries.canonicalFlipCore(
+      g1.toDF("id", "lbl"), g2.toDF("id", "lbl"),
+      dq.toDF("doc_id", "source", "n_chars")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // day-1 docs: 1,2 (can 2 -> 4: flip), 3,4 (can 4 -> 4: stable),
+    // 5 (singleton, self both days). 2 flips / 5 docs = 400000 ppm.
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((5L, 2L, 400000L)), s"got ${r}")
+  }
 }
