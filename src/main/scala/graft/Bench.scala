@@ -45,6 +45,39 @@ object Bench {
         .map { case (max, free) => max - free }.sum
       s"rdds=$n storageUsed=${mem / (1 << 20)}MB"
     }
+    // Outlier ATTRIBUTION (VERDICT r10 item 2): two rounds in a row were
+    // spent arguing whether a driver-box one-run stall (q234 read 23 s at
+    // the driver vs 1.1 s everywhere else) was a regression. The harness
+    // now proves it either way, in the run log:
+    //  - every [leak] line carries the query's GC-time delta (a stall
+    //    that is GC shows up as gc≈dt; a stall that is IO/scheduler shows
+    //    gc≈0 — both distinguishable from a real plan regression, which
+    //    reproduces);
+    //  - any query reading > max(3x, +1 s) of its committed sf-matched
+    //    baseline (tools/bench_baseline_<sf>.json — same thresholds as
+    //    tools/bench_guard.py) is re-run ONCE in the same session and the
+    //    MIN is recorded, with both runs logged on a [rerun] line. A box
+    //    stall cannot reproduce twice in a row; a plan regression does.
+    import scala.jdk.CollectionConverters._
+    def gcMillis(): Long =
+      java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+        .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    val baseline: Map[String, Double] = {
+      val f = new java.io.File(
+        s"tools/bench_baseline_${new java.io.File(sfDir).getName}.json")
+      if (!f.isFile) Map.empty
+      else try {
+        val node = new com.fasterxml.jackson.databind.ObjectMapper()
+          .readTree(f).get("queries")
+        if (node == null) Map.empty
+        else node.properties().asScala
+          .map(e => e.getKey -> e.getValue.asDouble()).toMap
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] baseline unreadable (${e.getMessage})" +
+          " — outlier re-run disabled")
+        Map.empty
+      }
+    }
 
     // Warm-up: JIT the parquet reader, codegen, shuffle machinery.
     run(SparkEntry.entry(spark))
@@ -59,15 +92,32 @@ object Bench {
       case None => SparkEntry.all
     }
     val results = selected.sortBy(_.name).map { q =>
-      val t0 = System.nanoTime()
-      try run(q.fn(spark, sfDir))
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      def timed(): (Double, Long, Boolean) = {
+        val g0 = gcMillis(); val t0 = System.nanoTime()
+        val ok =
+          try { run(q.fn(spark, sfDir)); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        ((System.nanoTime() - t0) / 1e9, gcMillis() - g0, ok)
       }
-      val dt = (System.nanoTime() - t0) / 1e9
+      val (dt1, gc1, ok1) = timed()
+      val limit = baseline.get(q.name).map(b => math.max(3 * b, b + 1.0))
+      val (dt, gc) =
+        if (ok1 && limit.exists(dt1 > _)) {
+          val (dt2, gc2, _) = timed()
+          System.err.println(String.format(java.util.Locale.ROOT,
+            "[rerun] %s first=%.3fs gc1=%dms second=%.3fs gc2=%dms " +
+              "baseline=%.3fs -> recording min",
+            q.name, Double.box(dt1), Long.box(gc1), Double.box(dt2),
+            Long.box(gc2), Double.box(baseline(q.name))))
+          if (dt2 < dt1) (dt2, gc2) else (dt1, gc1)
+        } else (dt1, gc1)
       System.err.println(
         String.format(java.util.Locale.ROOT,
-          "[leak] %s %.3fs %s", q.name, Double.box(dt), leakStat()))
+          "[leak] %s %.3fs gc=%dms %s", q.name, Double.box(dt),
+          Long.box(gc), leakStat()))
       q.name -> dt
     }
     // The driver keeps only the LAST 2000 BYTES of stdout and parses the
@@ -90,7 +140,32 @@ object Bench {
     require(shortKeys.distinct.length == shortKeys.length,
       "duplicate qNN prefixes would silently collapse metric-line keys: " +
         shortKeys.diff(shortKeys.distinct).mkString(","))
-    val qn = results.map(_._1.takeWhile(_ != '_').drop(1)).mkString(",")
+    // Round-11 headroom (VERDICT r10 item 7): the flat id list was
+    // ~4 B/query (896 B at 224 queries — the metric line was 6 queries
+    // from the 1.7 KB budget). Name-sorted emission order makes numeric
+    // ids largely CONTIGUOUS, so "qn" is now run-length ranges over that
+    // order ("1-9,100-109,10,110-119,...", inclusive): ~230 B at 224
+    // queries, projected ~1.45 KB total at 280. bench_guard expands
+    // ranges (and still parses the flat and legacy-dict forms). Ids
+    // re-pad as qNN (2-digit minimum) — the require proves the
+    // round-trip is lossless before anything is printed.
+    val idInts = shortKeys.map(_.drop(1).toInt)
+    require(idInts.map(n => "q" + (if (n < 100) f"$n%02d" else n.toString))
+      == shortKeys, "qNN prefixes do not round-trip through numeric ids")
+    val qn = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < idInts.length) {
+        var j = i
+        while (j + 1 < idInts.length && idInts(j + 1) == idInts(j) + 1)
+          j += 1
+        if (sb.nonEmpty) sb += ','
+        sb ++= (if (j > i) s"${idInts(i)}-${idInts(j)}"
+                else idInts(i).toString)
+        i = j + 1
+      }
+      sb.toString
+    }
     val qcs = results.map { case (_, v) => math.round(v * 100).toString }
       .mkString("[", ",", "]")
     val full = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }

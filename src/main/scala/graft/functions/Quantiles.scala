@@ -91,4 +91,65 @@ object Quantiles {
     }
     picked.select(col(groupCol) +: outs: _*)
   }
+
+  /** Exact quantiles of `valueCol` PLUS exact distinct counts of
+    * `distinctCols`, all per `groupCol`, from ONE scan — the q91 fusion.
+    *
+    * Why not `groupBy.agg(countDistinct, countDistinct, sketches…)`:
+    * Spark rewrites multi-distinct through Expand, and the partial
+    * aggregate then keys by (group, distinct-values, gid) — every
+    * imperative agg in the same groupBy (HLL, QuantileSummaries)
+    * allocates its buffer PER DISTINCT GROUP, i.e. ~|distinct partkey|
+    * sketch objects instead of |groups| (measured 5.4 s vs 2.1 s at
+    * sf0.1 on q91). Here the distinct columns instead ride the quantile
+    * HISTOGRAM as extra posexplode lanes: the (group, lane, value)
+    * partial+final HashAggregate dedups them map-side, the quantile
+    * window ignores the extra lanes (they add |distinct| rows to a sort
+    * that is already |distinct-value|-scale), and the final per-group
+    * aggregate counts lane rows — `count(distinct x)` is exactly "rows
+    * of the (group, x) histogram". Pure codegen HashAggregates, no
+    * Expand, no per-distinct sketch buffers, bounded state at any group
+    * size. Distinct values must be exact in DOUBLE (ids < 2^53). */
+  def groupQuantilesAndDistincts(df: DataFrame, groupCol: String,
+      valueCol: String, qs: Seq[(String, Double)],
+      distinctCols: Seq[(String, String)]): DataFrame = {
+    require(qs.nonEmpty && qs.forall { case (_, q) => q >= 0.0 && q <= 1.0 })
+    val lanes = (valueCol +: distinctCols.map(_._1))
+      .map(c => col(c).cast("double"))
+    val hist = df
+      .select(col(groupCol), posexplode(array(lanes: _*)).as(Seq("__w", "__v")))
+      .filter(col("__v").isNotNull)
+      .groupBy(col(groupCol), col("__w"), col("__v"))
+      .agg(count(lit(1)).as("__c"))
+    val wCum = Window.partitionBy(groupCol, "__w").orderBy("__v")
+    val wAll = Window.partitionBy(groupCol, "__w")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = hist
+      .withColumn("__cum", sum(col("__c")).over(wCum))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+    val isV = col("__w") === 0
+    val qAggs = qs.flatMap { case (name, q) =>
+      val hh = (col("__n") - 1).cast("double") * lit(q)
+      def pick(k: Column) = min(when(isV &&
+        (col("__cum") - col("__c")).cast("double") <= k &&
+        k < col("__cum").cast("double"), col("__v")))
+      Seq(
+        pick(floor(hh)).as(s"__lo_$name"),
+        pick(ceil(hh)).as(s"__hi_$name"),
+        min(when(isV, col("__n"))).as(s"__n_$name"))
+    }
+    val dAggs = distinctCols.zipWithIndex.map { case ((_, out), i) =>
+      count(when(col("__w") === i + 1, 1)).as(out)
+    }
+    val aggs = qAggs ++ dAggs
+    val picked = cum.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+    val outs = qs.map { case (name, q) =>
+      val n = col(s"__n_$name")
+      val hh = (n - 1).cast("double") * lit(q)
+      val frac = hh - floor(hh)
+      (col(s"__lo_$name") + frac * (col(s"__hi_$name") - col(s"__lo_$name")))
+        .as(name)
+    } ++ distinctCols.map { case (_, out) => col(out) }
+    picked.select(col(groupCol) +: outs: _*)
+  }
 }

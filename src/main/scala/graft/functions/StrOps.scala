@@ -72,9 +72,9 @@ object StrOps {
     * `is_alnum` = \p{L} or \p{N}. The three digit-family predicates
     * follow Arrow/Python's Unicode distinction: `is_decimal` = Nd only;
     * `is_digit` = Nd plus Numeric_Type=Digit codepoints (super/subscripts);
-    * `is_numeric` = any N category (adds vulgar fractions, roman numerals).
-    * (Approximation: Python's isnumeric also admits a handful of Lo
-    * ideographic numerals — out of scope here, documented divergence.) */
+    * `is_numeric` = any N category (adds vulgar fractions, roman
+    * numerals) UNION the 81 Lo ideographic numerals (see [[loNumerals]])
+    * — full Python `str.isnumeric` fidelity, no residual divergence. */
   def isAlnum(c: Column): Column = c.rlike("^[\\p{L}\\p{N}]+$")
   def isAlpha(c: Column): Column = c.rlike("^\\p{L}+$")
   def isAscii(c: Column): Column = c.rlike("^[\\x00-\\x7F]*$")
@@ -86,7 +86,27 @@ object StrOps {
   // counts as "other case" for both, matching str.islower/isupper on ǅ)
   def isLower(c: Column): Column =
     c.rlike("\\p{Ll}") && !c.rlike("[\\p{Lu}\\p{Lt}]")
-  def isNumeric(c: Column): Column = c.rlike("^\\p{N}+$")
+  /** The 81 Lo-category ideographic numerals Python's `str.isnumeric`
+    * admits beyond `\p{N}` (Numeric_Type=Numeric chars whose general
+    * category is Lo, not N*): CJK numerals 一二三…萬億, their financial
+    * forms 壹貳…, the compatibility-ideograph duplicates, and the
+    * 16 supplementary-plane archaic forms. Derived mechanically from
+    * unicodedata 14.0 (`c.isnumeric() && category(c) !~ N*`), pinned in
+    * StrOpsSpec — closes the last `lib/str.py:317` divergence. */
+  private val loNumerals =
+      "\\u3405\\u3483\\u382A\\u3B4D\\u4E00\\u4E03\\u4E07\\u4E09" +
+      "\\u4E5D\\u4E8C\\u4E94\\u4E96\\u4EBF\\u4EC0\\u4EDF\\u4EE8" +
+      "\\u4F0D\\u4F70\\u5104\\u5146\\u5169\\u516B\\u516D\\u5341" +
+      "\\u5343\\u5344\\u5345\\u534C\\u53C1\\u53C2\\u53C3\\u53C4" +
+      "\\u56DB\\u58F1\\u58F9\\u5E7A\\u5EFE\\u5EFF\\u5F0C\\u5F0D" +
+      "\\u5F0E\\u5F10\\u62FE\\u634C\\u67D2\\u6F06\\u7396\\u767E" +
+      "\\u8086\\u842C\\u8CAE\\u8CB3\\u8D30\\u9621\\u9646\\u964C" +
+      "\\u9678\\u96F6\\uF96B\\uF973\\uF978\\uF9B2\\uF9D1\\uF9D3" +
+      "\\uF9FD\\x{20001}\\x{20064}\\x{200E2}\\x{20121}\\x{2092A}" +
+      "\\x{20983}\\x{2098C}\\x{2099C}\\x{20AEA}\\x{20AFD}\\x{20B19}" +
+      "\\x{22390}\\x{22998}\\x{23B1B}\\x{2626D}\\x{2F890}"
+  def isNumeric(c: Column): Column =
+    c.rlike(s"^[\\p{N}$loNumerals]+$$")
   def isSpace(c: Column): Column = c.rlike("^\\s+$")
   def isUpper(c: Column): Column =
     c.rlike("\\p{Lu}") && !c.rlike("[\\p{Ll}\\p{Lt}]")

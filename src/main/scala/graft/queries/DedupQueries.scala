@@ -3134,15 +3134,19 @@ object DedupQueries {
     // interpreted: measured 44 s vs 2.6 s at the 100× replica);
     // everything after the gather is a 2016-row table. Integer
     // envelope: |q| ≤ 6e3 here, so n·Σqiqj is exact through n ≈ 5e5 —
-    // at corpus scale the audit runs on a hash-sampled subset (q87
-    // machinery; covariance needs O(d²/ε²) samples, not the corpus),
-    // keeping the envelope AND the cost flat.
+    // ENFORCED in both engines by a rank-free hash-sampled subset
+    // (hash·n < 5e5·M; a keep-everything no-op at gate SFs, ~5e5 rows
+    // binomially past it — see embCovarianceCore), keeping the
+    // envelope AND the cost flat at any corpus size.
     Q(
       "q225_emb_covariance",
       """WITH q AS (SELECT vec_id,
         |    list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
-        |  FROM embeddings),
+        |  FROM embeddings
+        |  WHERE (vec_id * 2654435761) % 1000000007 *
+        |    (SELECT count(*) FROM embeddings) <
+        |    CAST(500000 AS BIGINT) * 1000000007),
         |dsum AS (
         |  SELECT i, CAST(sum(qv[i + 1]) AS BIGINT) AS s,
         |    CAST(count(*) AS BIGINT) AS n
@@ -3511,9 +3515,18 @@ object DedupQueries {
     // |sources|-bounded.
     Q(
       "q239_canonical_flip",
-      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
-        |p1 AS (SELECT id_a, id_b FROM pairs
-        |       WHERE id_a % 10 != 7 AND id_b % 10 != 7),
+      s"""WITH RECURSIVE allp AS (SELECT * FROM ($rpPairsSql) fp),
+        |pairs AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+        |      ORDER BY rdot DESC, id_b) AS rn FROM allp) r
+        |  WHERE rn <= 32),
+        |p1 AS (
+        |  SELECT id_a, id_b FROM (
+        |    SELECT id_a, id_b, row_number() OVER (PARTITION BY id_a
+        |      ORDER BY rdot DESC, id_b) AS rn FROM allp
+        |    WHERE id_a % 10 != 7 AND id_b % 10 != 7) r
+        |  WHERE rn <= 32),
         |u1 AS (SELECT id_a AS src, id_b AS dst FROM p1
         |       UNION ALL SELECT id_b, id_a FROM p1),
         |r1(id, r) AS (
@@ -3559,14 +3572,28 @@ object DedupQueries {
         |  CAST(sum(fl) * 1000000 // count(*) AS BIGINT) AS flip_ppm
         |FROM f GROUP BY source ORDER BY source""".stripMargin
     ) { (s, d) =>
-      val edges = rpEdges(s, d)
-      val e1 = edges.filter(col("id_a") % 10 =!= 7 &&
-        col("id_b") % 10 =!= 7)
+      // Day-1 edges are degree-bounded over DAY-1 PAIRS ONLY — filtering
+      // the full-corpus top-32 instead lets a day-2 neighbor evict a
+      // day-1 edge from a node's budget, so the "day-1" groups would not
+      // be what a real day-1 run produced (a bias in the very stability
+      // metric this query sells). One shared pair scan (checkpointed —
+      // the bucket self-join must not replan per side), two top-32
+      // windows; the oracle ranks the same two subsets of one pair CTE.
+      val pr = rpPairs(s, d).localCheckpoint(true)
+      val w = Window.partitionBy("id_a")
+        .orderBy(col("rdot").desc, col("id_b").asc)
+      def bounded(p: org.apache.spark.sql.DataFrame) =
+        p.withColumn("__rn", row_number().over(w))
+          .filter(col("__rn") <= 32).drop("__rn")
+          .localCheckpoint(true) // CC re-reads edges every round
+      val e2 = bounded(pr)
+      val e1 = bounded(pr.filter(col("id_a") % 10 =!= 7 &&
+        col("id_b") % 10 =!= 7))
       val dq = docs(s, d).select(col("doc_id"), col("source"),
         col("n_chars"))
       canonicalFlipCore(
         graft.functions.GraphOps.connectedComponents(e1, "id_a", "id_b"),
-        graft.functions.GraphOps.connectedComponents(edges, "id_a",
+        graft.functions.GraphOps.connectedComponents(e2, "id_a",
           "id_b"),
         dq)
     }
@@ -3714,13 +3741,20 @@ object DedupQueries {
     val bench = kb.filter(col("doc_id") % 97 === 0)
       .select(col("bucket"), col("dg"))
       .localCheckpoint(true) // |bench|-scale; two distinct-set consumers
+    // bb is bounded BY CONSTRUCTION (≤65536 distinct buckets, the Bloom
+    // width) — broadcast is safe at any corpus size. bd is the distinct
+    // bench DIGEST set, corpus/97-scaled: forcing it broadcast is the
+    // SF-scaled-broadcast trap (fine at ~51k rows, unbounded at 100 TB),
+    // so it rides a shuffle_hash right-build instead — the corpus side
+    // streams as a narrow (source, dg, hitb) projection and the exchange
+    // on dg is the shape a 1000-executor join needs anyway.
     val bb = broadcast(bench.select(col("bucket")).distinct()
       .withColumn("hitb", lit(1L)))
-    val bd = broadcast(bench.select(col("dg")).distinct()
-      .withColumn("hitd", lit(1L)))
+    val bd = bench.select(col("dg")).distinct()
+      .withColumn("hitd", lit(1L))
     kb.filter(col("doc_id") % 97 =!= 0)
       .join(bb, Seq("bucket"), "left")
-      .join(bd, Seq("dg"), "left")
+      .join(bd.hint("shuffle_hash"), Seq("dg"), "left")
       .groupBy("source")
       .agg(count(lit(1)).cast("long").as("n_docs"),
         sum(coalesce(col("hitb"), lit(0L))).as("n_pass"),
@@ -3957,7 +3991,20 @@ object DedupQueries {
   private[graft] def embCovarianceCore(
       e: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    import graft.functions.Aggregators
+    import graft.functions.{Aggregators, Mixing}
+    // Envelope guard, IN the plan (not a comment): n·Σqiqj wraps Long
+    // past n ≈ 5e5 (|q| ≤ 6e3), and covariance only needs O(d²/ε²)
+    // samples, not the corpus — so the input rides a rank-free
+    // hash-sampled subset (q87 machinery: hash·n < CAP·M, a pure map
+    // predicate). While n ≤ 5e5 every hash (< M) clears the threshold,
+    // so the gate SFs keep ALL rows and outputs stay byte-identical;
+    // past it the subset is binomially ~5e5 rows, keeping the integer
+    // envelope AND the audit cost flat at any corpus size. Mirrored
+    // exactly in the oracle (same hash, same scalar-count subquery).
+    val nTot = e.agg(count(lit(1)).as("__ntot"))
+    val sampled = e.crossJoin(broadcast(nTot))
+      .filter((col("vec_id") * Mixing.HashMul) % Mixing.HashMod *
+        col("__ntot") < lit(500000L) * Mixing.HashMod)
     // d from a 1-row job (dim is uniform per corpus); the whole Gram
     // then comes from ONE corpus scan through a fused GramAgg kernel —
     // pair products, dim sums and row count in one O(d²) buffer, one
@@ -3965,7 +4012,7 @@ object DedupQueries {
     // n·d²/2 products was measured 44 s at the 100× replica: HOF
     // struct-building lambdas never codegen). The ≤ d²+d+1-row result
     // is checkpointed once for its three consumers (q203 rule).
-    val vecs = e.filter(size(col("embedding")) >= 2)
+    val vecs = sampled.filter(size(col("embedding")) >= 2)
       .select(col("embedding"))
     val d = vecs.select(size(col("embedding")).as("d")).head.getInt(0)
     val dd = d * d

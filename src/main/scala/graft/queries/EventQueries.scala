@@ -120,16 +120,23 @@ object EventQueries {
     ) { (s, d) =>
       import graft.functions.Quantiles
       val li = Tables.lineitem(s, d)
+      // TWO lineitem scans, down from r10's three: the sketch lane keeps
+      // its own 3-group ObjectHashAggregate (folding the sketches into a
+      // multi-distinct agg allocates HLL/QuantileSummaries buffers per
+      // Expand distinct-group — measured 5.4 s vs 2.1 s at sf0.1), and
+      // BOTH exact companions now come from the quantile histogram pass:
+      // the distinct columns ride it as extra posexplode lanes, so the
+      // exact countDistincts are free lane-row counts in the same final
+      // aggregate (Quantiles.groupQuantilesAndDistincts — no Expand
+      // anywhere; Round11PlanSpec pins ≤2 scans + Expand-free).
       val sk = li.groupBy("l_returnflag").agg(
         approx_count_distinct(col("l_partkey")).as("ap"),
         approx_count_distinct(col("l_suppkey")).as("asu"),
         percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
           .as("am"))
-      val ex = li.groupBy("l_returnflag").agg(
-        countDistinct(col("l_partkey")).as("ep"),
-        countDistinct(col("l_suppkey")).as("es"))
-      val med = Quantiles.groupQuantilesCont(li, "l_returnflag",
-        "l_extendedprice", Seq(("em", 0.5)))
+      val med = Quantiles.groupQuantilesAndDistincts(li, "l_returnflag",
+        "l_extendedprice", Seq(("em", 0.5)),
+        Seq("l_partkey" -> "ep", "l_suppkey" -> "es"))
       // approx_count_distinct rsd defaults to 5%; 10% relative tolerance
       // leaves ~2 sigma of slack. percentile_approx at accuracy 10000 is
       // well inside 5% on any non-degenerate distribution.
@@ -138,7 +145,7 @@ object EventQueries {
           tol: Double): org.apache.spark.sql.Column =
         when(abs(approx.cast("double") - exact.cast("double")) <=
           exact.cast("double") * tol, exact).otherwise(approx)
-      sk.join(ex, Seq("l_returnflag")).join(med, Seq("l_returnflag"))
+      sk.join(med, Seq("l_returnflag"))
         .select(col("l_returnflag"),
           checked(col("ap"), col("ep"), 0.10).cast("long").as("parts_checked"),
           checked(col("asu"), col("es"), 0.10).cast("long").as("supps_checked"),
@@ -1405,8 +1412,10 @@ object EventQueries {
     // collapse), one user-scale exchange into the ≤|distinct-c| hist
     // (checkpointed once for its three consumers — q203 rule); the
     // window, totals and buckets are all bounded-table stages. Integer
-    // envelope: Σ rank·mass ≤ n·S < 2^63 — exact through ~1e8 users ×
-    // 1e10 events; beyond that, pre-bucket c to log2 first.
+    // envelope: the ppm scaling runs as base-100 staged long division
+    // (see keySkewCore) so no intermediate exceeds 100·n·S — exact
+    // through n·S ≤ 9.2e16 (e.g. 1e8 users × 1e9 events); beyond that,
+    // pre-bucket c to log2 first.
     Q(
       "q229_key_skew",
       """WITH cnt AS (SELECT user_id, count(*) AS c
@@ -1491,9 +1500,24 @@ object EventQueries {
         sum(col("c") * (col("m") * col("below") +
           expr("(m * (m + 1)) div 2"))).as("sic"),
         sum(col("c") * col("m")).as("s"), sum("m").as("n"))
-      .selectExpr(
-        "cast(((sic * 2 - (n + 1) * s) * 1000000) div (n * s) as long)" +
-          " as gini_ppm")
+      // floor(N·1e6 / D) via base-100 long division: the oracle's
+      // HUGEINT computes N*1000000 exactly, but in Long that product
+      // wraps once N = 2·sic−(n+1)·s exceeds ~9.2e12 (the 1000x replica
+      // is ~1.5e14 — silent wrong answer). Staged quotient/remainder
+      // never forms the product: each step multiplies a remainder < D
+      // by 100, so the envelope is D = n·s ≤ 9.2e16 (~1e8 users x 1e9
+      // events, or 1e7 x 1e10); beyond that, pre-bucket c to log2
+      // first. All operands non-negative (Gini numerator of an
+      // ascending-rank sum ≥ 0; remainders via pmod), so Spark's
+      // truncating div == DuckDB's flooring // at every step.
+      .selectExpr("sic * 2 - (n + 1) * s as nn", "n * s as dd")
+      .selectExpr("nn div dd as q1", "pmod(nn, dd) as r1", "dd")
+      .selectExpr("q1", "(r1 * 100) div dd as q2",
+        "pmod(r1 * 100, dd) as r2", "dd")
+      .selectExpr("q1", "q2", "(r2 * 100) div dd as q3",
+        "pmod(r2 * 100, dd) as r3", "dd")
+      .selectExpr("cast(q1 * 1000000 + q2 * 10000 + q3 * 100 +" +
+        " (r3 * 100) div dd as long) as gini_ppm")
     hist.groupBy(length(bin(col("c"))).cast("long").as("bucket"))
       .agg(sum("m").cast("long").as("n_users"),
         sum(col("c") * col("m")).cast("long").as("n_events"))

@@ -99,10 +99,11 @@ class Round10PlanSpec extends SparkSpec {
     assert(!p.contains("Window"), p)
   }
 
-  test("q237 bloom prefilter: both membership tests are broadcast " +
-    "joins; the probe side is scanned once") {
+  test("q237 bloom prefilter: the bounded bucket set broadcasts, the " +
+    "SF-scaled digest set does not (r11 fix); the probe side is " +
+    "scanned once") {
     val p = plan("q237_bloom_prefilter")
-    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size == 2, p)
+    assert("\\(\\d+\\) BroadcastHashJoin".r.findAllIn(p).size == 1, p)
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
   }
 }

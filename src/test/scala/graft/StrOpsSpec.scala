@@ -69,6 +69,22 @@ class StrOpsSpec extends SparkSpec {
       Seq(true, true, true, true, false))
   }
 
+  test("is_numeric Lo ideographic numerals (lib/str.py:317): full " +
+    "Python isnumeric fidelity — CJK/financial/supplementary numerals " +
+    "pass, non-numeral ideographs do not") {
+    // every golden verified against CPython: "三十五".isnumeric() etc.
+    val df = strs(
+      "三十五",        // plain CJK numerals (Lo)
+      "壹貳參",        // financial forms (Lo)
+      "〇",            // U+3007 — Nl, was already in \p{N}
+      "𠀁", // U+20001 archaic form, supplementary plane (Lo)
+      "廿卅",          // twenty/thirty compact forms (Lo)
+      "漢",            // ideograph WITHOUT a numeric value
+      "第一")          // ordinal prefix is not numeric
+    assert(eval1(df, StrOps.isNumeric(col("s"))) ==
+      Seq(true, true, true, true, true, false, false))
+  }
+
   test("is_printable (str.py:333): control/format chars break it, space ok") {
     val df = strs("abc def", "", "tab\there", "nl\nhere", "unicode-ok: é")
     assert(eval1(df, StrOps.isPrintable(col("s"))) ==

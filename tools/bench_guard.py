@@ -50,11 +50,20 @@ def main() -> int:
     bench = json.loads(line[line.index("{"):])
     if isinstance(bench["queries"], list):
         # round-8 positional encoding: "qn" = comma-joined qNN ids with
-        # the 'q' stripped, "queries" = centisecond ints, same order
-        ids = bench["qn"].split(",")
+        # the 'q' stripped, "queries" = centisecond ints, same order.
+        # round-11: tokens may be inclusive ranges over the name-sorted
+        # emission order ("1-9,100-109,10,..."); ids re-pad as qNN with a
+        # 2-digit minimum (q01..q99, q100+ as-is).
+        ids = []
+        for tok in bench["qn"].split(","):
+            if "-" in tok:
+                a, b = tok.split("-")
+                ids.extend(range(int(a), int(b) + 1))
+            else:
+                ids.append(int(tok))
         assert len(ids) == len(bench["queries"]), "qn/queries misaligned"
-        bench_q = {"q" + i: cs / 100.0
-                   for i, cs in zip(ids, bench["queries"])}
+        bench_q = {f"q{n:02d}": cs / 100.0
+                   for n, cs in zip(ids, bench["queries"])}
     else:
         bench_q = {short(k): v for k, v in bench["queries"].items()}
     base = json.load(open(BASELINE))
