@@ -3348,10 +3348,12 @@ object DedupQueries {
     // the minhash-estimated Jaccard (matching slots × 250000 ppm)
     // against the exact hashed-shingle Jaccard, histogrammed by error
     // decile with mean est/exact per bucket. Scale shape: ONE scan,
-    // ONE shingle+signature computation per doc, the q54 pair-reduce
-    // (each doc emits to its two pairs — never a self-join of computed
-    // shingle tables); per-group state is exactly two rows; the error
-    // rollup is 11-row bounded.
+    // ONE shingle+signature computation per doc, block-window pairing
+    // (doc_id div 64 co-locates adjacent-id pairs, so each shingle
+    // array ships ONCE — r11; the old co-group shipped every array
+    // twice, and a self-join of computed shingle tables would compute
+    // them twice too); WindowExec buffers ≤65 rows; the error rollup
+    // is 11-row bounded.
     Q(
       "q236_minhash_calibration",
       s"""WITH ws AS (
@@ -3785,22 +3787,41 @@ object DedupQueries {
           array_min(transform(col("sh"),
             x => (lit(a) * (x % P) + lit(b)) % P))
         }: _*).as("sig"))
-    val sides = base.select(explode(array(
-      struct(col("doc_id").as("pair"), lit(0).as("role"), col("sh"),
-        col("sig")),
-      struct((col("doc_id") - 1).as("pair"), lit(1).as("role"),
-        col("sh"), col("sig")))).as("e"))
-      .select(col("e.pair"), col("e.role"), col("e.sh"), col("e.sig"))
-    sides.groupBy("pair")
-      .agg(sort_array(collect_list(struct(col("role"), col("sh"),
-        col("sig")))).as("rs"))
-      .filter(size(col("rs")) === 2)
+    // Adjacent-id pairing via BLOCK WINDOWS, not a co-group (r10 verdict
+    // item 4): the pair key is (doc_id, doc_id−1), so partitioning by
+    // doc_id div 64 co-locates every pair except the 1-in-64 block
+    // boundary — each doc's hashed-shingle array crosses the wire ONCE
+    // (plus a 1/64 ghost copy of block-first docs into the previous
+    // block), where the co-group shipped every array twice under both
+    // pair roles. lag(1) over (block, doc_id) reproduces exactly the
+    // same pairs (guarded by prev_id = doc_id − 1, so id gaps behave
+    // like the old size(rs)=2 filter) — gate output is byte-identical
+    // and the oracle is untouched. Block count is corpus-scale (never a
+    // fixed-cardinality key) and WindowExec buffers ≤65 rows per block.
+    val B = 64L
+    val rows = base.select(explode(when(
+        pmod(col("doc_id"), lit(B)) === 0 && col("doc_id") > 0,
+        array(
+          struct(expr(s"doc_id div $B").as("blk"),
+            col("doc_id"), col("sh"), col("sig")),
+          struct(expr(s"doc_id div $B - 1").as("blk"),
+            col("doc_id"), col("sh"), col("sig"))))
+      .otherwise(array(
+        struct(expr(s"doc_id div $B").as("blk"),
+          col("doc_id"), col("sh"), col("sig"))))).as("e"))
+      .select(col("e.blk"), col("e.doc_id"), col("e.sh"), col("e.sig"))
+    val wb = Window.partitionBy("blk").orderBy("doc_id")
+    rows
+      .withColumn("pid", lag("doc_id", 1).over(wb))
+      .withColumn("psh", lag("sh", 1).over(wb))
+      .withColumn("psig", lag("sig", 1).over(wb))
+      .filter(col("pid") === col("doc_id") - 1)
       .select(
-        (expr("""aggregate(zip_with(rs[0].sig, rs[1].sig,
+        (expr("""aggregate(zip_with(psig, sig,
             (x, y) -> if(x = y, 1L, 0L)), 0L, (acc, v) -> acc + v)""")
           * 250000L).as("est"),
-        expr("""cast(size(array_intersect(rs[0].sh, rs[1].sh)) as bigint)
-            * 1000000 div size(array_union(rs[0].sh, rs[1].sh))""")
+        expr("""cast(size(array_intersect(psh, sh)) as bigint)
+            * 1000000 div size(array_union(psh, sh))""")
           .as("exact"))
       .groupBy(expr("abs(est - exact) div 100000").cast("long")
         .as("err_decile"))

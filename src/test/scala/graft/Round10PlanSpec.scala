@@ -91,12 +91,14 @@ class Round10PlanSpec extends SparkSpec {
     assert(cols("q235_prefix_clusters") == Set("text", "n_chars"))
   }
 
-  test("q236 calibration: ONE scan + pair-reduce co-group — no self-" +
-    "join of computed shingle tables, no window") {
+  test("q236 calibration: ONE scan + block-window pairing (r11: each " +
+    "shingle array ships once, doc_id div 64 blocks) — no self-join " +
+    "of computed shingle tables, no fixed-cardinality partition key") {
     val p = plan("q236_minhash_calibration")
     assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
     assert(!p.contains("Join"), p)
-    assert(!p.contains("Window"), p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("partitionBy=[],"), p) // never a global window
   }
 
   test("q237 bloom prefilter: the bounded bucket set broadcasts, the " +
