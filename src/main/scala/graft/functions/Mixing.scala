@@ -32,7 +32,12 @@ object Mixing {
         expr("(ntot div 2) * wt div z").as("target"): _*)
   }
 
-  /** The rank-free pick predicate: `hash(id)·n < target·M`. */
+  /** The rank-free pick predicate: `hash(id)·n < target·M`. The id is
+    * reduced mod M BEFORE the multiply (identity for id < M ≈ 1e9, i.e.
+    * every gate SF — outputs unchanged) so the product stays ≤ (M−1)·mul
+    * ≈ 2.65e18 < 2^63 for ANY id: replica corpora offset ids past 3.5e9,
+    * where the unreduced form overflows (ANSI errors loudly; caught by
+    * the r11 1000x q225 run). Every oracle mirrors the same order. */
   def hashPicked(id: Column, n: Column, target: Column): Column =
-    (id * HashMul) % HashMod * n < target * HashMod
+    (id % HashMod) * HashMul % HashMod * n < target * HashMod
 }

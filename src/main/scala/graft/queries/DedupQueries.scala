@@ -885,7 +885,8 @@ object DedupQueries {
         |  SELECT e.vec_id, coalesce(g.group_id, e.vec_id) AS group_id
         |  FROM embeddings e LEFT JOIN grp g USING (vec_id)),
         |h AS (SELECT vec_id, group_id,
-        |        (group_id * 2654435761) % 1000000007 % 10 AS b FROM base)
+        |        (group_id % 1000000007) * 2654435761 % 1000000007 % 10
+        |        AS b FROM base)
         |SELECT vec_id, group_id,
         |  CASE WHEN b < 8 THEN 'train' WHEN b = 8 THEN 'val'
         |       ELSE 'test' END AS split
@@ -901,7 +902,8 @@ object DedupQueries {
           coalesce(col("group_id"), col("vec_id")).as("group_id"))
       base
         .withColumn("b", expr(
-          s"(group_id * ${Mixing.HashMul}) % ${Mixing.HashMod} % 10"))
+          s"(group_id % ${Mixing.HashMod}) * ${Mixing.HashMul}" +
+          s" % ${Mixing.HashMod} % 10"))
         .select(col("vec_id"), col("group_id"),
           when(col("b") < 8, "train").when(col("b") === 8, "val")
             .otherwise("test").as("split"))
@@ -3144,7 +3146,7 @@ object DedupQueries {
         |    list_transform(embedding,
         |      x -> CAST(round(CAST(x AS DOUBLE) * 10000) AS BIGINT)) AS qv
         |  FROM embeddings
-        |  WHERE (vec_id * 2654435761) % 1000000007 *
+        |  WHERE (vec_id % 1000000007) * 2654435761 % 1000000007 *
         |    (SELECT count(*) FROM embeddings) <
         |    CAST(500000 AS BIGINT) * 1000000007),
         |dsum AS (
@@ -4024,8 +4026,8 @@ object DedupQueries {
     // exactly in the oracle (same hash, same scalar-count subquery).
     val nTot = e.agg(count(lit(1)).as("__ntot"))
     val sampled = e.crossJoin(broadcast(nTot))
-      .filter((col("vec_id") * Mixing.HashMul) % Mixing.HashMod *
-        col("__ntot") < lit(500000L) * Mixing.HashMod)
+      .filter((col("vec_id") % Mixing.HashMod) * Mixing.HashMul %
+        Mixing.HashMod * col("__ntot") < lit(500000L) * Mixing.HashMod)
     // d from a 1-row job (dim is uniform per corpus); the whole Gram
     // then comes from ONE corpus scan through a fused GramAgg kernel —
     // pair products, dim sums and row count in one O(d²) buffer, one

@@ -468,7 +468,8 @@ object PipelineQueries {
       "q110_weighted_sample",
       """WITH w AS (
         |  SELECT doc_id, source, n_chars,
-        |    (doc_id * 2654435761 + 12345) % 4294967296 + 1 AS m
+        |    ((doc_id % 2147483648) * 2654435761 + 12345) % 4294967296 + 1
+        |      AS m
         |  FROM documents),
         |k AS (
         |  SELECT doc_id, source, n_chars, m,
@@ -496,7 +497,8 @@ object PipelineQueries {
       docs(s, d)
         .select(col("doc_id"), col("source"), col("n_chars"))
         .withColumn("__m",
-          (col("doc_id") * 2654435761L + 12345L) % 4294967296L + 1L)
+          ((col("doc_id") % 2147483648L) * 2654435761L + 12345L)
+            % 4294967296L + 1L)
         // e = floor(log2 m) via binary-string length: exact in both engines
         .withColumn("__p",
           expr("shiftleft(CAST(1 AS BIGINT), length(bin(__m)) - 1)"))
@@ -861,7 +863,7 @@ object PipelineQueries {
         |  CAST(count(*) AS BIGINT) AS picked,
         |  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
         |FROM documents d JOIN tgt t ON d.lang = t.lang
-        |WHERE (d.doc_id * 2654435761) % 1000000007 * t.n <
+        |WHERE (d.doc_id % 1000000007) * 2654435761 % 1000000007 * t.n <
         |  t.target * 1000000007
         |GROUP BY d.lang ORDER BY d.lang""".stripMargin
     ) { (s, d) =>
@@ -917,7 +919,7 @@ object PipelineQueries {
         |SELECT d.lang, d.source, CAST(count(*) AS BIGINT) AS picked,
         |  CAST(sum(d.doc_id) AS BIGINT) AS sum_ids
         |FROM corpus d JOIN tgt t ON d.lang = t.lang
-        |WHERE (d.doc_id * 2654435761) % 1000000007 * t.n <
+        |WHERE (d.doc_id % 1000000007) * 2654435761 % 1000000007 * t.n <
         |  t.target * 1000000007
         |GROUP BY d.lang, d.source ORDER BY d.lang, d.source""".stripMargin
     ) { (s, d) =>
@@ -986,7 +988,8 @@ object PipelineQueries {
         |  FROM feat f JOIN r USING (b) GROUP BY f.doc_id)
         |SELECT doc_id, nfeat, score,
         |  CAST(least(score // nfeat, 4194304) AS BIGINT) AS w_q20,
-        |  CAST(CASE WHEN (doc_id * 2654435761) % 1000000007 * 2097152
+        |  CAST(CASE WHEN (doc_id % 1000000007) * 2654435761
+        |            % 1000000007 * 2097152
         |            < least(score // nfeat, 4194304) * 1000000007
         |       THEN 1 ELSE 0 END AS BIGINT) AS kept
         |FROM sc ORDER BY doc_id""".stripMargin
@@ -1010,7 +1013,8 @@ object PipelineQueries {
         .select(col("doc_id"), col("nfeat"), col("score"),
           least(expr("score div nfeat"), lit(4194304L)).cast("long")
             .as("w_q20"),
-          expr("""CAST(CASE WHEN (doc_id * 2654435761) % 1000000007
+          expr("""CAST(CASE WHEN (doc_id % 1000000007) * 2654435761
+                 |          % 1000000007
                  |          * 2097152 < least(score div nfeat, 4194304)
                  |          * 1000000007
                  |     THEN 1 ELSE 0 END AS BIGINT)""".stripMargin)
