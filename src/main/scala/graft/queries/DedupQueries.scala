@@ -260,6 +260,21 @@ object DedupQueries {
 
   private val dbl = (c: org.apache.spark.sql.Column) => c.cast("double")
 
+  /** Join strategy for CORPUS-SCALE build sides (the r11 1000x sweep
+    * finding): a shuffled hash join pins the whole build partition in an
+    * in-memory map, so a build side that grows with the corpus OOMs once
+    * corpus/partitions outgrows executor memory (q126's covered-position
+    * anti join died at "not enough memory to build hash map", q141's
+    * wide shingle-set verify joins took the JVM down) — while sort-merge
+    * spills to disk and survives any size. Below 2^18 docs (every gate
+    * SF and the 10x replica) shuffle_hash keeps its measured win over
+    * SMJ's sorts; above it the only safe plan is merge. Hints never
+    * change output, so the gate is untouched; the 100x/1000x replicas
+    * exercise the merge path. */
+  private def bigJoin(s: org.apache.spark.sql.SparkSession,
+      d: String): String =
+    if (docCount(s, d) <= 262144L) "shuffle_hash" else "merge"
+
   val queries: Seq[Q] = Seq(
     // Exact dedup via content digest: representative = min doc_id per
     // digest; groups listed with their sizes.
@@ -1389,12 +1404,14 @@ object DedupQueries {
         .filter(col("df") >= 2).select("g")
       // every join below keys on computed/exploded SF-scaled sides — the
       // broadcast estimator can't be trusted there (doctrine), so each is
-      // pinned to a shuffled hash join
-      val cov = sh.join(dfd.hint("shuffle_hash"), "g")
+      // pinned: shuffled hash below 2^18 docs, sort-merge above (the
+      // covered-position anti-join build is corpus-scale and OOM'd the
+      // hash map at the 1000x replica — see bigJoin)
+      val cov = sh.join(dfd.hint(bigJoin(s, d)), "g")
         .select(col("doc_id"),
           explode(sequence(col("start"), col("start") + 4)).as("idx"))
         .distinct()
-      val kept = tok.join(cov.hint("shuffle_hash"),
+      val kept = tok.join(cov.hint(bigJoin(s, d)),
         Seq("doc_id", "idx"), "left_anti")
       val base = tok.groupBy("doc_id")
         .agg(count(lit(1)).cast("long").as("n_tokens"))
@@ -1403,7 +1420,7 @@ object DedupQueries {
           md5(array_join(transform(
             array_sort(collect_list(struct(col("idx"), col("w")))),
             p => p("w")), " ")).as("clean_md5"))
-      base.join(k.hint("shuffle_hash"), Seq("doc_id"), "left")
+      base.join(k.hint(bigJoin(s, d)), Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_kept"), lit(0L)).as("n_kept"),
           coalesce(col("clean_md5"), md5(lit(""))).as("clean_md5"))
@@ -1657,7 +1674,7 @@ object DedupQueries {
       val toks = sets.select(col("doc_id"), col("m"), explode(col("s")).as("h"))
       val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
       val byDoc = Window.partitionBy("doc_id").orderBy("df", "h")
-      val ranked = toks.join(dfreq.hint("shuffle_hash"), "h")
+      val ranked = toks.join(dfreq.hint(bigJoin(s, d)), "h")
         .withColumn("rn", row_number().over(byDoc))
       val prefix = ranked
         .filter(col("rn") <= col("m") - expr("(m + 1) div 2") + 1)
@@ -1670,7 +1687,7 @@ object DedupQueries {
           sum(when(col("__rk") > 256, 1L).otherwise(0L)).as("dropped_rows"))
         .filter(col("__rk") <= 256).drop("__rk")
       val cand = capped.as("a")
-        .join(capped.as("b").hint("shuffle_hash"),
+        .join(capped.as("b").hint(bigJoin(s, d)),
           col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id")
             && lit(2) * col("a.m") >= col("b.m")
             && lit(2) * col("b.m") >= col("a.m")
@@ -1681,9 +1698,9 @@ object DedupQueries {
         .distinct()
       val verify = cand
         .join(sets.select(col("doc_id").as("id_a"), col("s").as("sa"),
-          col("m").as("ma")).hint("shuffle_hash"), "id_a")
+          col("m").as("ma")).hint(bigJoin(s, d)), "id_a")
         .join(sets.select(col("doc_id").as("id_b"), col("s").as("sb"),
-          col("m").as("mb")).hint("shuffle_hash"), "id_b")
+          col("m").as("mb")).hint(bigJoin(s, d)), "id_b")
         .select(col("id_a"), col("id_b"),
           size(array_intersect(col("sa"), col("sb"))).cast("long")
             .as("inter"),
