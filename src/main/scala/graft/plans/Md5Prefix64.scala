@@ -135,7 +135,10 @@ object GraftExtensions {
         MinShingleMd5Hex(children(0), children(1)): Expression),
     (new FunctionIdentifier("cdc_cuts"),
       new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
-      (children: Seq[Expression]) => CdcCuts(children.head): Expression))
+      (children: Seq[Expression]) => CdcCuts(children.head): Expression),
+    (new FunctionIdentifier("bigram_sq_sum"),
+      new ExpressionInfo(classOf[BigramSqSum].getName, "bigram_sq_sum"),
+      (children: Seq[Expression]) => BigramSqSum(children.head): Expression))
 
   /** Imperative fallback: if `getOrCreate` returned a session built without
     * `spark.sql.extensions=graft.plans.GraftExtensions` (e.g. a harness

@@ -1466,7 +1466,152 @@ object EventQueries {
         |  CAST(count(*) AS BIGINT) AS n_users,
         |  CAST(sum(n) AS BIGINT) AS n_events
         |FROM p GROUP BY 1 ORDER BY decile""".stripMargin
-    ) { (s, d) => simpsonDiversityCore(ev(s, d)) }
+    ) { (s, d) => simpsonDiversityCore(ev(s, d)) },
+
+    // BURSTINESS AUDIT — scrapers and incident storms arrive in bursts;
+    // organic traffic is ~Poisson. Per (user, event_type): the Fano
+    // factor (variance/mean) of HOURLY event counts over that stream's
+    // own active span (zero hours included via the span length — the
+    // all-in-one-hour bot and the steady human separate cleanly;
+    // Poisson ⇒ Fano ≈ 1). Integer-exact: with hh = span hours,
+    // n = Σc, ss = Σc², Fano·1e6 = (hh·ss − n²)·1e6 / (n·hh), and
+    // Cauchy–Schwarz over the hh hour slots gives hh·ss ≥ n², so every
+    // operand is non-negative and Spark's truncating div == DuckDB's
+    // flooring //. The ppm runs as base-100 staged long division (q229
+    // pattern): no intermediate exceeds 100·n·hh, so the envelope is
+    // n·hh ≤ 9.2e16 per user-type stream (e.g. 1e10 events over 1e4
+    // hours) — never the corpus. Scale shape: one corpus exchange into
+    // (user, type, hour) counts with map-side collapse, then
+    // user-scale and bounded rollups; output is |types| × ~10 buckets.
+    Q(
+      "q242_burstiness",
+      """WITH hc AS (
+        |  SELECT user_id, event_type, epoch_us(ts) // 3600000000 AS hr,
+        |         count(*) AS c
+        |  FROM events GROUP BY 1, 2, 3),
+        |u AS (
+        |  SELECT user_id, event_type, max(hr) - min(hr) + 1 AS hh,
+        |    sum(c) AS n, sum(c * c) AS ss
+        |  FROM hc GROUP BY 1, 2),
+        |f AS (SELECT event_type, n, hh * ss - n * n AS nn, n * hh AS dd
+        |      FROM u),
+        |s1 AS (SELECT event_type, n, nn // dd AS q1, nn % dd AS r1, dd
+        |       FROM f),
+        |s2 AS (SELECT event_type, n, q1, (r1 * 100) // dd AS q2,
+        |         (r1 * 100) % dd AS r2, dd FROM s1),
+        |s3 AS (SELECT event_type, n, q1, q2, (r2 * 100) // dd AS q3,
+        |         (r2 * 100) % dd AS r3, dd FROM s2),
+        |fano AS (SELECT event_type, n,
+        |    q1 * 1000000 + q2 * 10000 + q3 * 100 + (r3 * 100) // dd AS fp
+        |  FROM s3)
+        |SELECT event_type, CAST(fp // 50000 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_user_types,
+        |  CAST(sum(n) AS BIGINT) AS n_events,
+        |  CAST(sum(fp) AS BIGINT) AS fano_sum
+        |FROM fano GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+    ) { (s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), col("event_type"),
+          expr("unix_micros(ts) div 3600000000").as("hr"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy("user_id", "event_type")
+        .agg((max("hr") - min("hr") + lit(1L)).as("hh"),
+          sum("c").as("n"), sum(col("c") * col("c")).as("ss"))
+        .selectExpr("event_type", "n", "hh * ss - n * n as nn",
+          "n * hh as dd")
+        .selectExpr("event_type", "n", "nn div dd as q1",
+          "pmod(nn, dd) as r1", "dd")
+        .selectExpr("event_type", "n", "q1", "(r1 * 100) div dd as q2",
+          "pmod(r1 * 100, dd) as r2", "dd")
+        .selectExpr("event_type", "n", "q1", "q2",
+          "(r2 * 100) div dd as q3", "pmod(r2 * 100, dd) as r3", "dd")
+        .selectExpr("event_type", "n",
+          "q1 * 1000000 + q2 * 10000 + q3 * 100 + (r3 * 100) div dd as fp")
+        .groupBy(col("event_type"),
+          expr("fp div 50000").cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_user_types"),
+          sum("n").cast("long").as("n_events"),
+          sum("fp").cast("long").as("fano_sum"))
+        .orderBy("event_type", "bucket")
+    },
+
+    // CUSUM CHANGEPOINT — the drift MONITOR behind q221's weekly mix
+    // gauge: for each event type, locate WHERE the daily rate shifted.
+    // Classic CUSUM S_t = Σ_{i≤t}(c_i − mean) maximized over t; kept
+    // integer-exact by scaling through the day count: S_t·D = D·P_t −
+    // t·T (P = prefix sum, T = total, D = span days — gap days count
+    // as zeros via the day spine, q140 pattern). The peak |S·D| day is
+    // the changepoint; ties break to the earliest day; direction is
+    // the sign at the peak (rate fell then rose ⇒ +). cusum_ppm =
+    // ⌊1e6·|S·D| / (D·T)⌋ ≤ 1e6 since |S·D| ≤ D·T; operands stay under
+    // 1e6·D·T ≤ 9.2e18 through T ≤ 2.5e8 events/type at a year span.
+    // Scale shape: ONE corpus exchange into (type, day) counts with
+    // map-side collapse (the spine join, windows, and argmax all run
+    // on the ≤ |types|·|days| table, checkpointed once for its three
+    // consumers — q203 rule).
+    Q(
+      "q243_cusum_changepoint",
+      """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
+        |           FROM events),
+        |dc0 AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2),
+        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc0),
+        |spine AS (
+        |  SELECT t.event_type, g.day
+        |  FROM (SELECT DISTINCT event_type FROM dc0) t
+        |  CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) g),
+        |dc AS (
+        |  SELECT s.event_type, s.day, CAST(coalesce(dc0.c, 0) AS BIGINT) AS c
+        |  FROM spine s LEFT JOIN dc0
+        |    ON dc0.event_type = s.event_type AND dc0.day = s.day),
+        |tot AS (SELECT event_type, CAST(sum(c) AS BIGINT) AS tt,
+        |          CAST(count(*) AS BIGINT) AS dd FROM dc GROUP BY 1),
+        |pre AS (SELECT dc.event_type,
+        |    row_number() OVER (PARTITION BY dc.event_type
+        |                       ORDER BY dc.day) AS t,
+        |    CAST(sum(dc.c) OVER (PARTITION BY dc.event_type
+        |                         ORDER BY dc.day) AS BIGINT) AS p,
+        |    tot.tt, tot.dd
+        |  FROM dc JOIN tot USING (event_type)),
+        |sc AS (SELECT event_type, t, tt, dd, dd * p - t * tt AS sd
+        |       FROM pre),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY abs(sd) DESC, t) AS r FROM sc)
+        |SELECT event_type, dd AS n_days, tt AS total,
+        |  CAST(t AS BIGINT) AS t_star,
+        |  CAST(CASE WHEN sd >= 0 THEN 1 ELSE -1 END AS BIGINT) AS direction,
+        |  CAST(abs(sd) * 1000000 // (dd * tt) AS BIGINT) AS cusum_ppm
+        |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin
+    ) { (s, d) =>
+      val dc0 = ev(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+        .localCheckpoint(true) // tiny (types × active days); 3 consumers
+      val spine = dc0.select("event_type").distinct()
+        .crossJoin(broadcast(
+          dc0.agg(min("day").as("d0"), max("day").as("d1"))))
+        .select(col("event_type"),
+          explode(sequence(col("d0"), col("d1"))).as("day"))
+      val dc = spine.join(dc0, Seq("event_type", "day"), "left")
+        .select(col("event_type"), col("day"),
+          coalesce(col("c"), lit(0L)).as("c"))
+      val tot = dc.groupBy("event_type")
+        .agg(sum("c").as("tt"), count(lit(1)).as("dd"))
+      val wv = Window.partitionBy("event_type").orderBy("day")
+      val wr = Window.partitionBy("event_type")
+        .orderBy(abs(col("sd")).desc, col("t").asc)
+      dc.withColumn("t", row_number().over(wv).cast("long"))
+        .withColumn("p", sum("c").over(wv))
+        .join(broadcast(tot), "event_type")
+        .withColumn("sd", col("dd") * col("p") - col("t") * col("tt"))
+        .withColumn("r", row_number().over(wr))
+        .filter(col("r") === 1)
+        .select(col("event_type"), col("dd").as("n_days"),
+          col("tt").as("total"), col("t").as("t_star"),
+          when(col("sd") >= 0, 1L).otherwise(-1L).as("direction"),
+          expr("abs(sd) * 1000000 div (dd * tt)").as("cusum_ppm"))
+        .orderBy("event_type")
+    }
   )
 
   /** q231 core over any (user_id, event_type) frame. Factored for

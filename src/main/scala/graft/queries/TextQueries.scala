@@ -1527,7 +1527,122 @@ object TextQueries {
         |  CAST(n_docs AS BIGINT) AS n_docs,
         |  CAST(chars AS BIGINT) AS chars
         |FROM d ORDER BY cluster_size""".stripMargin
-    ) { (s, d) => prefixClustersCore(docs(s, d)) }
+    ) { (s, d) => prefixClustersCore(docs(s, d)) },
+
+    // LEXICAL COMPLEXITY PROFILE — the reading-level proxy a curriculum
+    // mixer (q212) wants per source: syllables-per-word (vowel-group
+    // runs, the classic Flesch numerator) and chars-per-word, as exact
+    // ppm ratios, with docs histogrammed into 0.25-syllable grade
+    // bands. Per-row work is two codegen'd kernels (split + one regexp
+    // pass); the rollup is one corpus exchange into |sources|×|grades|
+    // rows with map-side collapse. The per-source ratios run as
+    // base-100 staged long division (q229 pattern) so no intermediate
+    // forms sum·1e6 — a 10 TB source (~3e12 vowel groups > 9.2e12/1e6)
+    // would silently wrap the direct product; staged keeps every
+    // operand under 100·sum(words). DuckDB's HUGEINT direct product
+    // equals the staged floor exactly, so the gate stays hash-exact.
+    Q(
+      "q244_lexical_complexity",
+      """WITH d AS (
+        |  SELECT source,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+        |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+        |      AS BIGINT) AS y,
+        |    CAST(length(text) AS BIGINT) AS ch
+        |  FROM documents),
+        |g AS (SELECT source, (y * 1000000 // w) // 250000 AS grade,
+        |        w, y, ch FROM d)
+        |SELECT source, CAST(grade AS BIGINT) AS grade,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS n_words,
+        |  CAST(sum(y) AS BIGINT) AS n_vgroups,
+        |  CAST(sum(y) * 1000000 // sum(w) AS BIGINT) AS spw_ppm,
+        |  CAST(sum(ch) * 1000000 // sum(w) AS BIGINT) AS cpw_ppm
+        |FROM g GROUP BY 1, 2 ORDER BY source, grade""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .select(col("source"),
+          size(split(col("text"), " ")).cast("long").as("w"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("y"),
+          length(col("text")).cast("long").as("ch"))
+        // per-doc grade: y·1e6 ≤ 9.2e12 needs y ≤ 9.2e6 vowel groups
+        // per DOC — a per-row bound, direct multiply is safe here
+        .withColumn("grade", expr("(y * 1000000 div w) div 250000"))
+        .groupBy("source", "grade")
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("w").as("n_words"), sum("y").as("n_vgroups"),
+          sum("ch").as("n_chars"))
+        // corpus-mass ratios: staged base-100 division, both lanes
+        .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
+          "n_chars",
+          "n_vgroups div n_words as ya1",
+          "pmod(n_vgroups, n_words) as yr1",
+          "n_chars div n_words as ca1", "pmod(n_chars, n_words) as cr1")
+        .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
+          "ya1", "ca1",
+          "(yr1 * 100) div n_words as ya2",
+          "pmod(yr1 * 100, n_words) as yr2",
+          "(cr1 * 100) div n_words as ca2",
+          "pmod(cr1 * 100, n_words) as cr2")
+        .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
+          "ya1", "ca1", "ya2", "ca2",
+          "(yr2 * 100) div n_words as ya3",
+          "pmod(yr2 * 100, n_words) as yr3",
+          "(cr2 * 100) div n_words as ca3",
+          "pmod(cr2 * 100, n_words) as cr3")
+        .selectExpr("source", "cast(grade as long) as grade", "n_docs",
+          "cast(n_words as long) as n_words",
+          "cast(n_vgroups as long) as n_vgroups",
+          "cast(ya1 * 1000000 + ya2 * 10000 + ya3 * 100 +" +
+            " (yr3 * 100) div n_words as long) as spw_ppm",
+          "cast(ca1 * 1000000 + ca2 * 10000 + ca3 * 100 +" +
+            " (cr3 * 100) div n_words as long) as cpw_ppm")
+        .orderBy("source", "grade")
+    },
+
+    // CHAR-BIGRAM REPETITIVENESS — template spam and boilerplate reuse
+    // the same character patterns; organic prose spreads across many.
+    // Per doc: Gini–Simpson over character bigrams (rational — q231's
+    // no-libm rule), reported as rep_ppm = Σf²·1e6/n² (HIGH = repetitive),
+    // histogrammed per source in 8000-ppm bands. The Σf² runs in ONE
+    // codegen'd per-row kernel (plans/BigramSqSum) — the SQL-shaped
+    // explode would shuffle the corpus BY CHARACTER (an exchange the
+    // size of the corpus itself at 100 TB; the oracle keeps that shape
+    // because DuckDB has no custom kernels and its gate tables are
+    // small). Integer envelope: n²·1e6 exact while n ≤ 3e6 chars per
+    // doc — a per-row bound, never the corpus.
+    Q(
+      "q245_char_diversity",
+      """WITH bg AS (
+        |  SELECT doc_id, source, unnest(list_transform(
+        |    range(1, length(text)), i -> substr(text, i, 2))) AS b
+        |  FROM documents WHERE length(text) >= 2),
+        |f AS (SELECT doc_id, source, b, CAST(count(*) AS BIGINT) AS c
+        |      FROM bg GROUP BY 1, 2, 3),
+        |d AS (SELECT doc_id, source, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(sum(c * c) AS BIGINT) AS ssq
+        |      FROM f GROUP BY 1, 2),
+        |r AS (SELECT source, n, (ssq * 1000000) // (n * n) AS rep
+        |      FROM d)
+        |SELECT source, CAST(rep // 8000 AS BIGINT) AS bucket,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS n_bigrams,
+        |  CAST(sum(rep) AS BIGINT) AS rep_sum
+        |FROM r GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
+    ) { (s, d) =>
+      docs(s, d)
+        .filter(length(col("text")) >= 2)
+        .select(col("source"),
+          (length(col("text")).cast("long") - 1L).as("n"),
+          call_function("bigram_sq_sum", col("text")).as("ssq"))
+        .withColumn("rep", expr("(ssq * 1000000) div (n * n)"))
+        .groupBy(col("source"), expr("rep div 8000").cast("long").as("bucket"))
+        .agg(count(lit(1)).cast("long").as("n_docs"),
+          sum("n").cast("long").as("n_bigrams"),
+          sum("rep").cast("long").as("rep_sum"))
+        .orderBy("source", "bucket")
+    }
   )
 
   /** q235 core over any (doc_id, text, n_chars) frame. Factored for
