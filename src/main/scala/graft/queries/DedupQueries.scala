@@ -3617,6 +3617,264 @@ object DedupQueries {
         graft.functions.GraphOps.connectedComponents(e2, "id_a",
           "id_b"),
         dq)
+    },
+
+    // KMV CROSS-SOURCE OVERLAP — the bottom-k (KMV / theta) sketch IS
+    // the 100 TB way to plan dedup across crawls: per source, the 128
+    // smallest distinct 32-bit shingle hashes form a fixed-size sketch;
+    // merging two sketches estimates Jaccard as |both ∩ bottom-128 of
+    // the union| / 128 — no cross-source join over corpus-scale sets.
+    // This query runs the estimator AND the exact hashed-shingle
+    // Jaccard side by side (err_ppm), calibrating the sketch before a
+    // deployment trusts it where the exact path is unaffordable.
+    // Scale shape: ONE distinct exchange of (source, h) — checkpointed
+    // DISK_ONLY for its two consumers (per-source sketch+count; per-h
+    // source sets) per the q210 rule; the exact intersection is a
+    // bucket-collect (collect_set bounded by |sources|, pairs via
+    // combinations2 — never a corpus self-join); sketches and the 190
+    // pair rows ride a broadcast self-cross of the |sources|-row
+    // aggregate. Integer envelope: intersections are counts of DISTINCT
+    // 32-bit hashes, so i ≤ 2^32 and i·1e6 ≤ 4.3e15 — the hash width
+    // bounds the arithmetic at ANY corpus size (at 10^12 shingles the
+    // 32-bit space saturates and both engines measure the same
+    // saturated sets, so the calibration stays exact).
+    Q(
+      "q240_kmv_overlap",
+      """WITH shr AS (
+        |  SELECT source, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS ws
+        |        FROM documents) t),
+        |hv AS (
+        |  SELECT DISTINCT source,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n
+        |       FROM hv GROUP BY 1),
+        |bot AS (
+        |  SELECT source, h FROM (
+        |    SELECT source, h,
+        |      row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        |    FROM hv) t WHERE r <= 128),
+        |pairs AS (SELECT a.source AS src_1, b.source AS src_2,
+        |            a.n AS n_1, b.n AS n_2
+        |          FROM sz a JOIN sz b ON a.source < b.source),
+        |ex AS (
+        |  SELECT a.source AS es1, b.source AS es2,
+        |    CAST(count(*) AS BIGINT) AS i
+        |  FROM hv a JOIN hv b ON a.h = b.h AND a.source < b.source
+        |  GROUP BY 1, 2),
+        |uh AS (
+        |  SELECT p.src_1, p.src_2, t.h,
+        |         max(CASE WHEN t.source = p.src_1 THEN 1 ELSE 0 END) AS ia,
+        |         max(CASE WHEN t.source = p.src_2 THEN 1 ELSE 0 END) AS ib
+        |  FROM pairs p JOIN bot t ON t.source = p.src_1 OR t.source = p.src_2
+        |  GROUP BY 1, 2, 3),
+        |est AS (
+        |  SELECT src_1 AS ts1, src_2 AS ts2, CAST(count(*) AS BIGINT) AS ssz,
+        |         CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+        |           AS BIGINT) AS com
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY src_1, src_2
+        |          ORDER BY h) AS r FROM uh) t
+        |  WHERE r <= 128 GROUP BY 1, 2)
+        |SELECT p.src_1, p.src_2, p.n_1, p.n_2,
+        |  CAST(coalesce(ex.i, 0) AS BIGINT) AS n_inter,
+        |  CAST((coalesce(ex.i, 0) * 1000000)
+        |    // (p.n_1 + p.n_2 - coalesce(ex.i, 0)) AS BIGINT) AS exact_ppm,
+        |  CAST((est.com * 1000000) // est.ssz AS BIGINT) AS est_ppm,
+        |  CAST(abs((est.com * 1000000) // est.ssz
+        |       - (coalesce(ex.i, 0) * 1000000)
+        |         // (p.n_1 + p.n_2 - coalesce(ex.i, 0))) AS BIGINT) AS err_ppm
+        |FROM pairs p
+        |LEFT JOIN ex ON ex.es1 = p.src_1 AND ex.es2 = p.src_2
+        |JOIN est ON est.ts1 = p.src_1 AND est.ts2 = p.src_2
+        |ORDER BY p.src_1, p.src_2""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.{Aggregators, ArrayOps}
+      val hv = docs(s, d)
+        .select(col("source"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+        .select(col("source"),
+          call_function("md5_prefix64", col("sh")).as("h"))
+        .distinct()
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val minK = udaf(new Aggregators.MinKAgg(128),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val agg = hv.groupBy("source")
+        .agg(count(lit(1)).as("n"), minK(col("h")).as("bk"))
+        .localCheckpoint(true) // |sources| rows; aliased twice below
+      val pr = agg.select(col("source").as("src_1"), col("n").as("n_1"),
+          col("bk").as("bk_1"))
+        .crossJoin(broadcast(agg.select(col("source").as("src_2"),
+          col("n").as("n_2"), col("bk").as("bk_2"))))
+        .filter(col("src_1") < col("src_2"))
+      val inter = hv.groupBy("h")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(ArrayOps.combinations2(col("ss"),
+          fields = Seq("src_1", "src_2"))).as("pr"))
+        .groupBy(col("pr.src_1").as("src_1"), col("pr.src_2").as("src_2"))
+        .agg(count(lit(1)).as("i"))
+      val merged = slice(array_sort(array_distinct(
+        concat(col("bk_1"), col("bk_2")))), 1, 128)
+      pr.join(inter, Seq("src_1", "src_2"), "left")
+        .withColumn("i", coalesce(col("i"), lit(0L)))
+        .withColumn("s_top", merged)
+        .withColumn("ssz", size(col("s_top")).cast("long"))
+        .withColumn("com", size(filter(col("s_top"),
+          x => array_contains(col("bk_1"), x) &&
+            array_contains(col("bk_2"), x))).cast("long"))
+        .selectExpr("src_1", "src_2", "n_1", "n_2",
+          "cast(i as long) as n_inter",
+          "(i * 1000000) div (n_1 + n_2 - i) as exact_ppm",
+          "(com * 1000000) div ssz as est_ppm",
+          "abs((com * 1000000) div ssz" +
+            " - (i * 1000000) div (n_1 + n_2 - i)) as err_ppm")
+        .orderBy("src_1", "src_2")
+    },
+
+    // TRIANGLE CENSUS — the clustering structure of the near-dup graph:
+    // a high closure ratio means near-dups arrive as dense families
+    // (template farms — CC groups are cliques and dedup saves a lot); a
+    // low ratio means chains (scrapes-of-scrapes — CC groups overcount
+    // true duplication). Wedges (a<b<c with edges ab, bc) and their
+    // closures over the degree-bounded rpEdges, per label of the wedge
+    // root. Scale shape: edge out-degree is top-32-bounded, so wedges
+    // ≤ 32·|E|; two edge-scale joins (strategy from the corpus size —
+    // the r11 bigJoin rule: shuffled-hash below 2^18 vectors, sort-merge
+    // above, because an edge-scale SHJ build is exactly the q126/q141
+    // OOM landmine), then a per-node rollup BEFORE the label join so
+    // labels attach to |nodes| rows, never |wedges|. Integer envelope:
+    // n_tri·1e6 with wedges ≤ 32·|E| ≤ 1e14 at 100 TB — safe by 1e4.
+    Q(
+      "q241_triangles",
+      s"""WITH e AS ($rpEdgesSql),
+        |w AS (
+        |  SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        |  FROM e e1 JOIN e e2 ON e1.id_b = e2.id_a),
+        |cl AS (
+        |  SELECT w.a,
+        |    CASE WHEN e3.id_a IS NOT NULL THEN 1 ELSE 0 END AS closed
+        |  FROM w LEFT JOIN e e3 ON e3.id_a = w.a AND e3.id_b = w.c),
+        |nd AS (SELECT a, CAST(count(*) AS BIGINT) AS nw,
+        |         CAST(sum(closed) AS BIGINT) AS nt
+        |       FROM cl GROUP BY 1),
+        |lab AS (
+        |  SELECT l.label, CAST(sum(nd.nw) AS BIGINT) AS n_wedges,
+        |    CAST(sum(nd.nt) AS BIGINT) AS n_tri
+        |  FROM nd JOIN embeddings l ON l.vec_id = nd.a
+        |  GROUP BY 1)
+        |SELECT CAST(label AS BIGINT) AS label, n_wedges, n_tri,
+        |  CAST((n_tri * 1000000) // n_wedges AS BIGINT) AS closure_ppm
+        |FROM lab ORDER BY label""".stripMargin
+    ) { (s, d) =>
+      val strat = if (embCount(s, d) <= 262144L) "shuffle_hash"
+        else "merge"
+      val e = rpEdges(s, d) // eager-checkpointed; three consumers here
+      val w = e.select(col("id_a").as("a"), col("id_b").as("b"))
+        .join(e.select(col("id_a").as("b2"), col("id_b").as("c"))
+          .hint(strat), col("b") === col("b2"))
+        .select(col("a"), col("c"))
+      val nd = w
+        .join(e.select(col("id_a").as("a3"), col("id_b").as("c3"))
+          .hint(strat),
+          col("a") === col("a3") && col("c") === col("c3"), "left")
+        .select(col("a"),
+          when(col("a3").isNotNull, 1L).otherwise(0L).as("closed"))
+        .groupBy("a")
+        .agg(count(lit(1)).as("nw"), sum("closed").as("nt"))
+      nd.join(emb(s, d).select(col("vec_id"), col("label")),
+          col("a") === col("vec_id"))
+        .groupBy(col("label").cast("long").as("label"))
+        .agg(sum("nw").cast("long").as("n_wedges"),
+          sum("nt").cast("long").as("n_tri"))
+        .selectExpr("label", "n_wedges", "n_tri",
+          "(n_tri * 1000000) div n_wedges as closure_ppm")
+        .orderBy("label")
+    },
+
+    // MATRYOSHKA TRUNCATION RECALL — can this embedding column be
+    // retrieved at 16 or 32 of its 64 dims? MRL-style deployments
+    // (coarse search on a prefix, refine on the full vector) need the
+    // measured recall@10 of prefix-dim dot ranking vs full-dim truth
+    // BEFORE committing the index layout; randomly-trained columns
+    // score low (this corpus: ~17% at d/4, ~32% at d/2) and that
+    // number IS the audit. Scale shape: 16 fixed probes broadcast
+    // across the corpus (one map-side pass, three dots per row share
+    // the vector load); all three top-10s come from ONE groupBy(qid)
+    // with three MinKAgg gathers (O(k) state, map-side combine — never
+    // a window over corpus-scale partitions, the q215/q238 rule). Rank
+    // key = round(dot·1e4)·(−2^40) + vec_id — integer, tie-exact
+    // cross-engine; 2^40 (not the earlier 2^33) keeps the pmod decode
+    // id-exact through 1.1e12 vectors (replica ids reach ~1e10).
+    Q(
+      "q247_matryoshka_recall",
+      """WITH probes AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id >= 20 AND vec_id < 36),
+        |keyed AS (
+        |  SELECT p.qid, c.vec_id,
+        |    CAST(round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) * (-1099511627776) + c.vec_id AS key64,
+        |    CAST(round(list_sum(list_transform(range(1, 33),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) * (-1099511627776) + c.vec_id AS key32,
+        |    CAST(round(list_sum(list_transform(range(1, 17),
+        |      i -> CAST(c.embedding[i] AS DOUBLE) * CAST(p.qv[i] AS DOUBLE)))
+        |      * 10000) AS BIGINT) * (-1099511627776) + c.vec_id AS key16
+        |  FROM embeddings c CROSS JOIN probes p
+        |  WHERE c.vec_id <> p.qid),
+        |rk AS (
+        |  SELECT qid,
+        |    row_number() OVER (PARTITION BY qid ORDER BY key64) AS r64,
+        |    row_number() OVER (PARTITION BY qid ORDER BY key32) AS r32,
+        |    row_number() OVER (PARTITION BY qid ORDER BY key16) AS r16
+        |  FROM keyed),
+        |hits AS (
+        |  SELECT qid,
+        |    CAST(sum(CASE WHEN r32 <= 10 AND r64 <= 10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h32,
+        |    CAST(sum(CASE WHEN r16 <= 10 AND r64 <= 10 THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS h16
+        |  FROM rk GROUP BY 1)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(dims AS BIGINT) AS dims,
+        |  hits, CAST(hits * 100000 AS BIGINT) AS recall_ppm
+        |FROM (SELECT qid, unnest([16, 32]) AS dims,
+        |             unnest([h16, h32]) AS hits FROM hits) t
+        |ORDER BY qid, dims""".stripMargin
+    ) { (s, d) =>
+      import graft.functions.Aggregators
+      val probes = broadcast(emb(s, d)
+        .filter(col("vec_id") >= 20 && col("vec_id") < 36)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+      val mNeg = -1099511627776L // -2^40
+      def key(n: Int): org.apache.spark.sql.Column =
+        expr(s"cast(round(dot_product(slice(embedding, 1, $n)," +
+          s" slice(qv, 1, $n)) * 10000) as bigint)") * mNeg + col("vec_id")
+      val minK10 = udaf(new Aggregators.MinKAgg(10),
+        org.apache.spark.sql.Encoders.scalaLong)
+      def ids(c: org.apache.spark.sql.Column) =
+        transform(c, k => pmod(k, lit(-mNeg)))
+      emb(s, d).crossJoin(probes)
+        .filter(col("vec_id") =!= col("qid"))
+        .select(col("qid"), key(64).as("key64"), key(32).as("key32"),
+          key(16).as("key16"))
+        .groupBy("qid")
+        .agg(minK10(col("key64")).as("bf"), minK10(col("key32")).as("t32"),
+          minK10(col("key16")).as("t16"))
+        .select(col("qid"),
+          size(array_intersect(ids(col("bf")), ids(col("t32"))))
+            .cast("long").as("h32"),
+          size(array_intersect(ids(col("bf")), ids(col("t16"))))
+            .cast("long").as("h16"))
+        .selectExpr("qid", "stack(2, 16L, h16, 32L, h32) as (dims, hits)")
+        .select(col("qid"), col("dims"), col("hits"),
+          (col("hits") * 100000L).as("recall_ppm"))
+        .orderBy("qid", "dims")
     }
   )
 

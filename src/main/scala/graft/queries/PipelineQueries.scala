@@ -2244,6 +2244,112 @@ object PipelineQueries {
         |ORDER BY n.source""".stripMargin
     ) { (s, d) =>
       madOutliersCore(docs(s, d).select(col("source"), col("n_chars")))
+    },
+
+    // IN-BATCH DUP COLLISION AUDIT — contrastive training treats every
+    // other in-batch example as a negative; a near-duplicate landing in
+    // the same batch is a FALSE negative that poisons the loss. For the
+    // hash-sharded batch assignment (the q145 shuffle discipline) at
+    // batch sizes 64/128/256: how many near-identical pairs (full 4/4
+    // minhash-signature agreement — the q52 signature, no CC needed)
+    // collide into one batch, as a fraction of all near-identical pairs
+    // (expected ≈ 1/n_batches for a well-mixed shard key; a systematic
+    // excess means the batch key correlates with content). Scale shape:
+    // signatures are ONE corpus exchange (map-side min-combine),
+    // checkpointed DISK_ONLY for three consumers; batch assignment is a
+    // pure map stage (id-hash mod, no global sort); both pair counts
+    // come from m(m−1)/2 over group sizes — the pairs themselves are
+    // never materialized. Envelope: in_batch·1e6 exact while colliding
+    // pairs ≤ 9.2e12 — bounded by batch size, not corpus (a batch of
+    // 256 holds ≤ 32640 pairs).
+    Q(
+      "q246_batch_collision",
+      """WITH shr AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents) t),
+        |hv AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |sig AS (
+        |  SELECT doc_id,
+        |    min((1000003 * h + 12345) % 4294967291) AS k0,
+        |    min((2000029 * h + 54321) % 4294967291) AS k1,
+        |    min((3000073 * h + 98765) % 4294967291) AS k2,
+        |    min((4000037 * h + 13579) % 4294967291) AS k3
+        |  FROM hv GROUP BY doc_id),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS c FROM sig),
+        |bs AS (SELECT unnest([64, 128, 256]) AS b),
+        |asg AS (
+        |  SELECT s.doc_id, s.k0, s.k1, s.k2, s.k3, bs.b,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('bt|' || CAST(s.doc_id AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (8 - j))) AS BIGINT)
+        |      % ((n.c + bs.b - 1) // bs.b) AS batch
+        |  FROM sig s, n, bs),
+        |gt AS (SELECT k0, k1, k2, k3, CAST(count(*) AS BIGINT) AS m
+        |       FROM sig GROUP BY 1, 2, 3, 4),
+        |tot AS (SELECT CAST(sum(m * (m - 1) // 2) AS BIGINT) AS dup_pairs
+        |        FROM gt),
+        |ib AS (SELECT b, batch, k0, k1, k2, k3,
+        |         CAST(count(*) AS BIGINT) AS m
+        |       FROM asg GROUP BY 1, 2, 3, 4, 5, 6),
+        |coll AS (
+        |  SELECT b, CAST(sum(m * (m - 1) // 2) AS BIGINT) AS in_batch,
+        |    CAST(count(DISTINCT CASE WHEN m >= 2 THEN batch END) AS BIGINT)
+        |      AS batches_hit
+        |  FROM ib GROUP BY 1)
+        |SELECT CAST(coll.b AS BIGINT) AS batch_size,
+        |  CAST((SELECT (c + coll.b - 1) // coll.b FROM n) AS BIGINT)
+        |    AS n_batches,
+        |  tot.dup_pairs, coll.in_batch, coll.batches_hit,
+        |  CAST(CASE WHEN tot.dup_pairs = 0 THEN 0
+        |    ELSE (coll.in_batch * 1000000) // tot.dup_pairs END AS BIGINT)
+        |    AS coll_ppm
+        |FROM coll, tot ORDER BY batch_size""".stripMargin
+    ) { (s, d) =>
+      val sig = docs(s, d)
+        .select(col("doc_id"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+        .select(col("doc_id"),
+          call_function("md5_prefix64", col("sh")).as("h"))
+        .groupBy("doc_id")
+        .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
+          min((col("h") * 2000029L + 54321L) % 4294967291L).as("k1"),
+          min((col("h") * 3000073L + 98765L) % 4294967291L).as("k2"),
+          min((col("h") * 4000037L + 13579L) % 4294967291L).as("k3"))
+        .localCheckpoint(true,
+          org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val n = sig.count()
+      val asg = sig
+        .withColumn("hb", call_function("md5_prefix64",
+          concat(lit("bt|"), col("doc_id").cast("string"))))
+        .withColumn("b", explode(typedLit(Seq(64L, 128L, 256L))))
+        .withColumn("batch", expr(s"hb % ((${n}L + b - 1) div b)"))
+      val totPairs = sig.groupBy("k0", "k1", "k2", "k3")
+        .agg(count(lit(1)).as("m"))
+        .agg(sum(expr("m * (m - 1) div 2")).as("dup_pairs"))
+      asg.groupBy("b", "batch", "k0", "k1", "k2", "k3")
+        .agg(count(lit(1)).as("m"))
+        .groupBy("b")
+        .agg(sum(expr("m * (m - 1) div 2")).as("in_batch"),
+          countDistinct(when(col("m") >= 2, col("batch")))
+            .as("batches_hit"))
+        .crossJoin(broadcast(totPairs))
+        .selectExpr("cast(b as long) as batch_size",
+          s"(${n}L + b - 1) div b as n_batches",
+          "cast(dup_pairs as long) as dup_pairs",
+          "cast(in_batch as long) as in_batch",
+          "cast(batches_hit as long) as batches_hit",
+          "case when dup_pairs = 0 then 0L" +
+            " else (in_batch * 1000000) div dup_pairs end as coll_ppm")
+        .orderBy("batch_size")
     }
   )
 
