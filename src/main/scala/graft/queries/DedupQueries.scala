@@ -3691,51 +3691,7 @@ object DedupQueries {
         |LEFT JOIN ex ON ex.es1 = p.src_1 AND ex.es2 = p.src_2
         |JOIN est ON est.ts1 = p.src_1 AND est.ts2 = p.src_2
         |ORDER BY p.src_1, p.src_2""".stripMargin
-    ) { (s, d) =>
-      import graft.functions.{Aggregators, ArrayOps}
-      val hv = docs(s, d)
-        .select(col("source"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
-            .as("sh"))
-        .select(col("source"),
-          call_function("md5_prefix64", col("sh")).as("h"))
-        .distinct()
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val minK = udaf(new Aggregators.MinKAgg(128),
-        org.apache.spark.sql.Encoders.scalaLong)
-      val agg = hv.groupBy("source")
-        .agg(count(lit(1)).as("n"), minK(col("h")).as("bk"))
-        .localCheckpoint(true) // |sources| rows; aliased twice below
-      val pr = agg.select(col("source").as("src_1"), col("n").as("n_1"),
-          col("bk").as("bk_1"))
-        .crossJoin(broadcast(agg.select(col("source").as("src_2"),
-          col("n").as("n_2"), col("bk").as("bk_2"))))
-        .filter(col("src_1") < col("src_2"))
-      val inter = hv.groupBy("h")
-        .agg(sort_array(collect_set(col("source"))).as("ss"))
-        .filter(size(col("ss")) >= 2)
-        .select(explode(ArrayOps.combinations2(col("ss"),
-          fields = Seq("src_1", "src_2"))).as("pr"))
-        .groupBy(col("pr.src_1").as("src_1"), col("pr.src_2").as("src_2"))
-        .agg(count(lit(1)).as("i"))
-      val merged = slice(array_sort(array_distinct(
-        concat(col("bk_1"), col("bk_2")))), 1, 128)
-      pr.join(inter, Seq("src_1", "src_2"), "left")
-        .withColumn("i", coalesce(col("i"), lit(0L)))
-        .withColumn("s_top", merged)
-        .withColumn("ssz", size(col("s_top")).cast("long"))
-        .withColumn("com", size(filter(col("s_top"),
-          x => array_contains(col("bk_1"), x) &&
-            array_contains(col("bk_2"), x))).cast("long"))
-        .selectExpr("src_1", "src_2", "n_1", "n_2",
-          "cast(i as long) as n_inter",
-          "(i * 1000000) div (n_1 + n_2 - i) as exact_ppm",
-          "(com * 1000000) div ssz as est_ppm",
-          "abs((com * 1000000) div ssz" +
-            " - (i * 1000000) div (n_1 + n_2 - i)) as err_ppm")
-        .orderBy("src_1", "src_2")
-    },
+    ) { (s, d) => kmvOverlapCore(docs(s, d)) },
 
     // TRIANGLE CENSUS — the clustering structure of the near-dup graph:
     // a high closure ratio means near-dups arrive as dense families
@@ -3774,27 +3730,8 @@ object DedupQueries {
     ) { (s, d) =>
       val strat = if (embCount(s, d) <= 262144L) "shuffle_hash"
         else "merge"
-      val e = rpEdges(s, d) // eager-checkpointed; three consumers here
-      val w = e.select(col("id_a").as("a"), col("id_b").as("b"))
-        .join(e.select(col("id_a").as("b2"), col("id_b").as("c"))
-          .hint(strat), col("b") === col("b2"))
-        .select(col("a"), col("c"))
-      val nd = w
-        .join(e.select(col("id_a").as("a3"), col("id_b").as("c3"))
-          .hint(strat),
-          col("a") === col("a3") && col("c") === col("c3"), "left")
-        .select(col("a"),
-          when(col("a3").isNotNull, 1L).otherwise(0L).as("closed"))
-        .groupBy("a")
-        .agg(count(lit(1)).as("nw"), sum("closed").as("nt"))
-      nd.join(emb(s, d).select(col("vec_id"), col("label")),
-          col("a") === col("vec_id"))
-        .groupBy(col("label").cast("long").as("label"))
-        .agg(sum("nw").cast("long").as("n_wedges"),
-          sum("nt").cast("long").as("n_tri"))
-        .selectExpr("label", "n_wedges", "n_tri",
-          "(n_tri * 1000000) div n_wedges as closure_ppm")
-        .orderBy("label")
+      triangleCensusCore(rpEdges(s, d),
+        emb(s, d).select(col("vec_id"), col("label")), strat)
     },
 
     // MATRYOSHKA TRUNCATION RECALL — can this embedding column be
@@ -3846,37 +3783,123 @@ object DedupQueries {
         |FROM (SELECT qid, unnest([16, 32]) AS dims,
         |             unnest([h16, h32]) AS hits FROM hits) t
         |ORDER BY qid, dims""".stripMargin
-    ) { (s, d) =>
-      import graft.functions.Aggregators
-      val probes = broadcast(emb(s, d)
-        .filter(col("vec_id") >= 20 && col("vec_id") < 36)
-        .select(col("vec_id").as("qid"), col("embedding").as("qv")))
-      val mNeg = -1099511627776L // -2^40
-      def key(n: Int): org.apache.spark.sql.Column =
-        expr(s"cast(round(dot_product(slice(embedding, 1, $n)," +
-          s" slice(qv, 1, $n)) * 10000) as bigint)") * mNeg + col("vec_id")
-      val minK10 = udaf(new Aggregators.MinKAgg(10),
-        org.apache.spark.sql.Encoders.scalaLong)
-      def ids(c: org.apache.spark.sql.Column) =
-        transform(c, k => pmod(k, lit(-mNeg)))
-      emb(s, d).crossJoin(probes)
-        .filter(col("vec_id") =!= col("qid"))
-        .select(col("qid"), key(64).as("key64"), key(32).as("key32"),
-          key(16).as("key16"))
-        .groupBy("qid")
-        .agg(minK10(col("key64")).as("bf"), minK10(col("key32")).as("t32"),
-          minK10(col("key16")).as("t16"))
-        .select(col("qid"),
-          size(array_intersect(ids(col("bf")), ids(col("t32"))))
-            .cast("long").as("h32"),
-          size(array_intersect(ids(col("bf")), ids(col("t16"))))
-            .cast("long").as("h16"))
-        .selectExpr("qid", "stack(2, 16L, h16, 32L, h32) as (dims, hits)")
-        .select(col("qid"), col("dims"), col("hits"),
-          (col("hits") * 100000L).as("recall_ppm"))
-        .orderBy("qid", "dims")
-    }
+    ) { (s, d) => matryoshkaRecallCore(emb(s, d)) }
   )
+
+  /** q240 core over any (source, text) frame. Factored for crafted
+    * sketch laws (two textually identical sources estimate AND measure
+    * Jaccard 1e6 with err 0; disjoint-vocabulary sources give 0/0). */
+  private[graft] def kmvOverlapCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.{Aggregators, ArrayOps}
+    val hv = d
+      .select(col("source"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+          .as("sh"))
+      .select(col("source"),
+        call_function("md5_prefix64", col("sh")).as("h"))
+      .distinct()
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val minK = udaf(new Aggregators.MinKAgg(128),
+      org.apache.spark.sql.Encoders.scalaLong)
+    val agg = hv.groupBy("source")
+      .agg(count(lit(1)).as("n"), minK(col("h")).as("bk"))
+      .localCheckpoint(true) // |sources| rows; aliased twice below
+    val pr = agg.select(col("source").as("src_1"), col("n").as("n_1"),
+        col("bk").as("bk_1"))
+      .crossJoin(broadcast(agg.select(col("source").as("src_2"),
+        col("n").as("n_2"), col("bk").as("bk_2"))))
+      .filter(col("src_1") < col("src_2"))
+    val inter = hv.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(ArrayOps.combinations2(col("ss"),
+        fields = Seq("src_1", "src_2"))).as("pr"))
+      .groupBy(col("pr.src_1").as("src_1"), col("pr.src_2").as("src_2"))
+      .agg(count(lit(1)).as("i"))
+    val merged = slice(array_sort(array_distinct(
+      concat(col("bk_1"), col("bk_2")))), 1, 128)
+    pr.join(inter, Seq("src_1", "src_2"), "left")
+      .withColumn("i", coalesce(col("i"), lit(0L)))
+      .withColumn("s_top", merged)
+      .withColumn("ssz", size(col("s_top")).cast("long"))
+      .withColumn("com", size(filter(col("s_top"),
+        x => array_contains(col("bk_1"), x) &&
+          array_contains(col("bk_2"), x))).cast("long"))
+      .selectExpr("src_1", "src_2", "n_1", "n_2",
+        "cast(i as long) as n_inter",
+        "(i * 1000000) div (n_1 + n_2 - i) as exact_ppm",
+        "(com * 1000000) div ssz as est_ppm",
+        "abs((com * 1000000) div ssz" +
+          " - (i * 1000000) div (n_1 + n_2 - i)) as err_ppm")
+      .orderBy("src_1", "src_2")
+  }
+
+  /** q241 core over any unique (id_a < id_b) edge frame plus a
+    * (vec_id, label) node-attribute frame. Factored for crafted
+    * closure laws (a 3-clique closes every wedge: ppm 1e6; a path
+    * closes none: ppm 0). */
+  private[graft] def triangleCensusCore(
+      e: org.apache.spark.sql.DataFrame,
+      labels: org.apache.spark.sql.DataFrame,
+      strat: String): org.apache.spark.sql.DataFrame = {
+    val w = e.select(col("id_a").as("a"), col("id_b").as("b"))
+      .join(e.select(col("id_a").as("b2"), col("id_b").as("c"))
+        .hint(strat), col("b") === col("b2"))
+      .select(col("a"), col("c"))
+    val nd = w
+      .join(e.select(col("id_a").as("a3"), col("id_b").as("c3"))
+        .hint(strat),
+        col("a") === col("a3") && col("c") === col("c3"), "left")
+      .select(col("a"),
+        when(col("a3").isNotNull, 1L).otherwise(0L).as("closed"))
+      .groupBy("a")
+      .agg(count(lit(1)).as("nw"), sum("closed").as("nt"))
+    nd.join(labels, col("a") === col("vec_id"))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(sum("nw").cast("long").as("n_wedges"),
+        sum("nt").cast("long").as("n_tri"))
+      .selectExpr("label", "n_wedges", "n_tri",
+        "(n_tri * 1000000) div n_wedges as closure_ppm")
+      .orderBy("label")
+  }
+
+  /** q247 core over any (vec_id, embedding) frame; probes are the fixed
+    * id range [20, 36). Factored for crafted truncation laws (vectors
+    * whose mass lives entirely in the first 16 dims recall 1e6 at both
+    * truncations; vectors orthogonal on the prefix recall ~0). */
+  private[graft] def matryoshkaRecallCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Aggregators
+    val probes = broadcast(e
+      .filter(col("vec_id") >= 20 && col("vec_id") < 36)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv")))
+    val mNeg = -1099511627776L // -2^40
+    def key(n: Int): org.apache.spark.sql.Column =
+      expr(s"cast(round(dot_product(slice(embedding, 1, $n)," +
+        s" slice(qv, 1, $n)) * 10000) as bigint)") * mNeg + col("vec_id")
+    val minK10 = udaf(new Aggregators.MinKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def ids(c: org.apache.spark.sql.Column) =
+      transform(c, k => pmod(k, lit(-mNeg)))
+    e.crossJoin(probes)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), key(64).as("key64"), key(32).as("key32"),
+        key(16).as("key16"))
+      .groupBy("qid")
+      .agg(minK10(col("key64")).as("bf"), minK10(col("key32")).as("t32"),
+        minK10(col("key16")).as("t16"))
+      .select(col("qid"),
+        size(array_intersect(ids(col("bf")), ids(col("t32"))))
+          .cast("long").as("h32"),
+        size(array_intersect(ids(col("bf")), ids(col("t16"))))
+          .cast("long").as("h16"))
+      .selectExpr("qid", "stack(2, 16L, h16, 32L, h32) as (dims, hits)")
+      .select(col("qid"), col("dims"), col("hits"),
+        (col("hits") * 100000L).as("recall_ppm"))
+      .orderBy("qid", "dims")
+  }
 
   /** Canonical map (doc_id → canonical id) under q223's rule from an
     * (id, lbl) group frame and a (doc_id, n_chars) quality table. */

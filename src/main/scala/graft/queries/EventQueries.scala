@@ -1509,31 +1509,7 @@ object EventQueries {
         |  CAST(sum(n) AS BIGINT) AS n_events,
         |  CAST(sum(fp) AS BIGINT) AS fano_sum
         |FROM fano GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
-    ) { (s, d) =>
-      ev(s, d)
-        .groupBy(col("user_id"), col("event_type"),
-          expr("unix_micros(ts) div 3600000000").as("hr"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy("user_id", "event_type")
-        .agg((max("hr") - min("hr") + lit(1L)).as("hh"),
-          sum("c").as("n"), sum(col("c") * col("c")).as("ss"))
-        .selectExpr("event_type", "n", "hh * ss - n * n as nn",
-          "n * hh as dd")
-        .selectExpr("event_type", "n", "nn div dd as q1",
-          "pmod(nn, dd) as r1", "dd")
-        .selectExpr("event_type", "n", "q1", "(r1 * 100) div dd as q2",
-          "pmod(r1 * 100, dd) as r2", "dd")
-        .selectExpr("event_type", "n", "q1", "q2",
-          "(r2 * 100) div dd as q3", "pmod(r2 * 100, dd) as r3", "dd")
-        .selectExpr("event_type", "n",
-          "q1 * 1000000 + q2 * 10000 + q3 * 100 + (r3 * 100) div dd as fp")
-        .groupBy(col("event_type"),
-          expr("fp div 50000").cast("long").as("bucket"))
-        .agg(count(lit(1)).cast("long").as("n_user_types"),
-          sum("n").cast("long").as("n_events"),
-          sum("fp").cast("long").as("fano_sum"))
-        .orderBy("event_type", "bucket")
-    },
+    ) { (s, d) => burstinessCore(ev(s, d)) },
 
     // CUSUM CHANGEPOINT — the drift MONITOR behind q221's weekly mix
     // gauge: for each event type, locate WHERE the daily rate shifted.
@@ -1581,38 +1557,73 @@ object EventQueries {
         |  CAST(CASE WHEN sd >= 0 THEN 1 ELSE -1 END AS BIGINT) AS direction,
         |  CAST(abs(sd) * 1000000 // (dd * tt) AS BIGINT) AS cusum_ppm
         |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin
-    ) { (s, d) =>
-      val dc0 = ev(s, d)
-        .select(col("event_type"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
-        .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
-        .localCheckpoint(true) // tiny (types × active days); 3 consumers
-      val spine = dc0.select("event_type").distinct()
-        .crossJoin(broadcast(
-          dc0.agg(min("day").as("d0"), max("day").as("d1"))))
-        .select(col("event_type"),
-          explode(sequence(col("d0"), col("d1"))).as("day"))
-      val dc = spine.join(dc0, Seq("event_type", "day"), "left")
-        .select(col("event_type"), col("day"),
-          coalesce(col("c"), lit(0L)).as("c"))
-      val tot = dc.groupBy("event_type")
-        .agg(sum("c").as("tt"), count(lit(1)).as("dd"))
-      val wv = Window.partitionBy("event_type").orderBy("day")
-      val wr = Window.partitionBy("event_type")
-        .orderBy(abs(col("sd")).desc, col("t").asc)
-      dc.withColumn("t", row_number().over(wv).cast("long"))
-        .withColumn("p", sum("c").over(wv))
-        .join(broadcast(tot), "event_type")
-        .withColumn("sd", col("dd") * col("p") - col("t") * col("tt"))
-        .withColumn("r", row_number().over(wr))
-        .filter(col("r") === 1)
-        .select(col("event_type"), col("dd").as("n_days"),
-          col("tt").as("total"), col("t").as("t_star"),
-          when(col("sd") >= 0, 1L).otherwise(-1L).as("direction"),
-          expr("abs(sd) * 1000000 div (dd * tt)").as("cusum_ppm"))
-        .orderBy("event_type")
-    }
+    ) { (s, d) => cusumChangepointCore(ev(s, d)) }
   )
+
+  /** q242 core over any (ts, user_id, event_type) frame. Factored for
+    * crafted burst laws (a one-hour burst over an hh-hour span has the
+    * closed-form Fano n·(hh−1)/hh; a one-event-per-hour stream has 0). */
+  private[graft] def burstinessCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    e.groupBy(col("user_id"), col("event_type"),
+        expr("unix_micros(ts) div 3600000000").as("hr"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy("user_id", "event_type")
+      .agg((max("hr") - min("hr") + lit(1L)).as("hh"),
+        sum("c").as("n"), sum(col("c") * col("c")).as("ss"))
+      .selectExpr("event_type", "n", "hh * ss - n * n as nn",
+        "n * hh as dd")
+      .selectExpr("event_type", "n", "nn div dd as q1",
+        "pmod(nn, dd) as r1", "dd")
+      .selectExpr("event_type", "n", "q1", "(r1 * 100) div dd as q2",
+        "pmod(r1 * 100, dd) as r2", "dd")
+      .selectExpr("event_type", "n", "q1", "q2",
+        "(r2 * 100) div dd as q3", "pmod(r2 * 100, dd) as r3", "dd")
+      .selectExpr("event_type", "n",
+        "q1 * 1000000 + q2 * 10000 + q3 * 100 + (r3 * 100) div dd as fp")
+      .groupBy(col("event_type"),
+        expr("fp div 50000").cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_user_types"),
+        sum("n").cast("long").as("n_events"),
+        sum("fp").cast("long").as("fano_sum"))
+      .orderBy("event_type", "bucket")
+
+  /** q243 core over any (ts, event_type) frame. Factored for crafted
+    * changepoint laws (a constant daily rate has S_t ≡ 0 everywhere so
+    * the argmax tie-breaks to day 1 with ppm 0; a planted step in the
+    * rate peaks |S| exactly at the step day). */
+  private[graft] def cusumChangepointCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val dc0 = e
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // tiny (types × active days); 3 consumers
+    val spine = dc0.select("event_type").distinct()
+      .crossJoin(broadcast(
+        dc0.agg(min("day").as("d0"), max("day").as("d1"))))
+      .select(col("event_type"),
+        explode(sequence(col("d0"), col("d1"))).as("day"))
+    val dc = spine.join(dc0, Seq("event_type", "day"), "left")
+      .select(col("event_type"), col("day"),
+        coalesce(col("c"), lit(0L)).as("c"))
+    val tot = dc.groupBy("event_type")
+      .agg(sum("c").as("tt"), count(lit(1)).as("dd"))
+    val wv = Window.partitionBy("event_type").orderBy("day")
+    val wr = Window.partitionBy("event_type")
+      .orderBy(abs(col("sd")).desc, col("t").asc)
+    dc.withColumn("t", row_number().over(wv).cast("long"))
+      .withColumn("p", sum("c").over(wv))
+      .join(broadcast(tot), "event_type")
+      .withColumn("sd", col("dd") * col("p") - col("t") * col("tt"))
+      .withColumn("r", row_number().over(wr))
+      .filter(col("r") === 1)
+      .select(col("event_type"), col("dd").as("n_days"),
+        col("tt").as("total"), col("t").as("t_star"),
+        when(col("sd") >= 0, 1L).otherwise(-1L).as("direction"),
+        expr("abs(sd) * 1000000 div (dd * tt)").as("cusum_ppm"))
+      .orderBy("event_type")
+  }
 
   /** q231 core over any (user_id, event_type) frame. Factored for
     * crafted diversity laws (single-type user → 0; uniform k-type user

@@ -2312,46 +2312,53 @@ object PipelineQueries {
         |    ELSE (coll.in_batch * 1000000) // tot.dup_pairs END AS BIGINT)
         |    AS coll_ppm
         |FROM coll, tot ORDER BY batch_size""".stripMargin
-    ) { (s, d) =>
-      val sig = docs(s, d)
-        .select(col("doc_id"),
-          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
-            .as("sh"))
-        .select(col("doc_id"),
-          call_function("md5_prefix64", col("sh")).as("h"))
-        .groupBy("doc_id")
-        .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
-          min((col("h") * 2000029L + 54321L) % 4294967291L).as("k1"),
-          min((col("h") * 3000073L + 98765L) % 4294967291L).as("k2"),
-          min((col("h") * 4000037L + 13579L) % 4294967291L).as("k3"))
-        .localCheckpoint(true,
-          org.apache.spark.storage.StorageLevel.DISK_ONLY)
-      val n = sig.count()
-      val asg = sig
-        .withColumn("hb", call_function("md5_prefix64",
-          concat(lit("bt|"), col("doc_id").cast("string"))))
-        .withColumn("b", explode(typedLit(Seq(64L, 128L, 256L))))
-        .withColumn("batch", expr(s"hb % ((${n}L + b - 1) div b)"))
-      val totPairs = sig.groupBy("k0", "k1", "k2", "k3")
-        .agg(count(lit(1)).as("m"))
-        .agg(sum(expr("m * (m - 1) div 2")).as("dup_pairs"))
-      asg.groupBy("b", "batch", "k0", "k1", "k2", "k3")
-        .agg(count(lit(1)).as("m"))
-        .groupBy("b")
-        .agg(sum(expr("m * (m - 1) div 2")).as("in_batch"),
-          countDistinct(when(col("m") >= 2, col("batch")))
-            .as("batches_hit"))
-        .crossJoin(broadcast(totPairs))
-        .selectExpr("cast(b as long) as batch_size",
-          s"(${n}L + b - 1) div b as n_batches",
-          "cast(dup_pairs as long) as dup_pairs",
-          "cast(in_batch as long) as in_batch",
-          "cast(batches_hit as long) as batches_hit",
-          "case when dup_pairs = 0 then 0L" +
-            " else (in_batch * 1000000) div dup_pairs end as coll_ppm")
-        .orderBy("batch_size")
-    }
+    ) { (s, d) => batchCollisionCore(docs(s, d)) }
   )
+
+  /** q246 core over any (doc_id, text) frame. Factored for crafted
+    * collision laws (n copies of one text in a single batch collide all
+    * C(n,2) pairs: coll_ppm 1e6; all-distinct texts have dup_pairs 0
+    * and coll_ppm 0 at every batch size). */
+  private[graft] def batchCollisionCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sig = d
+      .select(col("doc_id"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+          .as("sh"))
+      .select(col("doc_id"),
+        call_function("md5_prefix64", col("sh")).as("h"))
+      .groupBy("doc_id")
+      .agg(min((col("h") * 1000003L + 12345L) % 4294967291L).as("k0"),
+        min((col("h") * 2000029L + 54321L) % 4294967291L).as("k1"),
+        min((col("h") * 3000073L + 98765L) % 4294967291L).as("k2"),
+        min((col("h") * 4000037L + 13579L) % 4294967291L).as("k3"))
+      .localCheckpoint(true,
+        org.apache.spark.storage.StorageLevel.DISK_ONLY)
+    val n = sig.count()
+    val asg = sig
+      .withColumn("hb", call_function("md5_prefix64",
+        concat(lit("bt|"), col("doc_id").cast("string"))))
+      .withColumn("b", explode(typedLit(Seq(64L, 128L, 256L))))
+      .withColumn("batch", expr(s"hb % ((${n}L + b - 1) div b)"))
+    val totPairs = sig.groupBy("k0", "k1", "k2", "k3")
+      .agg(count(lit(1)).as("m"))
+      .agg(sum(expr("m * (m - 1) div 2")).as("dup_pairs"))
+    asg.groupBy("b", "batch", "k0", "k1", "k2", "k3")
+      .agg(count(lit(1)).as("m"))
+      .groupBy("b")
+      .agg(sum(expr("m * (m - 1) div 2")).as("in_batch"),
+        countDistinct(when(col("m") >= 2, col("batch")))
+          .as("batches_hit"))
+      .crossJoin(broadcast(totPairs))
+      .selectExpr("cast(b as long) as batch_size",
+        s"(${n}L + b - 1) div b as n_batches",
+        "cast(dup_pairs as long) as dup_pairs",
+        "cast(in_batch as long) as in_batch",
+        "cast(batches_hit as long) as batches_hit",
+        "case when dup_pairs = 0 then 0L" +
+          " else (in_batch * 1000000) div dup_pairs end as coll_ppm")
+      .orderBy("batch_size")
+  }
 
   /** Lower-median pick off a (source, value, count) histogram: the
     * k-th smallest with k = (n+1) div 2 — integer-exact and identical

@@ -1559,47 +1559,8 @@ object TextQueries {
         |  CAST(sum(y) * 1000000 // sum(w) AS BIGINT) AS spw_ppm,
         |  CAST(sum(ch) * 1000000 // sum(w) AS BIGINT) AS cpw_ppm
         |FROM g GROUP BY 1, 2 ORDER BY source, grade""".stripMargin
-    ) { (s, d) =>
-      docs(s, d)
-        .select(col("source"),
-          size(split(col("text"), " ")).cast("long").as("w"),
-          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
-            .cast("long").as("y"),
-          length(col("text")).cast("long").as("ch"))
-        // per-doc grade: y·1e6 ≤ 9.2e12 needs y ≤ 9.2e6 vowel groups
-        // per DOC — a per-row bound, direct multiply is safe here
-        .withColumn("grade", expr("(y * 1000000 div w) div 250000"))
-        .groupBy("source", "grade")
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("w").as("n_words"), sum("y").as("n_vgroups"),
-          sum("ch").as("n_chars"))
-        // corpus-mass ratios: staged base-100 division, both lanes
-        .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
-          "n_chars",
-          "n_vgroups div n_words as ya1",
-          "pmod(n_vgroups, n_words) as yr1",
-          "n_chars div n_words as ca1", "pmod(n_chars, n_words) as cr1")
-        .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
-          "ya1", "ca1",
-          "(yr1 * 100) div n_words as ya2",
-          "pmod(yr1 * 100, n_words) as yr2",
-          "(cr1 * 100) div n_words as ca2",
-          "pmod(cr1 * 100, n_words) as cr2")
-        .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
-          "ya1", "ca1", "ya2", "ca2",
-          "(yr2 * 100) div n_words as ya3",
-          "pmod(yr2 * 100, n_words) as yr3",
-          "(cr2 * 100) div n_words as ca3",
-          "pmod(cr2 * 100, n_words) as cr3")
-        .selectExpr("source", "cast(grade as long) as grade", "n_docs",
-          "cast(n_words as long) as n_words",
-          "cast(n_vgroups as long) as n_vgroups",
-          "cast(ya1 * 1000000 + ya2 * 10000 + ya3 * 100 +" +
-            " (yr3 * 100) div n_words as long) as spw_ppm",
-          "cast(ca1 * 1000000 + ca2 * 10000 + ca3 * 100 +" +
-            " (cr3 * 100) div n_words as long) as cpw_ppm")
-        .orderBy("source", "grade")
-    },
+    ) { (s, d) => lexicalComplexityCore(docs(s, d)) },
+
 
     // CHAR-BIGRAM REPETITIVENESS — template spam and boilerplate reuse
     // the same character patterns; organic prose spreads across many.
@@ -1630,20 +1591,68 @@ object TextQueries {
         |  CAST(sum(n) AS BIGINT) AS n_bigrams,
         |  CAST(sum(rep) AS BIGINT) AS rep_sum
         |FROM r GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
-    ) { (s, d) =>
-      docs(s, d)
-        .filter(length(col("text")) >= 2)
-        .select(col("source"),
-          (length(col("text")).cast("long") - 1L).as("n"),
-          call_function("bigram_sq_sum", col("text")).as("ssq"))
-        .withColumn("rep", expr("(ssq * 1000000) div (n * n)"))
-        .groupBy(col("source"), expr("rep div 8000").cast("long").as("bucket"))
-        .agg(count(lit(1)).cast("long").as("n_docs"),
-          sum("n").cast("long").as("n_bigrams"),
-          sum("rep").cast("long").as("rep_sum"))
-        .orderBy("source", "bucket")
-    }
+    ) { (s, d) => charDiversityCore(docs(s, d)) }
   )
+
+  /** q244 core over any (source, text) frame. Factored for crafted
+    * complexity laws (a one-word doc of v vowel groups grades at
+    * ⌊v/0.25⌋; all-consonant docs grade 0 with spw_ppm 0). */
+  private[graft] def lexicalComplexityCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("source"),
+        size(split(col("text"), " ")).cast("long").as("w"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast("long").as("y"),
+        length(col("text")).cast("long").as("ch"))
+      // per-doc grade: y·1e6 ≤ 9.2e12 needs y ≤ 9.2e6 vowel groups
+      // per DOC — a per-row bound, direct multiply is safe here
+      .withColumn("grade", expr("(y * 1000000 div w) div 250000"))
+      .groupBy("source", "grade")
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("w").as("n_words"), sum("y").as("n_vgroups"),
+        sum("ch").as("n_chars"))
+      // corpus-mass ratios: staged base-100 division, both lanes
+      .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
+        "n_chars",
+        "n_vgroups div n_words as ya1",
+        "pmod(n_vgroups, n_words) as yr1",
+        "n_chars div n_words as ca1", "pmod(n_chars, n_words) as cr1")
+      .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
+        "ya1", "ca1",
+        "(yr1 * 100) div n_words as ya2",
+        "pmod(yr1 * 100, n_words) as yr2",
+        "(cr1 * 100) div n_words as ca2",
+        "pmod(cr1 * 100, n_words) as cr2")
+      .selectExpr("source", "grade", "n_docs", "n_words", "n_vgroups",
+        "ya1", "ca1", "ya2", "ca2",
+        "(yr2 * 100) div n_words as ya3",
+        "pmod(yr2 * 100, n_words) as yr3",
+        "(cr2 * 100) div n_words as ca3",
+        "pmod(cr2 * 100, n_words) as cr3")
+      .selectExpr("source", "cast(grade as long) as grade", "n_docs",
+        "cast(n_words as long) as n_words",
+        "cast(n_vgroups as long) as n_vgroups",
+        "cast(ya1 * 1000000 + ya2 * 10000 + ya3 * 100 +" +
+          " (yr3 * 100) div n_words as long) as spw_ppm",
+        "cast(ca1 * 1000000 + ca2 * 10000 + ca3 * 100 +" +
+          " (cr3 * 100) div n_words as long) as cpw_ppm")
+      .orderBy("source", "grade")
+
+  /** q245 core over any (source, text) frame. Factored for crafted
+    * repetitiveness laws (an all-same-char doc has rep_ppm exactly 1e6;
+    * a doc of n+1 distinct chars has Σf² = n so rep_ppm = ⌊1e6/n⌋). */
+  private[graft] def charDiversityCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.filter(length(col("text")) >= 2)
+      .select(col("source"),
+        (length(col("text")).cast("long") - 1L).as("n"),
+        call_function("bigram_sq_sum", col("text")).as("ssq"))
+      .withColumn("rep", expr("(ssq * 1000000) div (n * n)"))
+      .groupBy(col("source"), expr("rep div 8000").cast("long").as("bucket"))
+      .agg(count(lit(1)).cast("long").as("n_docs"),
+        sum("n").cast("long").as("n_bigrams"),
+        sum("rep").cast("long").as("rep_sum"))
+      .orderBy("source", "bucket")
 
   /** q235 core over any (doc_id, text, n_chars) frame. Factored for
     * crafted template laws (shared prefix + distinct tails must

@@ -1,0 +1,258 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.queries.{DedupQueries, EventQueries, PipelineQueries,
+  TextQueries}
+
+/** Laws for the round-11 operators (q240–q247): each a crafted frame
+  * with a hand-computed closed form, exercising the semantics the
+  * gate's synthetic corpus cannot pin down (exact burst shapes, planted
+  * steps, cliques vs paths, identical vs disjoint sketch sources,
+  * prefix-only vs suffix-only embedding mass).
+  */
+class Round11LawsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def at(hour: Long, s: Int): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(hour * 3600L + s))
+
+  // ---------------------------------------------------------------- q242
+
+  test("law: q242 one-event-per-hour stream is exactly Poisson-flat — " +
+    "Fano 0 (hh·ss = n² when every active hour holds one event)") {
+    val rows = (0 until 5).map(h => (at(h.toLong, 1), "click", 1L))
+    val got = EventQueries.burstinessCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+      r.getLong(4)) == (("click", 0L, 1L, 5L, 0L)), s"got $r")
+  }
+
+  test("law: q242 planted burst — 3 events in hour 0 + 1 in hour 3: " +
+    "hh=4, n=4, ss=10 ⇒ Fano·1e6 = 24e6/16 = 1500000 (bucket 30)") {
+    val rows = (1 to 3).map(i => (at(0L, i), "view", 9L)) :+
+      ((at(3L, 1), "view", 9L))
+    val got = EventQueries.burstinessCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((30L, 1L, 4L, 1500000L)), s"got $r")
+  }
+
+  // ---------------------------------------------------------------- q243
+
+  private def onDay(day: Long, s: Int): Timestamp =
+    Timestamp.from(java.time.Instant.ofEpochSecond(day * 86400L + s))
+
+  test("law: q243 constant daily rate — S_t ≡ 0 everywhere, argmax " +
+    "tie-breaks to day 1 with cusum_ppm 0 and direction +1") {
+    val rows = for (d <- 0 until 5; i <- 1 to 2)
+      yield (onDay(d.toLong, i), "click")
+    val got = EventQueries.cusumChangepointCore(
+      rows.toDF("ts", "event_type")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((5L, 10L, 1L, 1L, 0L)), s"got $r")
+  }
+
+  test("law: q243 planted step — 1/day for 4 days then 3/day for 4: " +
+    "peak |S| at the step day (t=4), direction −1, ppm = 32e6/128") {
+    val rows =
+      (0 until 4).map(d => Seq((onDay(d.toLong, 1), "e"))).flatten ++
+        (for (d <- 4 until 8; i <- 1 to 3) yield (onDay(d.toLong, i), "e"))
+    val got = EventQueries.cusumChangepointCore(
+      rows.toDF("ts", "event_type")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5)) == ((8L, 16L, 4L, -1L, 250000L)), s"got $r")
+  }
+
+  test("law: q243 gap days count as zeros — events on days 0 and 4 " +
+    "only: the spine stretches n_days to 5") {
+    val rows = Seq((onDay(0L, 1), "e"), (onDay(4L, 1), "e"))
+    val got = EventQueries.cusumChangepointCore(
+      rows.toDF("ts", "event_type")).collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(1) == 5L, s"got ${got.head}")
+  }
+
+  // ---------------------------------------------------------------- q244
+
+  test("law: q244 all-consonant doc grades 0 with spw_ppm 0; cpw_ppm " +
+    "is exact chars·1e6/words") {
+    val got = TextQueries.lexicalComplexityCore(
+      Seq(("s0", "bcd fgh")).toDF("source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    // 7 chars, 2 words: cpw = 3.5e6
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) ==
+      ((0L, 1L, 2L, 0L, 0L, 3500000L)), s"got $r")
+  }
+
+  test("law: q244 vowel-group runs, not vowels — 'aaa bee' has y=2 " +
+    "over w=2: spw_ppm exactly 1e6, grade 4") {
+    val got = TextQueries.lexicalComplexityCore(
+      Seq(("s0", "aaa bee")).toDF("source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(4), r.getLong(5)) ==
+      ((4L, 2L, 1000000L)), s"got $r")
+  }
+
+  // ---------------------------------------------------------------- q245
+
+  test("law: q245 an all-same-char doc is maximally repetitive — " +
+    "'aaaa': ssq=9 over n²=9 ⇒ rep_ppm exactly 1e6 (bucket 125)") {
+    val got = TextQueries.charDiversityCore(
+      Seq(("s0", "aaaa")).toDF("source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((125L, 1L, 3L, 1000000L)), s"got $r")
+  }
+
+  test("law: q245 all-distinct bigrams — 'abcd': rep_ppm = ⌊3e6/9⌋ = " +
+    "333333; a sub-2-char doc is excluded entirely") {
+    val got = TextQueries.charDiversityCore(
+      Seq(("s0", "abcd"), ("s0", "x")).toDF("source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(4)) ==
+      ((41L, 1L, 333333L)), s"got $r")
+  }
+
+  test("law: q245 kernel == explicit bigram count on a supplementary-" +
+    "plane string (code points, not UTF-16 units)") {
+    // "😀a😀a" code-point bigrams: (😀a), (a😀), (😀a) → Σf² = 4+1 = 5
+    val df = Seq(Tuple1("😀a😀a")).toDF("t")
+    val got = df.selectExpr("bigram_sq_sum(t)").head().getLong(0)
+    assert(got == 5L, s"got $got")
+  }
+
+  // ---------------------------------------------------------------- q240
+
+  test("law: q240 textually identical sources — exact AND estimated " +
+    "Jaccard are 1e6 with err 0") {
+    val text = (1 to 40).map(i => s"w$i").mkString(" ")
+    val got = DedupQueries.kmvOverlapCore(
+      Seq(("a", text), ("b", text)).toDF("source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((1000000L, 1000000L, 0L)), s"got $r")
+  }
+
+  test("law: q240 disjoint vocabularies — exact and estimated Jaccard " +
+    "both 0") {
+    val ta = (1 to 40).map(i => s"a$i").mkString(" ")
+    val tb = (1 to 40).map(i => s"b$i").mkString(" ")
+    val got = DedupQueries.kmvOverlapCore(
+      Seq(("a", ta), ("b", tb)).toDF("source", "text")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((0L, 0L, 0L, 0L)), s"got $r")
+  }
+
+  // ---------------------------------------------------------------- q241
+
+  test("law: q241 a 3-clique closes its only wedge — closure_ppm 1e6") {
+    val e = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("id_a", "id_b")
+    val lab = Seq((1L, 0), (2L, 0), (3L, 0)).toDF("vec_id", "label")
+    val got = DedupQueries.triangleCensusCore(e, lab, "shuffle_hash")
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((0L, 1L, 1L, 1000000L)), s"got $r")
+  }
+
+  test("law: q241 a path closes nothing — closure_ppm 0; labels group " +
+    "by the wedge ROOT's label") {
+    val e = Seq((1L, 2L), (2L, 3L)).toDF("id_a", "id_b")
+    val lab = Seq((1L, 7), (2L, 8), (3L, 9)).toDF("vec_id", "label")
+    val got = DedupQueries.triangleCensusCore(e, lab, "shuffle_hash")
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((7L, 1L, 0L, 0L)), s"got $r")
+  }
+
+  test("law: q241 join strategy is output-invariant — the corpus-scale " +
+    "merge path (engaged above 2^18 vectors, e.g. the 1000x replica) " +
+    "produces byte-identical rows to the gate SFs' shuffled-hash path") {
+    val sfDir = "/root/testdata/sf0.001"
+    val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L)).toDF("id_a", "id_b")
+    val lab = (1L to 6L).map(i => (i, (i % 2).toInt))
+      .toDF("vec_id", "label")
+    val shj = DedupQueries.triangleCensusCore(edges, lab, "shuffle_hash")
+      .collect().toSeq
+    val smj = DedupQueries.triangleCensusCore(edges, lab, "merge")
+      .collect().toSeq
+    assert(shj == smj, s"shj=$shj smj=$smj")
+    assert(e.count() > 0) // fixture sanity
+  }
+
+  // ---------------------------------------------------------------- q246
+
+  test("law: q246 n identical docs in one batch collide all C(n,2) " +
+    "pairs — coll_ppm 1e6 at every batch size (n ≤ every size)") {
+    val text = (1 to 10).map(i => s"t$i").mkString(" ")
+    val rows = (1L to 4L).map(i => (i, text))
+    val got = PipelineQueries.batchCollisionCore(
+      rows.toDF("doc_id", "text")).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5)) == ((1L, 6L, 6L, 1L, 1000000L)), s"got $r")
+    }
+  }
+
+  test("law: q246 all-distinct docs — dup_pairs 0 and coll_ppm 0") {
+    val rows = (1L to 6L).map(i =>
+      (i, (1 to 10).map(j => s"d${i}w$j").mkString(" ")))
+    val got = PipelineQueries.batchCollisionCore(
+      rows.toDF("doc_id", "text")).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert((r.getLong(2), r.getLong(3), r.getLong(5)) ==
+        ((0L, 0L, 0L)), s"got $r")
+    }
+  }
+
+  // ---------------------------------------------------------------- q247
+
+  private def vec(at: Int, x: Float): Seq[Float] =
+    Seq.tabulate(64)(i => if (i == at) x else 0f)
+
+  test("law: q247 prefix-resident mass — all signal in dim 0: prefix " +
+    "ranking equals full ranking, recall 1e6 at d=16 and d=32") {
+    val corpus = (0 until 12).map(i =>
+      (i.toLong, vec(0, 1f - i * 0.01f)))
+    val probe = Seq((20L, vec(0, 1f)))
+    val got = DedupQueries.matryoshkaRecallCore(
+      (corpus ++ probe).toDF("vec_id", "embedding")).collect()
+    assert(got.length == 2)
+    got.foreach(r => assert(r.getLong(3) == 1000000L, s"got $r"))
+  }
+
+  test("law: q247 suffix-resident mass — all signal in dim 40 with 20 " +
+    "corpus vectors: full top-10 = ids 10..19, prefix keys all tie to " +
+    "vec_id order = ids 0..9 ⇒ recall 0 at both truncations") {
+    val corpus = (0 until 20).map(i => (i.toLong, vec(40, i * 0.01f)))
+    val probe = Seq((20L, vec(40, 1f)))
+    val got = DedupQueries.matryoshkaRecallCore(
+      (corpus ++ probe).toDF("vec_id", "embedding")).collect()
+    assert(got.length == 2)
+    got.foreach(r => assert(r.getLong(3) == 0L, s"got $r"))
+  }
+}
