@@ -3997,7 +3997,7 @@ object DedupQueries {
     val probesDf = broadcast(probes.map { case (qid, qv, cs) =>
       (qid, qv, cs(0), cs(1), cs(2), cs(3))
     }.toDF("qid", "qv", "c1", "c2", "c3", "c4"))
-    val M = 8589934592L // 2^33
+    val M = 1099511627776L // 2^40 (id-exact to 1.1e12 ids — r11 audit)
     val minK10 = udaf(new Aggregators.MinKAgg(10),
       org.apache.spark.sql.Encoders.scalaLong)
     def gate(cond: org.apache.spark.sql.Column) =
@@ -4183,7 +4183,7 @@ object DedupQueries {
       (qid, qv, mapped)
     }
     val probesDf = broadcast(quantizedProbes.toDF("qid", "qv", "pq8"))
-    val M = 8589934592L // 2^33
+    val M = 1099511627776L // 2^40 (id-exact to 1.1e12 ids — r11 audit)
     val minK10 = udaf(new Aggregators.MinKAgg(10),
       org.apache.spark.sql.Encoders.scalaLong)
     e.select(col("vec_id"), col("embedding"),
@@ -4279,7 +4279,9 @@ object DedupQueries {
       ids: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import graft.functions.Aggregators
-    val M = 8589934592L // 2^33 id space for the encoded rank key
+    val M = 1099511627776L // 2^40 id space: replica/100 TB ids reach
+    // ~1e10 > 2^33, which would alias the pmod decode (r11 audit);
+    // 2^40 is id-exact to 1.1e12 while the rq·M product stays < 2^63
     val minK5 = udaf(new Aggregators.MinKAgg(5),
       org.apache.spark.sql.Encoders.scalaLong)
     // both directions from ONE pass over the pair stream: a 2-element
@@ -4527,7 +4529,7 @@ object DedupQueries {
     import s.implicits._
     import graft.functions.Aggregators
     val probesDf = broadcast(probes.toDF("qid", "qv"))
-    val M = 8589934592L // 2^33
+    val M = 1099511627776L // 2^40 (id-exact to 1.1e12 ids — r11 audit)
     val minK5 = udaf(new Aggregators.MinKAgg(5),
       org.apache.spark.sql.Encoders.scalaLong)
     // Σ over query tokens i of max over doc tokens j of the quantized
@@ -4572,7 +4574,7 @@ object DedupQueries {
         max_by(col("cid"), struct(col("d2"), -col("cid"))).as("c2"),
         max_by(col("cid"), struct(col("d3"), -col("cid"))).as("c3"))
       val lutArr = Pq.lutArr(withD, qids)
-      val M = 8589934592L // 2^33
+      val M = 1099511627776L // 2^40 (id-exact to 1.1e12 ids — r11 audit)
       val minK16 = udaf(new Aggregators.MinKAgg(16),
         org.apache.spark.sql.Encoders.scalaLong)
       val top = codes.crossJoin(broadcast(lutArr))
@@ -4691,7 +4693,9 @@ object DedupQueries {
       (-greatest(centStructs: _*).getField("negid")).as("cid"))
     val probesDf = broadcast(
       probes.toDF("qid", "qv", "cell1", "cell2"))
-    val M = 8589934592L // 2^33 id space for the encoded rank key
+    val M = 1099511627776L // 2^40 id space: replica/100 TB ids reach
+    // ~1e10 > 2^33, which would alias the pmod decode (r11 audit);
+    // 2^40 is id-exact to 1.1e12 while the rq·M product stays < 2^63
     val minK10 = udaf(new Aggregators.MinKAgg(10),
       org.apache.spark.sql.Encoders.scalaLong)
     val keyed = assigned.crossJoin(probesDf)

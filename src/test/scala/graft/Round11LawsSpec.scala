@@ -229,6 +229,34 @@ class Round11LawsSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------- 2^40 key audit
+
+  test("law: encoded rank keys are id-exact for ids ≥ 2^33 — a big-id " +
+    "vector at the top-10 boundary ranks by its TRUE dot (under the " +
+    "old 2^33 keys its id high bits leaked into the rq lane, demoting " +
+    "it below the cut AND mangling its decoded id)") {
+    val bigId = 2L * 8589934592L + 3L // id div 2^33 = 2 — the leak
+    def v(a: Float, b: Float) = Seq(a, b, 0f, 0f)
+    val cell0 = Seq( // x-dominant ⇒ assigned to centroid 0
+      (1L, v(0.9f, 0f)), (2L, v(0.89f, 0f)), (3L, v(0.88f, 0f)),
+      (4L, v(0.87f, 0f)), (5L, v(0.865f, 0f)), (bigId, v(0.8001f, 0f)))
+    val cell1 = Seq( // y-dominant ⇒ assigned to centroid 1
+      (6L, v(0.86f, 0.95f)), (7L, v(0.85f, 0.95f)),
+      (8L, v(0.84f, 0.95f)), (9L, v(0.83f, 0.95f)),
+      (10L, v(0.8f, 0.95f)), (11L, v(0.4f, 0.95f)))
+    val e = (cell0 ++ cell1).toDF("vec_id", "embedding")
+    val cents = Seq((0L, Seq(1f, 0f, 0f, 0f)), (1L, Seq(0f, 1f, 0f, 0f)))
+    // probe ranks by x; nprobe=1 probes cell 0 only
+    val probes = Seq((999L, Seq(1f, 0f, 0f, 0f), Seq(0L, 1L, 1L, 1L)))
+    val got = DedupQueries.multiProbeCore(spark, e, cents, probes)
+      .collect()
+    assert(got.length == 3)
+    // true top-10 by x: 9 vecs above 0.8001, then the big-id vec (in),
+    // then id 10 at 0.8 (out at rank 11): cell-0 hits = 6 of 10
+    val hits = got.map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(hits == Map(1L -> 6L, 2L -> 10L, 4L -> 10L), s"got $hits")
+  }
+
   // ---------------------------------------------------------------- q247
 
   private def vec(at: Int, x: Float): Seq[Float] =
