@@ -147,4 +147,41 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[Seq[Long]]()
   }
+
+  /** Fixed-point permutation-test accumulator for q248 (the GramAgg
+    * pattern applied to Monte-Carlo lanes): per (userHash, metric)
+    * input, add ±metric into each of `lanes` slots, the sign drawn
+    * from the user's 32-bit hash by the multiplicative draw
+    * ((h·(2k+3)) mod 1000003) mod 2 — integer-exact in any engine.
+    * State is O(lanes) regardless of user count and merges
+    * element-wise, so the 256-lane sweep is ONE user-scale pass with
+    * map-side combine — the explode shape would shuffle users×lanes
+    * rows (the r10 fused-buffer rule: a per-row O(k) expansion feeding
+    * a low-cardinality aggregate belongs in an Aggregator buffer). */
+  final class PermLanesAgg(lanes: Int)
+      extends Aggregator[(Long, Long), Array[Long], Seq[Long]] {
+    override def zero: Array[Long] = new Array[Long](lanes)
+    override def reduce(buf: Array[Long], in: (Long, Long)): Array[Long] = {
+      val (h, m) = in
+      var k = 0
+      while (k < lanes) {
+        if ((h * (2L * k + 3L)) % 1000003L % 2L == 0L) buf(k) += m
+        else buf(k) -= m
+        k += 1
+      }
+      buf
+    }
+    override def merge(x: Array[Long], y: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < lanes) { x(i) += y(i); i += 1 }
+      x
+    }
+    override def finish(r: Array[Long]): Seq[Long] = r.toSeq
+    override def bufferEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Array[Long]]()
+    override def outputEncoder: Encoder[Seq[Long]] =
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[Seq[Long]]()
+  }
 }

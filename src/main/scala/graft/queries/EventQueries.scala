@@ -1557,8 +1557,291 @@ object EventQueries {
         |  CAST(CASE WHEN sd >= 0 THEN 1 ELSE -1 END AS BIGINT) AS direction,
         |  CAST(abs(sd) * 1000000 // (dd * tt) AS BIGINT) AS cusum_ppm
         |FROM rk WHERE r = 1 ORDER BY event_type""".stripMargin
-    ) { (s, d) => cusumChangepointCore(ev(s, d)) }
+    ) { (s, d) => cusumChangepointCore(ev(s, d)) },
+
+    // HASH-PERMUTATION A/B TEST — before trusting an online experiment
+    // readout at 100 TB, the pipeline needs a p-value it can compute
+    // WITHOUT floats or RNG state: the observed assignment (user parity)
+    // is compared against 256 deterministic hash-drawn reassignments of
+    // the same users; p = share of permuted |T| ≥ |T_obs| where T is
+    // the signed per-user metric sum. All 256 lanes ride ONE fused
+    // Aggregator buffer (PermLanesAgg — the GramAgg rule: a per-row
+    // O(k) expansion into a |types|-cardinality aggregate never
+    // explodes) fused with the observed statistic in the SAME groupBy,
+    // so the whole test is one corpus exchange into (user, type)
+    // counts plus one user-scale pass. Null data ⇒ p ≈ uniform (the
+    // synthetic corpus reads 0.5–0.97 — correct null behavior).
+    Q(
+      "q248_ab_permutation",
+      """WITH m AS (
+        |  SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS m
+        |  FROM events GROUP BY 1, 2),
+        |hu AS (SELECT user_id, event_type, m,
+        |  CAST(list_sum(list_transform(range(1, 9),
+        |    j -> (strpos('0123456789abcdef',
+        |            substr(md5('ab|' || CAST(user_id AS VARCHAR)), j, 1))
+        |          - 1) * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM m),
+        |obs AS (
+        |  SELECT event_type,
+        |    CAST(sum(CASE WHEN user_id % 2 = 0 THEN m ELSE -m END)
+        |      AS BIGINT) AS t_obs,
+        |    CAST(count(*) AS BIGINT) AS n_users
+        |  FROM hu GROUP BY 1),
+        |lanes AS (
+        |  SELECT event_type, k.k,
+        |    CAST(sum(CASE WHEN ((h * (2 * k.k + 3)) % 1000003) % 2 = 0
+        |      THEN m ELSE -m END) AS BIGINT) AS t
+        |  FROM hu, (SELECT unnest(range(256)) AS k) k
+        |  GROUP BY 1, 2),
+        |p AS (
+        |  SELECT l.event_type,
+        |    CAST(sum(CASE WHEN abs(l.t) >= abs(o.t_obs) THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS cnt
+        |  FROM lanes l JOIN obs o USING (event_type) GROUP BY 1)
+        |SELECT o.event_type, o.n_users, o.t_obs,
+        |  CAST((p.cnt * 1000000) // 256 AS BIGINT) AS p_ppm
+        |FROM obs o JOIN p ON p.event_type = o.event_type
+        |ORDER BY o.event_type""".stripMargin
+    ) { (s, d) => abPermutationCore(ev(s, d)) },
+
+    // TOUCH ATTRIBUTION — which touchpoint gets credit for a purchase:
+    // the user's latest (last-touch) and earliest (first-touch)
+    // click/view in the 24 h before each purchase, counted per touch
+    // type. The lookup is a RANGE-frame window over each user's
+    // timeline (one corpus exchange by user — never a self-join of
+    // events to events, which would be corpus × corpus at 100 TB);
+    // the touch rides an integer us·8+code encoding so max/min pick
+    // latest/earliest with a deterministic type tie-break at equal
+    // timestamps (code 2 = view over 1 = click), exact in both
+    // engines (us·8 ≤ 1.4e17 < 2^63 through year 5138).
+    Q(
+      "q249_attribution",
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |           FROM events),
+        |w AS (
+        |  SELECT user_id, event_type, us,
+        |    max(CASE WHEN event_type IN ('click', 'view')
+        |        THEN us * 8 + CASE event_type WHEN 'click' THEN 1
+        |          ELSE 2 END END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+        |      AS lt,
+        |    min(CASE WHEN event_type IN ('click', 'view')
+        |        THEN us * 8 + CASE event_type WHEN 'click' THEN 1
+        |          ELSE 2 END END)
+        |      OVER (PARTITION BY user_id ORDER BY us
+        |            RANGE BETWEEN 86400000000 PRECEDING AND 1 PRECEDING)
+        |      AS ft
+        |  FROM e),
+        |p AS (SELECT * FROM w WHERE event_type = 'purchase'),
+        |lab AS (
+        |  SELECT
+        |    CASE WHEN lt IS NULL THEN 'none'
+        |         WHEN lt % 8 = 1 THEN 'click' ELSE 'view' END AS lastt,
+        |    CASE WHEN ft IS NULL THEN 'none'
+        |         WHEN ft % 8 = 1 THEN 'click' ELSE 'view' END AS firstt
+        |  FROM p)
+        |SELECT kind, touch, CAST(count(*) AS BIGINT) AS n FROM (
+        |  SELECT 'first' AS kind, firstt AS touch FROM lab
+        |  UNION ALL SELECT 'last', lastt FROM lab) t
+        |GROUP BY 1, 2 ORDER BY kind, touch""".stripMargin
+    ) { (s, d) => attributionCore(ev(s, d)) },
+
+    // DELETION AUDIT (right-to-be-forgotten) — when a 100 TB store
+    // serves a deletion request, recomputing every aggregate from
+    // scratch is unaffordable; the ledger subtracts the forget-set's
+    // deltas instead (q173's increment algebra, applied to deletes).
+    // This audit runs BOTH paths — stored totals minus forget-side
+    // deltas, and a direct aggregate over the kept rows — and emits
+    // their differences, which must be identically zero (count, cent
+    // mass, distinct users — users subtract cleanly because the
+    // forget set is an exact user split). Scale shape: ONE corpus
+    // exchange into (type, user) grain (forget is a per-user hash
+    // bit), checkpointed for the two derivations; values enter as
+    // floor(value·100) cents so every sum is integer-exact.
+    Q(
+      "q250_deletion_audit",
+      """WITH e AS (SELECT event_type, user_id,
+        |    CAST(floor(value * 100) AS BIGINT) AS cents,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('del|' || CAST(user_id AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (8 - j))) AS BIGINT) % 16 = 0 AS forget
+        |  FROM events),
+        |per AS (SELECT event_type, user_id, forget,
+        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cents) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS u
+        |  FROM per GROUP BY 1),
+        |del AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n,
+        |    CAST(sum(c) AS BIGINT) AS c, CAST(count(*) AS BIGINT) AS u
+        |  FROM per WHERE forget GROUP BY 1),
+        |inc AS (SELECT t.event_type, t.n - coalesce(d.n, 0) AS n_inc,
+        |    t.c - coalesce(d.c, 0) AS c_inc, t.u - coalesce(d.u, 0) AS u_inc,
+        |    coalesce(d.n, 0) AS n_forgotten
+        |  FROM tot t LEFT JOIN del d USING (event_type)),
+        |dir AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS n_dir,
+        |    CAST(sum(c) AS BIGINT) AS c_dir, CAST(count(*) AS BIGINT) AS u_dir
+        |  FROM per WHERE NOT forget GROUP BY 1)
+        |SELECT i.event_type, CAST(i.n_inc AS BIGINT) AS n_kept,
+        |  CAST(i.c_inc AS BIGINT) AS cents_kept,
+        |  CAST(i.u_inc AS BIGINT) AS users_kept,
+        |  CAST(i.n_inc - b.n_dir AS BIGINT) AS n_diff,
+        |  CAST(i.c_inc - b.c_dir AS BIGINT) AS c_diff,
+        |  CAST(i.u_inc - b.u_dir AS BIGINT) AS u_diff,
+        |  CAST(i.n_forgotten AS BIGINT) AS n_forgotten
+        |FROM inc i JOIN dir b USING (event_type)
+        |ORDER BY i.event_type""".stripMargin
+    ) { (s, d) => deletionAuditCore(ev(s, d)) },
+
+    // SEASONALITY PROFILE — the capacity-planning monitor: per event
+    // type, the peak (day-of-week, hour) cell of the 7×24 occupancy
+    // grid (ties break to the earliest cell), its share of the type's
+    // mass, and the weekend share (dow offset +3 puts Saturday/Sunday
+    // at 5/6 — epoch day 0 was a Thursday). One corpus exchange into
+    // ≤ |types|·168 cells (map-side collapse), everything after is
+    // bounded-table work. Integer envelope: cell·1e6 exact through
+    // 9.2e12 events per cell — a per-cell bound no real corpus hits.
+    Q(
+      "q251_seasonality",
+      """WITH c AS (
+        |  SELECT event_type,
+        |    (epoch_us(ts) // 86400000000 + 3) % 7 AS dow,
+        |    (epoch_us(ts) % 86400000000) // 3600000000 AS hr,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2, 3),
+        |tot AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS t,
+        |    CAST(sum(CASE WHEN dow >= 5 THEN n ELSE 0 END) AS BIGINT)
+        |      AS wknd
+        |  FROM c GROUP BY 1),
+        |pk AS (SELECT event_type, dow, hr, n,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY n DESC, dow, hr) AS r
+        |  FROM c)
+        |SELECT p.event_type, CAST(p.dow AS BIGINT) AS peak_dow,
+        |  CAST(p.hr AS BIGINT) AS peak_hr,
+        |  CAST(p.n * 1000000 // t.t AS BIGINT) AS peak_ppm,
+        |  CAST(t.wknd * 1000000 // t.t AS BIGINT) AS weekend_ppm
+        |FROM pk p JOIN tot t USING (event_type) WHERE p.r = 1
+        |ORDER BY p.event_type""".stripMargin
+    ) { (s, d) => seasonalityCore(ev(s, d)) }
   )
+
+  /** q248 core over any (ts?, user_id, event_type) frame (ts unused).
+    * Factored for crafted test laws (a planted uniform effect drives
+    * p to 0; a null metric keeps every lane at |T| = |T_obs|). */
+  private[graft] def abPermutationCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import graft.functions.Aggregators
+    val m = e.groupBy("user_id", "event_type")
+      .agg(count(lit(1)).as("m"))
+      .withColumn("h", call_function("md5_prefix64",
+        concat(lit("ab|"), col("user_id").cast("string"))))
+    val perm = udaf(new Aggregators.PermLanesAgg(256),
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Long, Long)]())
+    m.groupBy("event_type")
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(when(pmod(col("user_id"), lit(2)) === 0, col("m"))
+          .otherwise(-col("m"))).cast("long").as("t_obs"),
+        perm(col("h"), col("m")).as("ts"))
+      .withColumn("cnt", size(filter(col("ts"),
+        t => abs(t) >= abs(col("t_obs")))).cast("long"))
+      .selectExpr("event_type", "n_users", "t_obs",
+        "(cnt * 1000000) div 256 as p_ppm")
+      .orderBy("event_type")
+  }
+
+  /** q249 core over any (ts, user_id, event_type) frame. Factored for
+    * crafted attribution laws (a purchase 25 h after the only click is
+    * 'none'; view-then-click splits first vs last). */
+  private[graft] def attributionCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val enc = when(col("event_type").isin("click", "view"),
+      unix_micros(col("ts")) * 8 +
+        when(col("event_type") === "click", 1L).otherwise(2L))
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-86400000000L, -1L)
+    def decode(c: org.apache.spark.sql.Column) =
+      when(c.isNull, "none")
+        .when(pmod(c, lit(8)) === 1, "click").otherwise("view")
+    e.select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"), enc.as("tk"))
+      .withColumn("lt", max("tk").over(w))
+      .withColumn("ft", min("tk").over(w))
+      .filter(col("event_type") === "purchase")
+      .select(decode(col("ft")).as("firstt"), decode(col("lt")).as("lastt"))
+      .selectExpr("stack(2, 'first', firstt, 'last', lastt)" +
+        " as (kind, touch)")
+      .groupBy("kind", "touch")
+      .agg(count(lit(1)).cast("long").as("n"))
+      .orderBy("kind", "touch")
+  }
+
+  /** q250 core over any (event_type, user_id, value) frame. Factored
+    * for crafted ledger laws (deleting one user's rows must zero every
+    * diff and decrement the distinct-user lane by exactly 1). */
+  private[graft] def deletionAuditCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val per = e.select(col("event_type"), col("user_id"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"),
+        (pmod(call_function("md5_prefix64",
+          concat(lit("del|"), col("user_id").cast("string"))),
+          lit(16)) === 0).as("forget"))
+      .groupBy("event_type", "user_id", "forget")
+      .agg(count(lit(1)).as("n"), sum("cents").as("c"))
+      .localCheckpoint(true) // user-scale; ledger + direct consumers
+    val tot = per.groupBy("event_type")
+      .agg(sum("n").as("tn"), sum("c").as("tc"),
+        count(lit(1)).as("tu"))
+    val del = per.filter(col("forget")).groupBy("event_type")
+      .agg(sum("n").as("dn"), sum("c").as("dc"), count(lit(1)).as("du"))
+    val dir = per.filter(!col("forget")).groupBy("event_type")
+      .agg(sum("n").as("n_dir"), sum("c").as("c_dir"),
+        count(lit(1)).as("u_dir"))
+    tot.join(del, Seq("event_type"), "left")
+      .select(col("event_type"),
+        (col("tn") - coalesce(col("dn"), lit(0L))).as("n_inc"),
+        (col("tc") - coalesce(col("dc"), lit(0L))).as("c_inc"),
+        (col("tu") - coalesce(col("du"), lit(0L))).as("u_inc"),
+        coalesce(col("dn"), lit(0L)).as("n_forgotten"))
+      .join(dir, "event_type")
+      .selectExpr("event_type", "cast(n_inc as long) as n_kept",
+        "cast(c_inc as long) as cents_kept",
+        "cast(u_inc as long) as users_kept",
+        "cast(n_inc - n_dir as long) as n_diff",
+        "cast(c_inc - c_dir as long) as c_diff",
+        "cast(u_inc - u_dir as long) as u_diff",
+        "cast(n_forgotten as long) as n_forgotten")
+      .orderBy("event_type")
+  }
+
+  /** q251 core over any (ts, event_type) frame. Factored for crafted
+    * seasonality laws (a single-cell stream peaks at that cell with
+    * ppm 1e6; a Saturday-only stream has weekend_ppm 1e6). */
+  private[graft] def seasonalityCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val c = e.groupBy(col("event_type"),
+        expr("pmod(unix_micros(ts) div 86400000000 + 3, 7)").as("dow"),
+        expr("pmod(unix_micros(ts), 86400000000) div 3600000000")
+          .as("hr"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true) // ≤ |types|·168 rows; two consumers
+    val tot = c.groupBy("event_type")
+      .agg(sum("n").as("t"),
+        sum(when(col("dow") >= 5, col("n")).otherwise(0L)).as("wknd"))
+    val wr = Window.partitionBy("event_type")
+      .orderBy(col("n").desc, col("dow"), col("hr"))
+    c.withColumn("r", row_number().over(wr)).filter(col("r") === 1)
+      .join(broadcast(tot), "event_type")
+      .select(col("event_type"), col("dow").cast("long").as("peak_dow"),
+        col("hr").cast("long").as("peak_hr"),
+        expr("n * 1000000 div t").as("peak_ppm"),
+        expr("wknd * 1000000 div t").as("weekend_ppm"))
+      .orderBy("event_type")
+  }
 
   /** q242 core over any (ts, user_id, event_type) frame. Factored for
     * crafted burst laws (a one-hour burst over an hh-hour span has the

@@ -229,6 +229,117 @@ class Round11LawsSpec extends SparkSpec {
     }
   }
 
+  // ---------------------------------------------------------------- q248
+
+  test("law: q248 null effect — balanced users with identical metrics " +
+    "give T_obs = 0, so every lane ties or beats it: p_ppm = 1e6") {
+    val rows = (0L until 10L).map(u => (at(u, 1), "click", u))
+    val got = EventQueries.abPermutationCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((10L, 0L, 1000000L)), s"got $r")
+  }
+
+  test("law: q248 planted uniform effect — even users carry 10 events, " +
+    "odd users 1: p matches the exact lane-by-lane replay of the " +
+    "multiplicative sign draw (differential golden)") {
+    val rows = (0L until 40L).flatMap { u =>
+      val k = if (u % 2 == 0) 10 else 1
+      (1 to k).map(i => (at(u, i), "view", u))
+    }
+    val got = EventQueries.abPermutationCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    assert(got.length == 1)
+    // replay: per user h = md5_prefix64("ab|u"), lane sign as in the core
+    val users = (0L until 40L).map { u =>
+      val h = graft.plans.Md5Prefix64.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"ab|$u"))
+      val m = if (u % 2 == 0) 10L else 1L
+      (u, h, m)
+    }
+    val tObs = users.map { case (u, _, m) =>
+      if (u % 2 == 0) m else -m }.sum
+    val cnt = (0 until 256).count { k =>
+      val t = users.map { case (_, h, m) =>
+        if ((h * (2L * k + 3L)) % 1000003L % 2L == 0L) m else -m }.sum
+      math.abs(t) >= math.abs(tObs)
+    }
+    val r = got.head
+    assert((r.getLong(2), r.getLong(3)) ==
+      ((tObs, cnt.toLong * 1000000L / 256L)), s"got $r expected cnt=$cnt")
+  }
+
+  // ---------------------------------------------------------------- q249
+
+  test("law: q249 a purchase 25 h after the only click attributes to " +
+    "'none' on both first and last touch") {
+    val rows = Seq(
+      (at(0L, 0), "click", 1L),
+      (at(25L, 0), "purchase", 1L))
+    val got = EventQueries.attributionCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    assert(got.map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      .toSet == Set(("first", "none", 1L), ("last", "none", 1L)))
+  }
+
+  test("law: q249 view-then-click within the window splits first vs " +
+    "last; a same-timestamp tie breaks by code — min (first) to " +
+    "click (1), max (last) to view (2)") {
+    val rows = Seq(
+      (at(1L, 0), "view", 1L),
+      (at(2L, 0), "click", 1L),
+      (at(3L, 0), "purchase", 1L),
+      // user 2: click and view at the SAME microsecond, then purchase
+      (at(1L, 5), "click", 2L),
+      (at(1L, 5), "view", 2L),
+      (at(2L, 0), "purchase", 2L))
+    val got = EventQueries.attributionCore(
+      rows.toDF("ts", "event_type", "user_id")).collect()
+    val m = got.map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    assert(m == Map(("first", "view") -> 1L, ("first", "click") -> 1L,
+      ("last", "click") -> 1L, ("last", "view") -> 1L), s"got $m")
+  }
+
+  // ---------------------------------------------------------------- q250
+
+  test("law: q250 ledger algebra — every diff lane is identically zero " +
+    "and the forget mass is exactly the hash-selected users' rows") {
+    def forgotten(u: Long): Boolean =
+      graft.plans.Md5Prefix64.hash(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s"del|$u")
+      ) % 16 == 0
+    val users = 0L until 64L
+    val nForget = users.count(forgotten)
+    assert(nForget > 0, "fixture needs at least one forgotten user")
+    val rows = users.map(u => ("click", u, 1.25))
+    val got = EventQueries.deletionAuditCore(
+      rows.toDF("event_type", "user_id", "value")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((64L - nForget, 125L * (64 - nForget), 64L - nForget)), s"got $r")
+    assert((r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)) ==
+      ((0L, 0L, 0L, nForget.toLong)), s"got $r")
+  }
+
+  // ---------------------------------------------------------------- q251
+
+  test("law: q251 a single-cell stream peaks there with ppm 1e6; " +
+    "epoch day 2 (1970-01-03, a Saturday) lands dow 5 ⇒ weekend 1e6") {
+    val rows = (1 to 5).map(i =>
+      (Timestamp.from(java.time.Instant.ofEpochSecond(
+        2L * 86400L + 5L * 3600L + i)), "click"))
+    val got = EventQueries.seasonalityCore(
+      rows.toDF("ts", "event_type")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)) ==
+      ((5L, 5L, 1000000L, 1000000L)), s"got $r")
+  }
+
   // ------------------------------------------------- 2^40 key audit
 
   test("law: encoded rank keys are id-exact for ids ≥ 2^33 — a big-id " +
