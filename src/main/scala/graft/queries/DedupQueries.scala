@@ -3627,9 +3627,10 @@ object DedupQueries {
     // This query runs the estimator AND the exact hashed-shingle
     // Jaccard side by side (err_ppm), calibrating the sketch before a
     // deployment trusts it where the exact path is unaffordable.
-    // Scale shape: ONE distinct exchange of (source, h) — checkpointed
-    // DISK_ONLY for its two consumers (per-source sketch+count; per-h
-    // source sets) per the q210 rule; the exact intersection is a
+    // Scale shape: the distinct (source, h) subtree is recomputed per
+    // consumer (per-source sketch+count; per-h source sets) — the r11
+    // A/B measured recompute faster than a DISK_ONLY barrier at every
+    // replica scale (see kmvOverlapCore); the exact intersection is a
     // bucket-collect (collect_set bounded by |sources|, pairs via
     // combinations2 — never a corpus self-join); sketches and the 190
     // pair rows ride a broadcast self-cross of the |sources|-row
@@ -3792,6 +3793,14 @@ object DedupQueries {
   private[graft] def kmvOverlapCore(
       d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import graft.functions.{Aggregators, ArrayOps}
+    // NO checkpoint between the distinct and its two consumers: the
+    // r11 A/B (sf0.1 / 100x / 1000x skew replicas) measured recompute
+    // faster at every scale (4.0 vs 5.0 s, 14.6 vs 14.4, 61.9 vs 65.7)
+    // — the shingle+hash+distinct pipeline is codegen'd scan work,
+    // cheaper than a DISK_ONLY materialization barrier of the
+    // corpus-distinct rows plus its serial write (the q210 rule cuts
+    // the other way here because both consumers are CHEAP aggregates
+    // of the distinct, not join probes over it).
     val hv = d
       .select(col("source"),
         explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
@@ -3799,8 +3808,6 @@ object DedupQueries {
       .select(col("source"),
         call_function("md5_prefix64", col("sh")).as("h"))
       .distinct()
-      .localCheckpoint(true,
-        org.apache.spark.storage.StorageLevel.DISK_ONLY)
     val minK = udaf(new Aggregators.MinKAgg(128),
       org.apache.spark.sql.Encoders.scalaLong)
     val agg = hv.groupBy("source")
