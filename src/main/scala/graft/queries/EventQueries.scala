@@ -1530,11 +1530,11 @@ object EventQueries {
       """WITH e AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day
         |           FROM events),
         |dc0 AS (SELECT event_type, day, count(*) AS c FROM e GROUP BY 1, 2),
-        |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM dc0),
+        |span AS (SELECT event_type, min(day) AS d0, max(day) AS d1
+        |         FROM dc0 GROUP BY 1),
         |spine AS (
-        |  SELECT t.event_type, g.day
-        |  FROM (SELECT DISTINCT event_type FROM dc0) t
-        |  CROSS JOIN (SELECT unnest(range(d0, d1 + 1)) AS day FROM span) g),
+        |  SELECT s.event_type, g.day
+        |  FROM span s, unnest(range(s.d0, s.d1 + 1)) g(day)),
         |dc AS (
         |  SELECT s.event_type, s.day, CAST(coalesce(dc0.c, 0) AS BIGINT) AS c
         |  FROM spine s LEFT JOIN dc0
@@ -1882,9 +1882,11 @@ object EventQueries {
         expr("unix_micros(ts) div 86400000000").as("day"))
       .groupBy("event_type", "day").agg(count(lit(1)).as("c"))
       .localCheckpoint(true) // tiny (types × active days); 3 consumers
-    val spine = dc0.select("event_type").distinct()
-      .crossJoin(broadcast(
-        dc0.agg(min("day").as("d0"), max("day").as("d1"))))
+    // per-TYPE day span (matches the streaming twin cusumStream, whose
+    // keyed state can only see its own type's history): each type's
+    // spine runs over its own observed first..last day, gaps as zeros
+    val spine = dc0.groupBy("event_type")
+      .agg(min("day").as("d0"), max("day").as("d1"))
       .select(col("event_type"),
         explode(sequence(col("d0"), col("d1"))).as("day"))
     val dc = spine.join(dc0, Seq("event_type", "day"), "left")

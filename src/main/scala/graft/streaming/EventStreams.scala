@@ -695,4 +695,55 @@ object EventStreams {
             kept.size.toLong, kept.map(_.toks).sum,
             kept.map(_.event_id).min, kept.head.ts_us))
       }(es, e2)
+
+  final case class DayEv(event_type: String, ts_us: Long)
+  final case class CusumRow(event_type: String, n_days: Long, total: Long,
+      t_star: Long, direction: Long, cusum_ppm: Long)
+
+  /** Streaming CUSUM drift monitor — the stream twin of q243: per event
+    * type, maintain the (day → count) histogram in state and emit the
+    * CURRENT changepoint (peak |S_t·D| = |D·P_t − t·T| over the gap-filled
+    * day spine, earliest-day tie-break) on every trigger. State is one
+    * map per type bounded by the OBSERVED DAY SPAN — days, not events —
+    * so a 100 TB/day stream carries the same state as a trickle. The
+    * final emitted row per type equals the batch q243 output on the same
+    * prefix exactly (integer arithmetic identical; StreamingSpec pins the
+    * equivalence under split delivery). */
+  def cusumStream(evs: Dataset[DayEv])(
+      implicit e1: org.apache.spark.sql.Encoder[Map[Long, Long]],
+      e2: org.apache.spark.sql.Encoder[CusumRow],
+      e3: org.apache.spark.sql.Encoder[String])
+      : Dataset[CusumRow] =
+    evs.groupByKey(_.event_type)(e3)
+      .mapGroupsWithState[Map[Long, Long], CusumRow](
+        GroupStateTimeout.NoTimeout()) {
+        (typ: String, it: Iterator[DayEv],
+            state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            val day = e.ts_us / 86400000000L
+            m = m.updated(day, m.getOrElse(day, 0L) + 1L)
+          }
+          state.update(m)
+          val d0 = m.keys.min
+          val d1 = m.keys.max
+          val dd = d1 - d0 + 1
+          val tt = m.valuesIterator.sum
+          var p = 0L
+          var bestAbs = -1L
+          var bestT = 1L
+          var bestSd = 0L
+          var t = 0L
+          var day = d0
+          while (day <= d1) {
+            t += 1
+            p += m.getOrElse(day, 0L)
+            val sd = dd * p - t * tt
+            val a = math.abs(sd)
+            if (a > bestAbs) { bestAbs = a; bestT = t; bestSd = sd }
+            day += 1
+          }
+          CusumRow(typ, dd, tt, bestT,
+            if (bestSd >= 0) 1L else -1L, bestAbs * 1000000L / (dd * tt))
+      }(e1, e2)
 }

@@ -953,4 +953,44 @@ class StreamingSpec extends SparkSpec {
     // every emission along the way stayed batch-consistent (never {A, Y})
     assert(got.asScala.forall(p => p.first_kept_event != 1L))
   }
+
+  test("cusumStream: the final per-type emission equals the q243 batch " +
+    "changepoint on the same events, under 3-slice split delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => EventStreams.DayEv(r.getString(0), r.getLong(1))).toSeq
+    val batch = graft.queries.EventQueries
+      .cusumChangepointCore(Tables.events(spark, sf))
+      .collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    val mem = MemoryStream[EventStreams.DayEv]
+    val last = new java.util.concurrent.atomic.AtomicReference[
+      Map[String, (Long, Long, Long, Long, Long)]](Map.empty)
+    val q = EventStreams.cusumStream(mem.toDS()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          EventStreams.CusumRow], _: Long) =>
+        val m = df.collect().map(r => r.event_type ->
+          (r.n_days, r.total, r.t_star, r.direction, r.cusum_ppm)).toMap
+        if (m.nonEmpty) last.set(last.get ++ m)
+      }
+      .start()
+    try {
+      // deliver in timestamp order so the final trigger's state sees
+      // every event exactly once (exactly-once within the query; the
+      // producer-side dedup is q65's job upstream)
+      val ordered = rows.sortBy(_.ts_us)
+      val third = ordered.size / 3
+      mem.addData(ordered.take(third)); q.processAllAvailable()
+      mem.addData(ordered.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(ordered.drop(2 * third)); q.processAllAvailable()
+      assert(last.get == batch,
+        s"stream=${last.get.toSeq.sorted.take(3)} " +
+          s"batch=${batch.toSeq.sorted.take(3)}")
+    } finally q.stop()
+  }
 }
