@@ -3784,8 +3784,171 @@ object DedupQueries {
         |FROM (SELECT qid, unnest([16, 32]) AS dims,
         |             unnest([h16, h32]) AS hits FROM hits) t
         |ORDER BY qid, dims""".stripMargin
-    ) { (s, d) => matryoshkaRecallCore(emb(s, d)) }
+    ) { (s, d) => matryoshkaRecallCore(emb(s, d)) },
+
+    // CENTROID SPLIT-DRIFT — is the embedding column STABLE under
+    // sampling? Per label, the corpus splits into two deterministic
+    // hash halves and the squared L2 distance between the halves'
+    // centroids is reported in exact integer milli-units: coordinates
+    // quantize to round(v·1e4) (sums exact), per-dim means floor to
+    // milli-units BEFORE differencing (mA = 1000·ΣqA div nA ≤ 5e6, so
+    // Σ(mA−mB)² ≤ 64·1e14 — corpus-independent), so the statistic is
+    // engine-exact at any scale. A healthy column drifts ~1/√n; a label
+    // whose halves disagree is under-sampled or bimodal — the audit a
+    // k-NN labeler (q224) runs before trusting per-label centroids.
+    // Scale shape: ONE corpus exchange into (label, half, dim) partial
+    // sums via posexplode (map-side combine); everything after is
+    // |labels|·128 rows.
+    Q(
+      "q252_centroid_drift",
+      """WITH e AS (SELECT vec_id, label, embedding,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef',
+        |              substr(md5('cd|' || CAST(vec_id AS VARCHAR)), j, 1))
+        |            - 1) * 16.0 ** (8 - j))) AS BIGINT) % 2 = 0 AS half_a
+        |  FROM embeddings),
+        |q AS (SELECT label, half_a, i.i AS dim,
+        |        CAST(round(CAST(embedding[i.i] AS DOUBLE) * 10000)
+        |          AS BIGINT) AS qv
+        |      FROM e, (SELECT unnest(range(1, 65)) AS i) i),
+        |s AS (SELECT label, half_a, dim, CAST(sum(qv) AS BIGINT) AS sq,
+        |        CAST(count(*) AS BIGINT) AS n
+        |      FROM q GROUP BY 1, 2, 3),
+        |m AS (SELECT label, dim,
+        |        max(CASE WHEN half_a THEN (sq * 1000) // n END) AS ma,
+        |        max(CASE WHEN NOT half_a THEN (sq * 1000) // n END) AS mb,
+        |        max(CASE WHEN half_a THEN n END) AS na,
+        |        max(CASE WHEN NOT half_a THEN n END) AS nb
+        |      FROM s GROUP BY 1, 2),
+        |mb AS (SELECT * FROM m WHERE na IS NOT NULL AND nb IS NOT NULL)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(max(na) AS BIGINT) AS n_a, CAST(max(nb) AS BIGINT) AS n_b,
+        |  CAST(sum((ma - mb) * (ma - mb)) AS BIGINT) AS drift_sq,
+        |  CAST(count(*) AS BIGINT) AS dims
+        |FROM mb GROUP BY 1 ORDER BY label""".stripMargin
+    ) { (s, d) => centroidDriftCore(emb(s, d)) },
+
+    // DUP-CHAIN DEPTH — how do near-dups reach their canonical: one hop
+    // (a template family, cheap to collapse) or long scrape-of-scrape
+    // chains (each hop degraded, canonical quality uncertain)? BFS
+    // distance from each connected component's canonical (its min id =
+    // the CC label) over the degree-bounded edge graph, histogrammed;
+    // depth caps at 8 (deeper chains bucket as 9, mirrored in the
+    // oracle's recursion guard), singletons (no edges) count at depth 0.
+    // Scale shape: the iterative frontier expansion follows the
+    // GraphOps doctrine — each round joins the previous frontier
+    // (shrinking) against the checkpointed edge RDD and eagerly
+    // checkpoints, ≤ 8 rounds; state per round is node-scale.
+    Q(
+      "q253_chain_depth",
+      s"""WITH RECURSIVE pairs AS ($rpEdgesSql),
+        |und AS (SELECT id_a AS src, id_b AS dst FROM pairs
+        |        UNION ALL SELECT id_b, id_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT src, src FROM (SELECT DISTINCT src FROM und) t
+        |  UNION
+        |  SELECT u.src, rc.r FROM und u JOIN reach rc ON rc.id = u.dst),
+        |grp AS (SELECT id, min(r) AS lbl FROM reach GROUP BY id),
+        |dist(v, dd) AS (
+        |  SELECT DISTINCT lbl, 0 FROM grp
+        |  UNION
+        |  SELECT u.dst, dist.dd + 1 FROM dist JOIN und u ON u.src = dist.v
+        |  WHERE dist.dd < 8),
+        |md AS (SELECT v, CAST(min(dd) AS BIGINT) AS d FROM dist GROUP BY v),
+        |alld AS (
+        |  SELECT g.id, coalesce(md.d, 9) AS d
+        |  FROM grp g LEFT JOIN md ON md.v = g.id
+        |  UNION ALL
+        |  SELECT e.vec_id, 0 FROM embeddings e
+        |  WHERE e.vec_id NOT IN (SELECT id FROM grp))
+        |SELECT CAST(d AS BIGINT) AS depth, CAST(count(*) AS BIGINT) AS n_docs
+        |FROM alld GROUP BY d ORDER BY depth""".stripMargin
+    ) { (s, d) =>
+      chainDepthCore(s, rpEdges(s, d),
+        emb(s, d).select(col("vec_id")))
+    }
   )
+
+  /** q252 core over any (vec_id, label, embedding) frame. Factored for
+    * crafted drift laws (two identical halves drift 0; a planted
+    * constant offset drifts exactly 64·(1000·offset·1e4/1e3)² …). */
+  private[graft] def centroidDriftCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    // half_a computes in its own Project BELOW the Generate: fused into
+    // the posexplode select, Spark's generator extraction parks the
+    // expression in the Project ABOVE it — one md5 per EXPLODED row,
+    // a 64x hash amplification (measured 14x-per-decade super-linear at
+    // the 1000x replica; 6.2x linear after the split)
+    e.select(col("label"),
+        (pmod(call_function("md5_prefix64",
+          concat(lit("cd|"), col("vec_id").cast("string"))), lit(2)) === 0)
+          .as("half_a"),
+        col("embedding"))
+      .select(col("label"), col("half_a"),
+        posexplode(col("embedding")).as(Seq("dim0", "v")))
+      .select(col("label"), col("half_a"), (col("dim0") + 1).as("dim"),
+        expr("cast(round(cast(v as double) * 10000) as bigint)").as("qv"))
+      .groupBy("label", "half_a", "dim")
+      .agg(sum("qv").as("sq"), count(lit(1)).as("n"))
+      .groupBy("label", "dim")
+      .agg(
+        max(when(col("half_a"), expr("(sq * 1000) div n"))).as("ma"),
+        max(when(!col("half_a"), expr("(sq * 1000) div n"))).as("mb"),
+        max(when(col("half_a"), col("n"))).as("na"),
+        max(when(!col("half_a"), col("n"))).as("nb"))
+      // a label entirely in one half has no drift to measure
+      .filter(col("na").isNotNull && col("nb").isNotNull)
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(max("na").cast("long").as("n_a"),
+        max("nb").cast("long").as("n_b"),
+        sum((col("ma") - col("mb")) * (col("ma") - col("mb")))
+          .cast("long").as("drift_sq"),
+        count(lit(1)).cast("long").as("dims"))
+      .orderBy("label")
+
+  /** q253 core: BFS depth-from-canonical over a unique (id_a < id_b)
+    * edge frame plus the node universe. Factored for crafted chain laws
+    * (a 4-node path has depths 0,1,2,3; a star has all 1s; an isolated
+    * node is depth 0). */
+  private[graft] def chainDepthCore(s: org.apache.spark.sql.SparkSession,
+      edges: org.apache.spark.sql.DataFrame,
+      universe: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val und = edges.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(edges.select(col("id_b"), col("id_a")))
+      .localCheckpoint(true) // re-probed every BFS round
+    val grp = graft.functions.GraphOps
+      .connectedComponents(edges, "id_a", "id_b")
+      .localCheckpoint(true)
+    var visited = grp.select(col("lbl").as("id")).distinct()
+      .withColumn("d", lit(0L)).localCheckpoint(true)
+    var frontier = visited
+    var round = 1L
+    var done = false
+    while (round <= 8 && !done) {
+      val nxt = frontier.join(und, frontier("id") === und("src"))
+        .select(col("dst").as("id")).distinct()
+        .join(visited, Seq("id"), "left_anti")
+        .withColumn("d", lit(round))
+        .localCheckpoint(true)
+      if (nxt.isEmpty) done = true
+      else {
+        visited = visited.union(nxt).localCheckpoint(true)
+        frontier = nxt
+        round += 1
+      }
+    }
+    val inGraph = grp.select("id")
+      .join(visited, Seq("id"), "left")
+      .select(col("id"), coalesce(col("d"), lit(9L)).as("d"))
+    val singletons = universe.select(col("vec_id").as("id"))
+      .join(grp.select("id"), Seq("id"), "left_anti")
+      .withColumn("d", lit(0L))
+    inGraph.union(singletons)
+      .groupBy(col("d").cast("long").as("depth"))
+      .agg(count(lit(1)).cast("long").as("n_docs"))
+      .orderBy("depth")
+  }
 
   /** q240 core over any (source, text) frame. Factored for crafted
     * sketch laws (two textually identical sources estimate AND measure

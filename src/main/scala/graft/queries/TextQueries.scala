@@ -1591,8 +1591,69 @@ object TextQueries {
         |  CAST(sum(n) AS BIGINT) AS n_bigrams,
         |  CAST(sum(rep) AS BIGINT) AS rep_sum
         |FROM r GROUP BY 1, 2 ORDER BY source, bucket""".stripMargin
-    ) { (s, d) => charDiversityCore(docs(s, d)) }
+    ) { (s, d) => charDiversityCore(docs(s, d)) },
+
+    // VOCABULARY COVERAGE (Good–Turing) — how much of a source's
+    // shingle vocabulary remains UNSEEN: the Turing estimator says the
+    // probability mass of never-observed types ≈ f₁/N (singleton share)
+    // — the classic "is this crawl exhausted or barely scratched"
+    // pre-flight before budgeting more acquisition from a source. Also
+    // reports the type-token ratio. One corpus exchange into (source,
+    // hash) counts with map-side collapse — shingles hash to 32-bit
+    // md5_prefix64 BEFORE the exchange (the fixed-width rule: a shuffle
+    // carrying computed strings is a memory landmine; counting needs
+    // only equality, and the oracle hashes identically so the gate
+    // stays exact). The per-source rollup is vocabulary-scale. Integer
+    // envelope: f₁·1e6 exact through 9.2e12 singletons per source;
+    // at ≥2^32 distinct shingles the 32-bit space saturates both
+    // engines identically (q240 note).
+    Q(
+      "q254_vocab_coverage",
+      """WITH shr AS (
+        |  SELECT source, unnest(list_transform(range(1, len(ws) - 1),
+        |           i -> array_to_string(ws[i:i+2], ' '))) AS s
+        |  FROM (SELECT source, string_split(text, ' ') AS ws
+        |        FROM documents) t),
+        |hv AS (
+        |  SELECT source,
+        |    CAST(list_sum(list_transform(range(1, 9),
+        |      j -> (strpos('0123456789abcdef', substr(md5(s), j, 1)) - 1)
+        |           * 16.0 ** (8 - j))) AS BIGINT) AS h
+        |  FROM shr),
+        |f AS (SELECT source, h, CAST(count(*) AS BIGINT) AS c
+        |      FROM hv GROUP BY 1, 2),
+        |g AS (SELECT source, CAST(sum(c) AS BIGINT) AS n,
+        |        CAST(count(*) AS BIGINT) AS v,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |          AS f1
+        |      FROM f GROUP BY 1)
+        |SELECT source, n, v, f1,
+        |  CAST(f1 * 1000000 // n AS BIGINT) AS unseen_ppm,
+        |  CAST(v * 1000000 // n AS BIGINT) AS ttr_ppm
+        |FROM g ORDER BY source""".stripMargin
+    ) { (s, d) => goodTuringCore(docs(s, d)) }
   )
+
+  /** q254 core over any (source, text) frame. Factored for crafted
+    * coverage laws (an all-repeats source has f₁ = 0; an all-unique
+    * source has unseen_ppm = ttr_ppm = 1e6). */
+  private[graft] def goodTuringCore(
+      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    d.select(col("source"),
+        explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+          .as("sh"))
+      .select(col("source"),
+        call_function("md5_prefix64", col("sh")).as("h"))
+      .groupBy("source", "h")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("source")
+      .agg(sum("c").cast("long").as("n"),
+        count(lit(1)).cast("long").as("v"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("f1"))
+      .selectExpr("source", "n", "v", "f1",
+        "(f1 * 1000000) div n as unseen_ppm",
+        "(v * 1000000) div n as ttr_ppm")
+      .orderBy("source")
 
   /** q244 core over any (source, text) frame. Factored for crafted
     * complexity laws (a one-word doc of v vowel groups grades at

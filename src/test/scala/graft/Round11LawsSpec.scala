@@ -340,6 +340,71 @@ class Round11LawsSpec extends SparkSpec {
       ((5L, 5L, 1000000L, 1000000L)), s"got $r")
   }
 
+  // ---------------------------------------------------------------- q252
+
+  private def halfA(id: Long): Boolean =
+    graft.plans.Md5Prefix64.hash(
+      org.apache.spark.unsafe.types.UTF8String.fromString(s"cd|$id")
+    ) % 2 == 0
+
+  test("law: q252 identical halves drift 0; a planted constant offset " +
+    "of 0.1 per dim drifts exactly dims·(1e6)² in milli² units") {
+    val ids = 0L until 64L
+    val (as, bs) = ids.partition(halfA)
+    assert(as.size >= 2 && bs.size >= 2, s"fixture: ${as.size}/${bs.size}")
+    // label 0: both halves at the same point -> drift 0
+    val same = (as.take(2) ++ bs.take(2)).map(id =>
+      (id, 0, Seq(0.3f, 0.3f, 0.3f, 0.3f)))
+    // label 1: half A at 0.1, half B at 0.2 -> per-dim milli delta 1e6
+    val off = as.drop(2).take(2).map(id =>
+      (id, 1, Seq(0.1f, 0.1f, 0.1f, 0.1f))) ++
+      bs.drop(2).take(2).map(id => (id, 1, Seq(0.2f, 0.2f, 0.2f, 0.2f)))
+    val got = DedupQueries.centroidDriftCore(
+      (same ++ off).toDF("vec_id", "label", "embedding")).collect()
+    assert(got.length == 2)
+    val m = got.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(m(0L) == ((2L, 2L, 0L, 4L)), s"got ${m(0L)}")
+    assert(m(1L) == ((2L, 2L, 4L * 1000000L * 1000000L, 4L)),
+      s"got ${m(1L)}")
+  }
+
+  // ---------------------------------------------------------------- q253
+
+  test("law: q253 a 4-node path from its canonical has depths 0,1,2,3; " +
+    "isolated nodes land at depth 0") {
+    val e = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("id_a", "id_b")
+    val uni = Seq(1L, 2L, 3L, 4L, 5L).toDF("vec_id")
+    val got = DedupQueries.chainDepthCore(spark, e, uni).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(0L -> 2L, 1L -> 1L, 2L -> 1L, 3L -> 1L), s"$got")
+  }
+
+  test("law: q253 depth caps at 8 — a 12-node chain buckets its three " +
+    "deepest nodes at 9 (mirroring the oracle's recursion guard)") {
+    val e = (1L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val uni = (1L to 12L).toDF("vec_id")
+    val got = DedupQueries.chainDepthCore(spark, e, uni).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val expect = (0L to 8L).map(d => d -> 1L).toMap + (9L -> 3L)
+    assert(got == expect, s"$got")
+  }
+
+  // ---------------------------------------------------------------- q254
+
+  test("law: q254 an all-unique source reads unseen = ttr = 1e6; an " +
+    "all-repeats source reads unseen 0") {
+    val rows = Seq(
+      ("u", "a b c d e"), // 3 distinct shingles, all singletons
+      ("r", "x x x x x")) // one shingle type, count 3
+    val got = TextQueries.goodTuringCore(
+      rows.toDF("source", "text")).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(got("u") == ((3L, 3L, 3L, 1000000L, 1000000L)), s"$got")
+    assert(got("r") == ((3L, 1L, 0L, 0L, 333333L)), s"$got")
+  }
+
   // ------------------------------------------------- 2^40 key audit
 
   test("law: encoded rank keys are id-exact for ids ≥ 2^33 — a big-id " +

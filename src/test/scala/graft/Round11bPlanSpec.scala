@@ -68,6 +68,34 @@ class Round11bPlanSpec extends SparkSpec {
     assert("\\(\\d+\\) ObjectHashAggregate".r.findAllIn(p).size == 2, p) // partial+final
   }
 
+  test("q252 centroid drift: ONE corpus scan, the posexplode collapses " +
+    "map-side into (label, half, dim) partial sums — no Window, no " +
+    "join, three bounded rollups above it") {
+    val p = plan("q252_centroid_drift")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert("\\(\\d+\\) Generate".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q253 chain depth: the BFS ran at construction — the final plan " +
+    "unions checkpointed node sets with ONE parquet scan (the isolated-" +
+    "node universe); no Window, no Generate") {
+    val p = plan("q253_chain_depth")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Window"), p)
+    assert(!p.contains("Generate"), p)
+  }
+
+  test("q254 vocab coverage: shingles hash to fixed width BEFORE the " +
+    "exchange (no computed strings on the wire) — one scan, the " +
+    "(source, h) partial agg below the first exchange") {
+    val p = plan("q254_vocab_coverage")
+    assert("\\(\\d+\\) Scan parquet".r.findAllIn(p).size == 1, p)
+    assert(p.contains("md5_prefix64"), p)
+    assert(!p.contains("Window"), p)
+  }
+
   test("q242 burstiness: the corpus crosses the wire once — the first " +
     "exchange keys (user, type, hour) with a map-side partial agg " +
     "below it; later exchanges are user-scale") {

@@ -30,7 +30,7 @@ BASELINE = os.path.join(HERE, "bench_baseline_sf0.01.json")
 
 # iterative queries: per-round driver actions make small fixed regressions
 # compound; hold them to 1.5x instead of 3x
-STRICT = {"q92_dedup_groups"}
+STRICT = {"q92_dedup_groups", "q253_chain_depth"}
 
 
 def short(name):
