@@ -3866,8 +3866,172 @@ object DedupQueries {
     ) { (s, d) =>
       chainDepthCore(s, rpEdges(s, d),
         emb(s, d).select(col("vec_id")))
-    }
+    },
+
+    // SQ BIT-WIDTH SWEEP — q233 answers "is int8 good enough"; the
+    // capacity question is WHERE the cliff is: recall@10 of 4-, 6- and
+    // 8-bit per-dim affine quantization against exact-dot truth, in
+    // ONE corpus pass — the three quantized dot keys plus the truth key
+    // are four fused MinKAgg gathers in one groupBy(qid) (the
+    // q238/q247 rule: never a window over corpus-scale partitions).
+    // Quantized dots are exact integers; the truth key is the rounded
+    // double dot; all keys ride 2^40 id encoding. At 4 bits the grid
+    // has 15 levels — the recall drop IS the answer the index designer
+    // needs before picking a memory budget.
+    Q(
+      "q257_sq_bits_sweep",
+      """WITH rng AS (
+        |  SELECT i, min(embedding[i + 1]) AS mn, max(embedding[i + 1])
+        |    AS mx
+        |  FROM embeddings, range(0, 64) r(i) GROUP BY i),
+        |rr AS (SELECT list(mn ORDER BY i) AS mns, list(mx ORDER BY i)
+        |    AS mxs FROM rng),
+        |qz AS (
+        |  SELECT e.vec_id,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN rr.mxs[i] > rr.mns[i] THEN
+        |        CAST(round((CAST(e.embedding[i] AS DOUBLE) - rr.mns[i])
+        |          * 14 / (rr.mxs[i] - rr.mns[i])) AS BIGINT) - 7
+        |      ELSE 0 END) AS q4,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN rr.mxs[i] > rr.mns[i] THEN
+        |        CAST(round((CAST(e.embedding[i] AS DOUBLE) - rr.mns[i])
+        |          * 62 / (rr.mxs[i] - rr.mns[i])) AS BIGINT) - 31
+        |      ELSE 0 END) AS q6,
+        |    list_transform(range(1, 65), i ->
+        |      CASE WHEN rr.mxs[i] > rr.mns[i] THEN
+        |        CAST(round((CAST(e.embedding[i] AS DOUBLE) - rr.mns[i])
+        |          * 254 / (rr.mxs[i] - rr.mns[i])) AS BIGINT) - 127
+        |      ELSE 0 END) AS q8
+        |  FROM embeddings e, rr),
+        |probes AS (SELECT vec_id AS qid, embedding AS qv
+        |  FROM embeddings WHERE vec_id >= 10 AND vec_id < 26),
+        |pq AS (SELECT q.vec_id AS qid, q.q4 AS pq4, q.q6 AS pq6,
+        |         q.q8 AS pq8
+        |       FROM qz q JOIN probes p ON p.qid = q.vec_id),
+        |sc AS (
+        |  SELECT p.qid, e.vec_id,
+        |    CAST(round(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) *
+        |           CAST(p.qv[i] AS DOUBLE))) * 10000) AS BIGINT) AS rq,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(z.q4[i] AS DOUBLE) * CAST(w.pq4[i] AS DOUBLE)))
+        |      AS BIGINT) AS d4,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(z.q6[i] AS DOUBLE) * CAST(w.pq6[i] AS DOUBLE)))
+        |      AS BIGINT) AS d6,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(z.q8[i] AS DOUBLE) * CAST(w.pq8[i] AS DOUBLE)))
+        |      AS BIGINT) AS d8
+        |  FROM probes p
+        |  JOIN embeddings e ON e.vec_id != p.qid
+        |  JOIN qz z ON z.vec_id = e.vec_id
+        |  JOIN pq w ON w.qid = p.qid),
+        |bf AS (SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY rq DESC, vec_id) <= 10),
+        |t4 AS (SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY d4 DESC, vec_id) <= 10),
+        |t6 AS (SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY d6 DESC, vec_id) <= 10),
+        |t8 AS (SELECT qid, vec_id FROM sc
+        |  QUALIFY row_number() OVER (PARTITION BY qid
+        |    ORDER BY d8 DESC, vec_id) <= 10),
+        |hits AS (
+        |  SELECT b.qid,
+        |    CAST(count(x4.vec_id) AS BIGINT) AS h4,
+        |    CAST(count(x6.vec_id) AS BIGINT) AS h6,
+        |    CAST(count(x8.vec_id) AS BIGINT) AS h8
+        |  FROM bf b
+        |  LEFT JOIN t4 x4 ON x4.qid = b.qid AND x4.vec_id = b.vec_id
+        |  LEFT JOIN t6 x6 ON x6.qid = b.qid AND x6.vec_id = b.vec_id
+        |  LEFT JOIN t8 x8 ON x8.qid = b.qid AND x8.vec_id = b.vec_id
+        |  GROUP BY b.qid)
+        |SELECT CAST(qid AS BIGINT) AS qid, CAST(bits AS BIGINT) AS bits,
+        |  hits, CAST(hits * 100000 AS BIGINT) AS recall_ppm
+        |FROM (SELECT qid, unnest([4, 6, 8]) AS bits,
+        |        unnest([h4, h6, h8]) AS hits FROM hits) t
+        |ORDER BY qid, bits""".stripMargin
+    ) { (s, d) => sqBitsSweepCore(s, emb(s, d), ndcgProbes(s, d),
+        sqRanges(s, d)) }
   )
+
+  /** q257 core over any (vec_id, embedding) frame, probe seeds and
+    * per-dim ranges. Factored for crafted laws (a grid that every bit
+    * width represents exactly must recall 10/10 at 4, 6 and 8 bits). */
+  private[graft] def sqBitsSweepCore(s: org.apache.spark.sql.SparkSession,
+      e: org.apache.spark.sql.DataFrame,
+      probes: Seq[(Long, Seq[Float], Int)],
+      ranges: (Seq[Double], Seq[Double]))
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    import graft.functions.Aggregators
+    val (mns, mxs) = ranges
+    val mnL = typedLit(mns)
+    val mxL = typedLit(mxs)
+    val bitWidths = Seq(4, 6, 8)
+    def levels(b: Int): Long = (1L << b) - 2L
+    def quantize(v: org.apache.spark.sql.Column, b: Int) =
+      org.apache.spark.sql.functions.transform(v, (x, i) => {
+        val mn = element_at(mnL, i + 1)
+        val mx = element_at(mxL, i + 1)
+        when(mx > mn,
+          round((x.cast("double") - mn) * levels(b) / (mx - mn))
+            .cast("long") - (levels(b) / 2)).otherwise(0L).cast("double")
+      })
+    val quantizedProbes = probes.map { case (qid, qv, _) =>
+      val qs = bitWidths.map { b =>
+        qv.indices.map { i =>
+          if (mxs(i) > mns(i))
+            (BigDecimal(
+              (qv(i).toDouble - mns(i)) * levels(b) / (mxs(i) - mns(i)))
+              .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+              - levels(b) / 2).toDouble
+          else 0d
+        }
+      }
+      (qid, qv, qs(0), qs(1), qs(2))
+    }
+    val probesDf = broadcast(
+      quantizedProbes.toDF("qid", "qv", "pq4", "pq6", "pq8"))
+    val M = 1099511627776L // 2^40 (id-exact to 1.1e12 ids — r11 audit)
+    val minK10 = udaf(new Aggregators.MinKAgg(10),
+      org.apache.spark.sql.Encoders.scalaLong)
+    def ids(c: org.apache.spark.sql.Column) =
+      transform(c, k => pmod(k, lit(M)))
+    e.select(col("vec_id"), col("embedding"),
+        quantize(col("embedding"), 4).as("q4"),
+        quantize(col("embedding"), 6).as("q6"),
+        quantize(col("embedding"), 8).as("q8"))
+      .crossJoin(probesDf)
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"),
+        (expr("cast(round(dot_product(embedding, qv) * 10000) AS bigint)")
+          * lit(-M) + col("vec_id")).as("bfk"),
+        (expr("cast(dot_product(q4, pq4) AS bigint)")
+          * lit(-M) + col("vec_id")).as("k4"),
+        (expr("cast(dot_product(q6, pq6) AS bigint)")
+          * lit(-M) + col("vec_id")).as("k6"),
+        (expr("cast(dot_product(q8, pq8) AS bigint)")
+          * lit(-M) + col("vec_id")).as("k8"))
+      .groupBy("qid")
+      .agg(minK10(col("bfk")).as("bf"), minK10(col("k4")).as("t4"),
+        minK10(col("k6")).as("t6"), minK10(col("k8")).as("t8"))
+      .select(col("qid"),
+        size(array_intersect(ids(col("bf")), ids(col("t4"))))
+          .cast("long").as("h4"),
+        size(array_intersect(ids(col("bf")), ids(col("t6"))))
+          .cast("long").as("h6"),
+        size(array_intersect(ids(col("bf")), ids(col("t8"))))
+          .cast("long").as("h8"))
+      .selectExpr("qid",
+        "stack(3, 4L, h4, 6L, h6, 8L, h8) as (bits, hits)")
+      .select(col("qid"), col("bits"), col("hits"),
+        (col("hits") * 100000L).as("recall_ppm"))
+      .orderBy("qid", "bits")
+  }
 
   /** q252 core over any (vec_id, label, embedding) frame. Factored for
     * crafted drift laws (two identical halves drift 0; a planted

@@ -1726,8 +1726,78 @@ object EventQueries {
         |  CAST(t.wknd * 1000000 // t.t AS BIGINT) AS weekend_ppm
         |FROM pk p JOIN tot t USING (event_type) WHERE p.r = 1
         |ORDER BY p.event_type""".stripMargin
-    ) { (s, d) => seasonalityCore(ev(s, d)) }
+    ) { (s, d) => seasonalityCore(ev(s, d)) },
+
+    // VALUE-QUANTILE DRIFT — metric pipelines break silently when the
+    // VALUE distribution moves even while counts stay flat. Per week:
+    // exact type-1 quantiles (p25/p50/p75) of the cent-quantized value
+    // off the value HISTOGRAM (the q234 rule — quantiles ride a
+    // (week, value) count table, never a per-row sort), then the
+    // largest week-over-week jump per quantile and the week it
+    // happened. Integer-exact: q_p = min v with 100·cum ≥ p·n — no
+    // interpolation, both engines floor identically. Scale shape: ONE
+    // corpus exchange into the (week, cents) histogram with map-side
+    // collapse; the cumulative window runs per week over ≤ |distinct
+    // cents| rows; everything after is |weeks|·3 rows.
+    Q(
+      "q256_value_quantile_drift",
+      """WITH e AS (SELECT epoch_us(ts) // 604800000000 AS wk,
+        |             CAST(floor(value * 100) AS BIGINT) AS v FROM events),
+        |h AS (SELECT wk, v, CAST(count(*) AS BIGINT) AS c
+        |      FROM e GROUP BY 1, 2),
+        |n AS (SELECT wk, CAST(sum(c) AS BIGINT) AS n FROM h GROUP BY 1),
+        |cum AS (SELECT h.wk, h.v,
+        |          CAST(sum(h.c) OVER (PARTITION BY h.wk ORDER BY h.v)
+        |            AS BIGINT) AS cc, n.n
+        |        FROM h JOIN n USING (wk)),
+        |qs AS (SELECT wk, p.p,
+        |    min(CASE WHEN cc * 100 >= p.p * n THEN v END) AS q
+        |  FROM cum, (SELECT unnest([25, 50, 75]) AS p) p
+        |  GROUP BY 1, 2),
+        |dr AS (SELECT p, wk, q,
+        |    q - lag(q) OVER (PARTITION BY p ORDER BY wk) AS d
+        |  FROM qs),
+        |mx AS (SELECT p, CAST(max(abs(d)) AS BIGINT) AS max_drift
+        |       FROM dr WHERE d IS NOT NULL GROUP BY p),
+        |am AS (SELECT p, wk,
+        |    row_number() OVER (PARTITION BY p
+        |      ORDER BY abs(d) DESC, wk) AS r
+        |  FROM dr WHERE d IS NOT NULL)
+        |SELECT CAST(m.p AS BIGINT) AS pct, m.max_drift,
+        |  CAST(a.wk AS BIGINT) AS peak_week
+        |FROM mx m JOIN am a ON a.p = m.p AND a.r = 1
+        |ORDER BY pct""".stripMargin
+    ) { (s, d) => quantileDriftCore(ev(s, d)) }
   )
+
+  /** q256 core over any (ts, value) frame. Factored for crafted drift
+    * laws (identical weeks drift 0; one shifted week drifts exactly the
+    * planted offset at every quantile, peaking at that week). */
+  private[graft] def quantileDriftCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val h = e.select(expr("unix_micros(ts) div 604800000000").as("wk"),
+        expr("cast(floor(value * 100) as bigint)").as("v"))
+      .groupBy("wk", "v").agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // histogram-scale; cum + n consumers
+    val n = h.groupBy("wk").agg(sum("c").as("n"))
+    val wc = Window.partitionBy("wk").orderBy("v")
+    val cum = h.withColumn("cc", sum("c").over(wc))
+      .join(broadcast(n), "wk")
+    val qs = cum
+      .withColumn("p", explode(typedLit(Seq(25L, 50L, 75L))))
+      .groupBy("wk", "p")
+      .agg(min(when(col("cc") * 100 >= col("p") * col("n"), col("v")))
+        .as("q"))
+    val wd = Window.partitionBy("p").orderBy("wk")
+    val dr = qs.withColumn("d", col("q") - lag("q", 1).over(wd))
+      .filter(col("d").isNotNull)
+    val wr = Window.partitionBy("p").orderBy(abs(col("d")).desc, col("wk"))
+    dr.withColumn("r", row_number().over(wr)).filter(col("r") === 1)
+      .select(col("p").cast("long").as("pct"),
+        abs(col("d")).cast("long").as("max_drift"),
+        col("wk").cast("long").as("peak_week"))
+      .orderBy("pct")
+  }
 
   /** q248 core over any (ts?, user_id, event_type) frame (ts unused).
     * Factored for crafted test laws (a planted uniform effect drives

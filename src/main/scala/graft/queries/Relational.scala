@@ -500,6 +500,114 @@ object Relational {
             .as("key_of_min"),
           max("l_extendedprice").as("max_price"))
         .orderBy("l_returnflag")
+    },
+
+    // JOIN ADVISOR — the 100 TB pre-flight this repo's own doctrine
+    // runs by hand, as a query: for each planned join, the per-side key
+    // histograms give the EXACT output cardinality (Σ c_L(k)·c_R(k)),
+    // the worst single-key output mass, and a skew share — then the
+    // repo's measured strategy rules decide: broadcast under 100k rows,
+    // salt when one key alone would emit ≥ 1e6 rows (the AQE-skew /
+    // q113-salting territory), shuffled-hash under 2^18 rows (the
+    // bigJoin cutoff), else sort-merge. At gate SF everything is
+    // broadcast-sized; at the 1000x replica the events self-join flips
+    // to 'salt' — the advisory genuinely moves with the data. Scale
+    // shape: ONE exchange of all key sides (map-side collapse into
+    // per-key counts), a keyed histogram join, bounded rollups.
+    Q(
+      "q255_join_advisor",
+      """WITH sides AS (
+        |  SELECT 'orders_lineitem' AS jn, 'L' AS side, o_orderkey AS k
+        |  FROM orders
+        |  UNION ALL SELECT 'orders_lineitem', 'R', l_orderkey FROM lineitem
+        |  UNION ALL SELECT 'customer_orders', 'L', c_custkey FROM customer
+        |  UNION ALL SELECT 'customer_orders', 'R', o_custkey FROM orders
+        |  UNION ALL SELECT 'events_self', 'L', user_id FROM events
+        |  UNION ALL SELECT 'events_self', 'R', user_id FROM events),
+        |h AS (SELECT jn, side, k, CAST(count(*) AS BIGINT) AS c
+        |      FROM sides GROUP BY 1, 2, 3),
+        |st AS (SELECT jn, side, CAST(sum(c) AS BIGINT) AS n,
+        |         CAST(max(c) AS BIGINT) AS mx
+        |       FROM h GROUP BY 1, 2),
+        |fc AS (SELECT l.jn, CAST(sum(l.c * r.c) AS BIGINT) AS out_rows,
+        |         CAST(max(l.c * r.c) AS BIGINT) AS max_key_out
+        |       FROM (SELECT * FROM h WHERE side = 'L') l
+        |       JOIN (SELECT * FROM h WHERE side = 'R') r
+        |         ON l.jn = r.jn AND l.k = r.k
+        |       GROUP BY 1),
+        |w AS (SELECT sl.jn, sl.n AS n_left, sr.n AS n_right,
+        |        coalesce(f.out_rows, 0) AS out_rows,
+        |        coalesce(f.max_key_out, 0) AS max_key_out
+        |      FROM (SELECT * FROM st WHERE side = 'L') sl
+        |      JOIN (SELECT * FROM st WHERE side = 'R') sr ON sr.jn = sl.jn
+        |      LEFT JOIN fc f ON f.jn = sl.jn)
+        |SELECT jn AS join_name, n_left, n_right, out_rows, max_key_out,
+        |  CAST(CASE WHEN out_rows = 0 THEN 0
+        |    ELSE max_key_out * 1000000 // out_rows END AS BIGINT)
+        |    AS skew_ppm,
+        |  CASE WHEN least(n_left, n_right) <= 100000 THEN 'broadcast'
+        |       WHEN max_key_out >= 1000000 THEN 'salt'
+        |       WHEN least(n_left, n_right) <= 262144 THEN 'shuffle_hash'
+        |       ELSE 'merge' END AS decision
+        |FROM w ORDER BY join_name""".stripMargin
+    ) { (s, d) =>
+      val sides = Tables.orders(s, d)
+        .select(lit("orders_lineitem").as("jn"), lit("L").as("side"),
+          col("o_orderkey").as("k"))
+        .union(Tables.lineitem(s, d).select(lit("orders_lineitem"),
+          lit("R"), col("l_orderkey")))
+        .union(Tables.customer(s, d).select(lit("customer_orders"),
+          lit("L"), col("c_custkey")))
+        .union(Tables.orders(s, d).select(lit("customer_orders"),
+          lit("R"), col("o_custkey")))
+        .union(Tables.events(s, d).select(lit("events_self"),
+          lit("L"), col("user_id")))
+        .union(Tables.events(s, d).select(lit("events_self"),
+          lit("R"), col("user_id")))
+      joinAdvisorCore(sides)
     }
   )
+
+  /** q255 core over any (jn, side, k) frame. Factored for crafted
+    * decision laws (each strategy rule reachable with planted
+    * histograms). */
+  private[graft] def joinAdvisorCore(
+      sides: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val h = sides.groupBy("jn", "side", "k")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true) // key-histogram scale; st + fc consumers
+    val st = h.groupBy("jn", "side")
+      .agg(sum("c").as("n"))
+    val fc = h.filter(col("side") === "L")
+      .select(col("jn"), col("k"), col("c").as("cl"))
+      .join(h.filter(col("side") === "R")
+        .select(col("jn").as("jn2"), col("k").as("k2"),
+          col("c").as("cr")),
+        col("jn") === col("jn2") && col("k") === col("k2"))
+      .groupBy("jn")
+      .agg(sum(col("cl") * col("cr")).as("out_rows"),
+        max(col("cl") * col("cr")).as("max_key_out"))
+    st.filter(col("side") === "L")
+      .select(col("jn"), col("n").as("n_left"))
+      .join(st.filter(col("side") === "R")
+        .select(col("jn").as("j2"), col("n").as("n_right")),
+        col("jn") === col("j2"))
+      .join(fc, Seq("jn"), "left")
+      .select(col("jn").as("join_name"),
+        col("n_left").cast("long").as("n_left"),
+        col("n_right").cast("long").as("n_right"),
+        coalesce(col("out_rows"), lit(0L)).cast("long").as("out_rows"),
+        coalesce(col("max_key_out"), lit(0L)).cast("long")
+          .as("max_key_out"))
+      .selectExpr("join_name", "n_left", "n_right", "out_rows",
+        "max_key_out",
+        "case when out_rows = 0 then 0L" +
+          " else (max_key_out * 1000000) div out_rows end as skew_ppm",
+        "case when least(n_left, n_right) <= 100000 then 'broadcast'" +
+          " when max_key_out >= 1000000 then 'salt'" +
+          " when least(n_left, n_right) <= 262144 then 'shuffle_hash'" +
+          " else 'merge' end as decision")
+      .orderBy("join_name")
+  }
 }

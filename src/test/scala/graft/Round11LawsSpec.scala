@@ -405,6 +405,71 @@ class Round11LawsSpec extends SparkSpec {
     assert(got("r") == ((3L, 1L, 0L, 0L, 333333L)), s"$got")
   }
 
+  // ---------------------------------------------------------------- q255
+
+  test("law: q255 every strategy rule is reachable — broadcast (small " +
+    "side), salt (one hot key ≥ 1e6 pairs), shuffle_hash (mid), merge " +
+    "(both sides big); out_rows is the EXACT join cardinality") {
+    import org.apache.spark.sql.functions.{lit => l}
+    val s2 = spark
+    import s2.implicits._
+    def side(jn: String, sd: String, n: Long, keys: Long) =
+      spark.range(n).select(l(jn).as("jn"), l(sd).as("side"),
+        (org.apache.spark.sql.functions.col("id") % keys).as("k"))
+    val sides = side("a_small", "L", 50, 50)
+      .union(side("a_small", "R", 500000, 500000))
+      .union(side("b_hot", "L", 300000, 150)      // 2000 rows per key
+        .union(side("b_hot", "R", 300000, 300)))  // 1000 per key -> 2e6
+      .union(side("c_mid", "L", 200000, 200000)
+        .union(side("c_mid", "R", 500000, 500000)))
+      .union(side("d_big", "L", 300000, 300000)
+        .union(side("d_big", "R", 500000, 500000)))
+    val got = graft.queries.Relational.joinAdvisorCore(sides).collect()
+      .map(r => r.getString(0) -> (r.getLong(3), r.getString(6))).toMap
+    assert(got("a_small") == ((50L, "broadcast")), s"$got")
+    // b_hot: 150 shared keys x 2000 x 1000 = 3e8 rows, 2e6 per key
+    assert(got("b_hot") == ((300000000L, "salt")), s"$got")
+    assert(got("c_mid") == ((200000L, "shuffle_hash")), s"$got")
+    assert(got("d_big") == ((300000L, "merge")), s"$got")
+  }
+
+  // ---------------------------------------------------------------- q256
+
+  test("law: q256 identical weeks drift 0; a +5.00 shift in one week " +
+    "moves every quantile by exactly 500 cents, peaking there") {
+    def wk(w: Long, s: Int) = Timestamp.from(
+      java.time.Instant.ofEpochSecond(w * 604800L + s))
+    // weeks 0..2 identical values {1..10}; week 3 shifted +5.00
+    val rows = (for (w <- 0L to 2L; i <- 1 to 10)
+      yield (wk(w, i), i.toDouble)) ++
+      (1 to 10).map(i => (wk(3L, i), i.toDouble + 5.0))
+    val got = EventQueries.quantileDriftCore(
+      rows.toDF("ts", "value")).collect()
+    assert(got.length == 3)
+    got.foreach { r =>
+      assert((r.getLong(1), r.getLong(2)) == ((500L, 3L)), s"got $r")
+    }
+  }
+
+  // ---------------------------------------------------------------- q257
+
+  test("law: q257 a 0/1-coordinate corpus is exactly representable at " +
+    "4, 6 and 8 bits — quantized ranking equals truth, recall 1e6 at " +
+    "every width") {
+    def v(bits: Int*): Seq[Float] =
+      Seq.tabulate(64)(i => if (bits.contains(i)) 1f else 0f)
+    // probe overlaps corpus vectors by a strictly decreasing number of
+    // set dims -> unambiguous ranking at every quantization
+    val probe = (20L, v(0 until 16: _*), 0)
+    val corpus = (0 until 12).map(i =>
+      (i.toLong, v(0 until (16 - i): _*)))
+    val ranges = (Seq.fill(64)(0.0), Seq.fill(64)(1.0))
+    val got = DedupQueries.sqBitsSweepCore(spark,
+      corpus.toDF("vec_id", "embedding"), Seq(probe), ranges).collect()
+    assert(got.length == 3)
+    got.foreach(r => assert(r.getLong(3) == 1000000L, s"got $r"))
+  }
+
   // ------------------------------------------------- 2^40 key audit
 
   test("law: encoded rank keys are id-exact for ids ≥ 2^33 — a big-id " +
