@@ -12,7 +12,8 @@ class EmptyInputSpec extends SparkSpec {
   private lazy val emptyDir: String = {
     val dir = java.nio.file.Files
       .createTempDirectory("graft-empty").toString
-    Seq("documents", "embeddings", "events", "lineitem", "orders").foreach {
+    Seq("documents", "embeddings", "events", "lineitem", "orders",
+      "customer").foreach {
       t =>
         Tables.table(spark, "/root/testdata/sf0.001", t)
           .limit(0).write.mode("overwrite").parquet(s"$dir/$t.parquet")
@@ -25,7 +26,17 @@ class EmptyInputSpec extends SparkSpec {
     "q145_shuffle_shard", "q147_corpus_report", "q148_bpe_encode",
     "q150_adaptive_filter", "q152_curriculum", "q153_engagement_select",
     "q154_cross_source_dups", "q151_hard_negatives", "q149_rrf_fusion",
-    "q50_dedup_exact", "q95_tfidf", "q131_heavy_hitters")
+    "q50_dedup_exact", "q95_tfidf", "q131_heavy_hitters",
+    // round-11 session-2 ops: fixed-point ppm paths, BFS driver loop,
+    // construction-time count()/collect() seeds — all must tolerate
+    // zero rows
+    "q240_kmv_overlap", "q241_triangles", "q242_burstiness",
+    "q243_cusum_changepoint", "q244_lexical_complexity",
+    "q245_char_diversity", "q246_batch_collision",
+    "q247_matryoshka_recall", "q248_ab_permutation", "q249_attribution",
+    "q250_deletion_audit", "q251_seasonality", "q252_centroid_drift",
+    "q253_chain_depth", "q254_vocab_coverage", "q255_join_advisor",
+    "q256_value_quantile_drift", "q257_sq_bits_sweep")
 
   corpusQueries.foreach { name =>
     test(s"$name runs on an empty corpus") {
