@@ -3969,18 +3969,17 @@ object DedupQueries {
     import s.implicits._
     import graft.functions.Aggregators
     val (mns, mxs) = ranges
-    val mnL = typedLit(mns)
-    val mxL = typedLit(mxs)
     val bitWidths = Seq(4, 6, 8)
     def levels(b: Int): Long = (1L << b) - 2L
+    // codegen'd kernel (plans/SqQuantize): the HOF-lambda form runs
+    // interpreted per ELEMENT (HOFs never codegen) and at three bit
+    // widths per row dominated the 1000x replica cost; the kernel is
+    // byte-identical (same BigDecimal HALF_UP, same degenerate-dim 0)
     def quantize(v: org.apache.spark.sql.Column, b: Int) =
-      org.apache.spark.sql.functions.transform(v, (x, i) => {
-        val mn = element_at(mnL, i + 1)
-        val mx = element_at(mxL, i + 1)
-        when(mx > mn,
-          round((x.cast("double") - mn) * levels(b) / (mx - mn))
-            .cast("long") - (levels(b) / 2)).otherwise(0L).cast("double")
-      })
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.SqQuantize(
+          org.apache.spark.sql.GraftColumnBridge.expression(v),
+          mns.toArray, mxs.toArray, levels(b)))
     val quantizedProbes = probes.map { case (qid, qv, _) =>
       val qs = bitWidths.map { b =>
         qv.indices.map { i =>
@@ -4493,18 +4492,14 @@ object DedupQueries {
     import s.implicits._
     import graft.functions.Aggregators
     val (mns, mxs) = ranges
-    val mnL = typedLit(mns)
-    val mxL = typedLit(mxs)
-    // int8 per-dim affine quantization; the (x, i) transform lambda is
-    // O(d) per row (not d²), so the interpreted HOF is fine here
+    // int8 per-dim affine quantization via the codegen'd
+    // plans/SqQuantize kernel (byte-identical to the earlier HOF form;
+    // shared with q257's bit-width sweep)
     def quantize(v: org.apache.spark.sql.Column) =
-      org.apache.spark.sql.functions.transform(v, (x, i) => {
-        val mn = element_at(mnL, i + 1)
-        val mx = element_at(mxL, i + 1)
-        when(mx > mn,
-          round((x.cast("double") - mn) * 254 / (mx - mn)).cast("long")
-            - 127).otherwise(0L).cast("double")
-      })
+      org.apache.spark.sql.GraftColumnBridge.column(
+        graft.plans.SqQuantize(
+          org.apache.spark.sql.GraftColumnBridge.expression(v),
+          mns.toArray, mxs.toArray, 254L))
     val quantizedProbes = probes.map { case (qid, qv, _) =>
       val mapped = qv.indices.map { i =>
         if (mxs(i) > mns(i))

@@ -454,4 +454,46 @@ class PropertySpec extends SparkSpec {
       assert(kept2.length <= kept.length + 1)
     }
   }
+
+  test("property: bigram_sq_sum equals the brute-force code-point " +
+    "bigram count map on random unicode strings (incl. supplementary " +
+    "plane)") {
+    val cp = Gen.frequency(
+      (8, Gen.chooseNum(97, 122)),       // ascii letters
+      (2, Gen.chooseNum(0x4e00, 0x4e10)), // CJK
+      (1, Gen.const(0x1F600)))            // supplementary plane
+    val strGen = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, cp).map(cps =>
+        cps.map(Character.toChars(_).mkString).mkString))
+    forAll(strGen, n = 24) { s =>
+      val got = graft.plans.BigramSqSum.sqSum(
+        org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      val cps = s.codePoints().toArray
+      val expect = cps.zip(cps.drop(1)).groupBy(identity).values
+        .map(g => g.length.toLong * g.length).sum
+      assert(got == expect, s"'$s': $got != $expect")
+    }
+  }
+
+  test("property: PermLanesAgg is merge-associative and matches the " +
+    "brute-force signed lane sums under any input split") {
+    val agg = new graft.functions.Aggregators.PermLanesAgg(16)
+    val rows = Gen.listOfN(10,
+      Gen.zip(Gen.chooseNum(0L, 4294967295L), Gen.chooseNum(1L, 50L)))
+    forAll(rows, n = 12) { xs =>
+      def sign(h: Long, k: Int): Long =
+        if ((h * (2L * k + 3L)) % 1000003L % 2L == 0L) 1L else -1L
+      val expect = (0 until 16).map(k =>
+        xs.map { case (h, m) => sign(h, k) * m }.sum)
+      // single-pass reduce
+      val one = xs.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)).toSeq
+      assert(one == expect, s"$one != $expect")
+      // arbitrary split + merge
+      val (l, r) = xs.splitAt(xs.length / 3)
+      val merged = agg.merge(
+        l.foldLeft(agg.zero)((b, x) => agg.reduce(b, x)),
+        r.foldLeft(agg.zero)((b, x) => agg.reduce(b, x))).toSeq
+      assert(merged == expect, s"$merged != $expect")
+    }
+  }
 }
