@@ -3955,8 +3955,68 @@ object DedupQueries {
         |        unnest([h4, h6, h8]) AS hits FROM hits) t
         |ORDER BY qid, bits""".stripMargin
     ) { (s, d) => sqBitsSweepCore(s, emb(s, d), ndcgProbes(s, d),
-        sqRanges(s, d)) }
+        sqRanges(s, d)) },
+
+    // EMBEDDING NORM HEALTH — the cheapest embedding-column smoke test
+    // a pipeline runs before ANY cosine machinery: per label, the
+    // distribution of quantized squared norms (Σ round(v·1e4)²), the
+    // zero-vector count (a dead encoder emits zeros — cosine is
+    // undefined and every downstream dot silently ranks them last),
+    // and the degenerate count (norm² under a quarter of the global
+    // mean — truncated or mis-scaled rows). Integer-exact: quantized
+    // per-row norms are ≤ 64·25e6, per-label sums exact through ~5e9
+    // vectors/label. Scale shape: one O(64) per-row fold (interpreted
+    // HOF — the q163 rule: O(d) per row is fine), one corpus exchange
+    // into |labels| rows, the global mean as a 1-row broadcast with a
+    // single consumer.
+    Q(
+      "q258_norm_health",
+      """WITH n AS (
+        |  SELECT vec_id, label,
+        |    CAST(list_sum(list_transform(range(1, 65),
+        |      i -> CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
+        |             AS BIGINT)
+        |           * CAST(round(CAST(embedding[i] AS DOUBLE) * 10000)
+        |             AS BIGINT))) AS BIGINT) AS n2
+        |  FROM embeddings),
+        |g AS (SELECT CAST(sum(n2) // count(*) AS BIGINT) AS gmean FROM n)
+        |SELECT CAST(label AS BIGINT) AS label,
+        |  CAST(count(*) AS BIGINT) AS n_vecs,
+        |  CAST(min(n2) AS BIGINT) AS min_n2,
+        |  CAST(max(n2) AS BIGINT) AS max_n2,
+        |  CAST(sum(n2) // count(*) AS BIGINT) AS mean_n2,
+        |  CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_zero,
+        |  CAST(sum(CASE WHEN n2 * 4 < g.gmean THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_degenerate
+        |FROM n, g GROUP BY 1, g.gmean ORDER BY label""".stripMargin
+    ) { (s, d) => normHealthCore(emb(s, d)) }
   )
+
+  /** q258 core over any (vec_id, label, embedding) frame. Factored for
+    * crafted health laws (a planted zero vector counts in n_zero AND
+    * n_degenerate; a half-scale vector crosses the quarter-mean rule). */
+  private[graft] def normHealthCore(
+      e: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val n = e.select(col("label"),
+        expr("""cast(aggregate(embedding, 0L, (acc, x) ->
+          acc + cast(round(cast(x as double) * 10000) as bigint)
+              * cast(round(cast(x as double) * 10000) as bigint))
+          as bigint)""").as("n2"))
+      .localCheckpoint(true) // vec-scale 2 cols; gmean + rollup consumers
+    val g = n.agg(expr("sum(n2) div count(1)").as("gmean"))
+    n.crossJoin(broadcast(g))
+      .groupBy(col("label").cast("long").as("label"))
+      .agg(count(lit(1)).cast("long").as("n_vecs"),
+        min("n2").cast("long").as("min_n2"),
+        max("n2").cast("long").as("max_n2"),
+        expr("sum(n2) div count(1)").cast("long").as("mean_n2"),
+        sum(when(col("n2") === 0, 1L).otherwise(0L)).cast("long")
+          .as("n_zero"),
+        sum(when(col("n2") * 4 < col("gmean"), 1L).otherwise(0L))
+          .cast("long").as("n_degenerate"))
+      .orderBy("label")
+  }
 
   /** q257 core over any (vec_id, embedding) frame, probe seeds and
     * per-dim ranges. Factored for crafted laws (a grid that every bit

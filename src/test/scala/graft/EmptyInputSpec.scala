@@ -36,7 +36,8 @@ class EmptyInputSpec extends SparkSpec {
     "q247_matryoshka_recall", "q248_ab_permutation", "q249_attribution",
     "q250_deletion_audit", "q251_seasonality", "q252_centroid_drift",
     "q253_chain_depth", "q254_vocab_coverage", "q255_join_advisor",
-    "q256_value_quantile_drift", "q257_sq_bits_sweep")
+    "q256_value_quantile_drift", "q257_sq_bits_sweep",
+    "q258_norm_health")
 
   corpusQueries.foreach { name =>
     test(s"$name runs on an empty corpus") {

@@ -470,6 +470,27 @@ class Round11LawsSpec extends SparkSpec {
     got.foreach(r => assert(r.getLong(3) == 1000000L, s"got $r"))
   }
 
+  // ---------------------------------------------------------------- q258
+
+  test("law: q258 a planted zero vector counts in n_zero AND " +
+    "n_degenerate; a half-scale vector crosses the quarter-mean rule " +
+    "while healthy unit-ish vectors do not") {
+    def v(x: Float) = Seq.fill(64)(x)
+    // 8 healthy vectors at 0.125 (n2 = 64·1250² = 1e8), one zero, one
+    // at 1/4 amplitude (0.03125·1e4 = 312.5 → HALF_UP 313; n2 =
+    // 64·313² = 6_270_016 — 4·n2 ≈ 25.1e6 < gmean ≈ 80.6e6, crosses)
+    val rows = (0 until 8).map(i => (i.toLong, 0, v(0.125f))) ++
+      Seq((8L, 0, v(0f)), (9L, 0, v(0.03125f)))
+    val got = DedupQueries.normHealthCore(
+      rows.toDF("vec_id", "label", "embedding")).collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(1), r.getLong(2), r.getLong(5), r.getLong(6)) ==
+      ((10L, 0L, 1L, 2L)), s"got $r")
+    // mean over 10 = (8·1e8 + 6_270_016) / 10, floored
+    assert(r.getLong(4) == 80627001L, s"got $r")
+  }
+
   // ------------------------------------------------- 2^40 key audit
 
   test("law: encoded rank keys are id-exact for ids ≥ 2^33 — a big-id " +
