@@ -53,7 +53,7 @@ object Bench {
     //    that is GC shows up as gc≈dt; a stall that is IO/scheduler shows
     //    gc≈0 — both distinguishable from a real plan regression, which
     //    reproduces);
-    //  - any query reading > max(3x, +1 s) of its committed sf-matched
+    //  - any query reading > max(2x, +1 s) of its committed sf-matched
     //    baseline (tools/bench_baseline_<sf>.json — same thresholds as
     //    tools/bench_guard.py) is re-run ONCE in the same session and the
     //    MIN is recorded, with both runs logged on a [rerun] line. A box
@@ -103,7 +103,7 @@ object Bench {
         ((System.nanoTime() - t0) / 1e9, gcMillis() - g0, ok)
       }
       val (dt1, gc1, ok1) = timed()
-      val limit = baseline.get(q.name).map(b => math.max(3 * b, b + 1.0))
+      val limit = baseline.get(q.name).map(b => math.max(2 * b, b + 1.0))
       val (dt, gc) =
         if (ok1 && limit.exists(dt1 > _)) {
           val (dt2, gc2, _) = timed()

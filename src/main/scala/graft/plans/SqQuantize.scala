@@ -19,8 +19,15 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * Degenerate dims (mx ≤ mn) quantize to 0, matching the guarded HOF and
   * the oracle's CASE.
   */
-case class SqQuantize(child: Expression, mns: Array[Double],
-    mxs: Array[Double], levels: Long) extends UnaryExpression {
+case class SqQuantize(child: Expression, mns: Seq[Double],
+    mxs: Seq[Double], levels: Long) extends UnaryExpression {
+
+  // Seq params (structural equals/hashCode) so Catalyst canonicalization
+  // and subexpression/exchange reuse recognize semantically identical
+  // instances — Array params compare by reference and silently defeat
+  // both. The hot loop still runs on primitive arrays, built once here.
+  @transient private lazy val mnsArr: Array[Double] = mns.toArray
+  @transient private lazy val mxsArr: Array[Double] = mxs.toArray
 
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
@@ -32,11 +39,12 @@ case class SqQuantize(child: Expression, mns: Array[Double],
   override def prettyName: String = "sq_quantize"
 
   override protected def nullSafeEval(input: Any): Any =
-    SqQuantize.quantize(input.asInstanceOf[ArrayData], mns, mxs, levels)
+    SqQuantize.quantize(input.asInstanceOf[ArrayData], mnsArr, mxsArr,
+      levels)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val mnsRef = ctx.addReferenceObj("mns", mns, "double[]")
-    val mxsRef = ctx.addReferenceObj("mxs", mxs, "double[]")
+    val mnsRef = ctx.addReferenceObj("mns", mnsArr, "double[]")
+    val mxsRef = ctx.addReferenceObj("mxs", mxsArr, "double[]")
     defineCodeGen(ctx, ev, c =>
       s"graft.plans.SqQuantize.quantize($c, $mnsRef, $mxsRef, ${levels}L)")
   }

@@ -4039,7 +4039,7 @@ object DedupQueries {
       org.apache.spark.sql.GraftColumnBridge.column(
         graft.plans.SqQuantize(
           org.apache.spark.sql.GraftColumnBridge.expression(v),
-          mns.toArray, mxs.toArray, levels(b)))
+          mns, mxs, levels(b)))
     val quantizedProbes = probes.map { case (qid, qv, _) =>
       val qs = bitWidths.map { b =>
         qv.indices.map { i =>
@@ -4559,7 +4559,7 @@ object DedupQueries {
       org.apache.spark.sql.GraftColumnBridge.column(
         graft.plans.SqQuantize(
           org.apache.spark.sql.GraftColumnBridge.expression(v),
-          mns.toArray, mxs.toArray, 254L))
+          mns, mxs, 254L))
     val quantizedProbes = probes.map { case (qid, qv, _) =>
       val mapped = qv.indices.map { i =>
         if (mxs(i) > mns(i))
@@ -4796,7 +4796,11 @@ object DedupQueries {
     import s.implicits._
     import graft.functions.Aggregators
     val probesDf = broadcast(probes.toDF("qid", "qv", "ql"))
-    val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
+    val M = 17592186044416L // 2^44: key low bits = vec_id*16 + label
+    // (id-exact through vec_id ~1.1e12; rq = round(dot*1e4) <= ~1.6e5
+    // << 2^19 so rq*M can't overflow a Long — the 2^37 width corrupted
+    // the ranking near the cut once vec_id*16+label >= 2^37, i.e.
+    // ids >= ~8.6e9, below the ~1e10 replica/100TB id range)
     val minK10 = udaf(new Aggregators.MinKAgg(10),
       org.apache.spark.sql.Encoders.scalaLong)
     // same loud guard as q216: a label outside [0,16) would silently
@@ -5029,7 +5033,11 @@ object DedupQueries {
     import s.implicits._
     import graft.functions.Aggregators
     val probesDf = broadcast(probes.toDF("qid", "qv", "ql"))
-    val M = 137438953472L // 2^37: key low bits = vec_id*16 + label
+    val M = 17592186044416L // 2^44: key low bits = vec_id*16 + label
+    // (id-exact through vec_id ~1.1e12; rq = round(dot*1e4) <= ~1.6e5
+    // << 2^19 so rq*M can't overflow a Long — the 2^37 width corrupted
+    // the ranking near the cut once vec_id*16+label >= 2^37, i.e.
+    // ids >= ~8.6e9, below the ~1e10 replica/100TB id range)
     val minK5 = udaf(new Aggregators.MinKAgg(5),
       org.apache.spark.sql.Encoders.scalaLong)
     // the packed key gives label the 4 low bits — a label outside

@@ -928,10 +928,19 @@ object PipelineQueries {
       val stats = docs(s, d).select(col("doc_id"), col("lang"),
         col("source"), col("text"),
         nw.as("n_words"), mwl.as("mwl"), sr.as("sr"), ttr.as("ttr"))
+      // ONE scan + ONE Gopher-kernel pass: everything downstream
+      // (dedup group, dedup probe, per-lang counts feeding tgt twice,
+      // final pick) needs only (doc_id, lang, source, digest) — project
+      // text down to its md5 BEFORE the eager checkpoint barrier, so
+      // the five re-reads of this subtree scan ~40 B/row checkpoint
+      // blocks instead of re-running string kernels over the parquet
+      // (the r11 verdict's 6-scan plan, 2.2x the committed baseline).
       val kept = stats.filter(TextOps.gopherRules(col("n_words"),
           col("mwl"), col("sr"), col("ttr")).reduce(_ && _))
-        .select(col("doc_id"), col("lang"), col("source"), col("text"))
-      val ded = kept.groupBy(md5(col("text")))
+        .select(col("doc_id"), col("lang"), col("source"),
+          md5(col("text")).as("digest"))
+        .localCheckpoint(true)
+      val ded = kept.groupBy(col("digest"))
         .agg(min(col("doc_id")).as("doc_id"))
         .select("doc_id")
       val corpus = kept.join(ded, "doc_id")

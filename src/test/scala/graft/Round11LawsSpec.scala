@@ -545,4 +545,43 @@ class Round11LawsSpec extends SparkSpec {
     assert(got.length == 2)
     got.foreach(r => assert(r.getLong(3) == 0L, s"got $r"))
   }
+
+  // ------------------------------------- 2^44 packed-key audit (ADVICE)
+
+  // Under the old 2^37 width, low = vec_id·16 + label overflows its lane
+  // once vec_id ≥ 2^33 (~8.6e9 — below replica/100TB ids ~1e10): the
+  // spill leaks into the rq lane, DEMOTING the vector near the cut and
+  // mangling its decoded id. ids here are chosen so the leaked key loses
+  // exactly one rank — the test fails under 2^37 and passes under 2^44.
+  private val pkBigId = 2L * 8589934592L + 3L // low = id·16+l ≈ 2.75e11
+
+  test("law: q216 packed rank keys are id-exact past 2^33 — a big-id " +
+    "negative at the top-5 boundary keeps its true rank, id and rdot") {
+    def v(x: Float) = Seq(x, 0f, 0f, 0f)
+    val e = Seq(
+      (1L, v(0.9f), 1), (2L, v(0.89f), 1), (3L, v(0.88f), 1),
+      (4L, v(0.87f), 1), (pkBigId, v(0.86f), 1), (10L, v(0.8599f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val probes = Seq((999L, Seq(1f, 0f, 0f, 0f), 0))
+    val got = DedupQueries.hardNegCore(spark, e, probes).collect()
+    assert(got.length == 5)
+    val r5 = got.last // (qid, rk, vec_id, neg_label, rdot)
+    assert((r5.getLong(1), r5.getLong(2), r5.getLong(3),
+      r5.getDouble(4)) == ((5L, pkBigId, 1L, 0.86)), s"got $r5")
+  }
+
+  test("law: q224 packed rank keys are id-exact past 2^33 — the only " +
+    "relevant vector, big-id at rank 10, still scores hits=1 and " +
+    "ndcg = disc[10] (under 2^37 it fell out of the cut: hits 0)") {
+    def v(x: Float) = Seq(x, 0f, 0f, 0f)
+    val corpus = (1 to 9).map(i => (i.toLong, v((1f - i * 0.01f)), 1)) ++
+      Seq((pkBigId, v(0.86f), 0), (20L, v(0.8599f), 1))
+    val probes = Seq((999L, Seq(1f, 0f, 0f, 0f), 0))
+    val got = DedupQueries.knnNdcgCore(spark,
+      corpus.toDF("vec_id", "embedding", "label"), probes).collect()
+    assert(got.length == 1)
+    val r = got.head // (qid, hits, ndcg_ppm, mrr_ppm)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((1L, 289064L, 100000L)), s"got $r")
+  }
 }

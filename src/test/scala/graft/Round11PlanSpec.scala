@@ -47,4 +47,13 @@ class Round11PlanSpec extends SparkSpec {
     // documents join still scans parquet; embeddings must not appear
     assert(!p.contains("embeddings.parquet"), p)
   }
+
+  test("q125 curation pipeline: ZERO parquet scans in the final plan — " +
+    "the Gopher kernels + md5 run ONCE into a narrow (id, lang, " +
+    "source, digest) eager checkpoint; the r11-verdict 6-scan shape " +
+    "re-ran the text kernels per consumer") {
+    val p = plan("q125_curation_pipeline")
+    assert(!p.contains("Scan parquet"), p)
+    assert(p.contains("Scan ExistingRDD"), p)
+  }
 }
