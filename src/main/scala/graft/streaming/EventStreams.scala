@@ -746,4 +746,47 @@ object EventStreams {
           CusumRow(typ, dd, tt, bestT,
             if (bestSd >= 0) 1L else -1L, bestAbs * 1000000L / (dd * tt))
       }(e1, e2)
+
+  final case class LedgerRow(event_type: String, user_id: Long,
+      n: Long, cents: Long, forget: Boolean)
+
+  /** Streaming deletion-audit ledger — the stream twin of q250: the
+    * per-(type, user) increment table a right-to-be-forgotten store
+    * maintains ONLINE, so a deletion request subtracts ready-made deltas
+    * instead of recomputing aggregates from the corpus. Keyed state is
+    * two longs per live (event_type, user_id) — the same grain as
+    * q250's checkpointed `per` table, which is exactly what Spark's
+    * state store shards across executors; no global aggregate rides the
+    * stream (a keyed stream cannot see one — the q243 per-key-span
+    * rule). The forget bit is the batch rule verbatim
+    * (md5_prefix64("del|"+uid) % 16 == 0), computed map-side BEFORE the
+    * keyed shuffle. Emission is an upsert (latest row per key wins);
+    * StreamingSpec folds the final state through q250's ledger algebra
+    * and pins byte-equality with the batch output under split delivery. */
+  def deletionLedgerStream(evs: DataFrame)(
+      implicit e1: org.apache.spark.sql.Encoder[
+        (String, Long, Long, Boolean)],
+      e2: org.apache.spark.sql.Encoder[(String, Long)],
+      e3: org.apache.spark.sql.Encoder[LedgerRow])
+      : Dataset[LedgerRow] =
+    evs.select(col("event_type"),
+        col("user_id").cast("long").as("user_id"),
+        expr("cast(floor(value * 100) as bigint)").as("cents"),
+        (pmod(call_function("md5_prefix64",
+          concat(lit("del|"), col("user_id").cast("string"))),
+          lit(16)) === 0).as("forget"))
+      .as[(String, Long, Long, Boolean)](e1)
+      .groupByKey(e => (e._1, e._2))(e2)
+      .mapGroupsWithState[(Long, Long), LedgerRow](
+        GroupStateTimeout.NoTimeout()) {
+        (key: (String, Long), it: Iterator[(String, Long, Long, Boolean)],
+            state: GroupState[(Long, Long)]) =>
+          var (n, c) = state.getOption.getOrElse((0L, 0L))
+          var forget = false
+          it.foreach { e => n += 1; c += e._3; forget = e._4 }
+          state.update((n, c))
+          LedgerRow(key._1, key._2, n, c, forget)
+      }(org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaLong), e3)
 }

@@ -993,4 +993,58 @@ class StreamingSpec extends SparkSpec {
           s"batch=${batch.toSeq.sorted.take(3)}")
     } finally q.stop()
   }
+
+  case class LedgerIn(event_type: String, user_id: Long, value: Double)
+
+  test("deletionLedgerStream: folding the final per-(type,user) ledger " +
+    "state through q250's increment algebra equals the batch deletion " +
+    "audit exactly, under 3-slice split delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("value"))
+      .collect()
+      .map(r => LedgerIn(r.getString(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    // batch truth: (n_kept, cents_kept, users_kept, n_forgotten) per
+    // type; the three *_diff audit columns are identically zero
+    val batch = graft.queries.EventQueries
+      .deletionAuditCore(Tables.events(spark, sf))
+      .collect()
+      .map { r =>
+        assert((r.getLong(4), r.getLong(5), r.getLong(6)) ==
+          ((0L, 0L, 0L)), s"batch audit nonzero diff: $r")
+        r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getLong(7))
+      }.toMap
+    val mem = MemoryStream[LedgerIn]
+    // upsert accumulation: latest emission per (type, user) wins
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[(String, Long), (Long, Long, Boolean)]](Map.empty)
+    val q = EventStreams.deletionLedgerStream(mem.toDF()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          EventStreams.LedgerRow], _: Long) =>
+        val m = df.collect().map(r => (r.event_type, r.user_id) ->
+          (r.n, r.cents, r.forget)).toMap
+        if (m.nonEmpty) state.set(state.get ++ m)
+      }
+      .start()
+    try {
+      val third = rows.size / 3
+      mem.addData(rows.take(third)); q.processAllAvailable()
+      mem.addData(rows.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(rows.drop(2 * third)); q.processAllAvailable()
+      val fin = state.get
+      val streamed = fin.groupBy(_._1._1).map { case (typ, kv) =>
+        val kept = kv.values.filter(!_._3)
+        val dropped = kv.values.filter(_._3)
+        typ -> (kept.map(_._1).sum, kept.map(_._2).sum,
+          kept.size.toLong, dropped.map(_._1).sum)
+      }
+      assert(streamed == batch,
+        s"stream=${streamed.toSeq.sorted.take(3)} " +
+          s"batch=${batch.toSeq.sorted.take(3)}")
+    } finally q.stop()
+  }
 }

@@ -13,8 +13,13 @@ Usage:
       | python3 tools/bench_guard.py
     python3 tools/bench_guard.py bench_output.json   # or from a file
 
-Baseline: tools/bench_baseline_sf0.01.json (re-derive with the same Bench
-invocation whenever a deliberate perf change lands).
+Baseline: tools/bench_baseline_sf0.01.json. Re-derive whenever a
+deliberate perf change lands, via the MEDIAN-OF-3 protocol in
+tools/derive_baseline.py (3 full Bench runs, per-query median) — NOT a
+session min: mins from quiet sessions sit 1.1-1.6x under the next box
+phase and turn the 2x judging band into baseline-tightness noise. The
+box-speed factor below (median run/baseline ratio, clamped to [1, 2])
+then absorbs whole-session weather on top of the honest baseline.
 
 STRICT set (VERDICT r3 item 9): iterative / driver-loop queries regress in
 sneaky sub-3x increments (q92 drifted 1.8x between rounds 2 and 3 — extra
