@@ -62,6 +62,20 @@ object Bench {
     def gcMillis(): Long =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
+    // Hypervisor steal during the query's own window (/proc/stat col 9,
+    // jiffies = centiseconds of one core). Round-12 measured the same
+    // q125 plan at 221 s vs 46.5 s across steal phases on an otherwise
+    // idle box — gc=0 [leak] lines could not attribute it. steal≈0 with
+    // a slow reading now isolates a genuine plan signal; steal of the
+    // same order as busy core-time marks the reading as host weather.
+    def stealJiffies(): Long =
+      try {
+        val src = scala.io.Source.fromFile("/proc/stat")
+        try src.getLines().find(_.startsWith("cpu "))
+          .map(_.trim.split("\\s+")).filter(_.length > 8)
+          .map(_(8).toLong).getOrElse(0L)
+        finally src.close()
+      } catch { case _: Throwable => 0L }
     val baseline: Map[String, Double] = {
       val f = new java.io.File(
         s"tools/bench_baseline_${new java.io.File(sfDir).getName}.json")
@@ -92,32 +106,35 @@ object Bench {
       case None => SparkEntry.all
     }
     val results = selected.sortBy(_.name).map { q =>
-      def timed(): (Double, Long, Boolean) = {
-        val g0 = gcMillis(); val t0 = System.nanoTime()
+      def timed(): (Double, Long, Long, Boolean) = {
+        val g0 = gcMillis(); val s0 = stealJiffies()
+        val t0 = System.nanoTime()
         val ok =
           try { run(q.fn(spark, sfDir)); true }
           catch { case e: Throwable =>
             System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
             false
           }
-        ((System.nanoTime() - t0) / 1e9, gcMillis() - g0, ok)
+        ((System.nanoTime() - t0) / 1e9, gcMillis() - g0,
+          stealJiffies() - s0, ok)
       }
-      val (dt1, gc1, ok1) = timed()
+      val (dt1, gc1, st1, ok1) = timed()
       val limit = baseline.get(q.name).map(b => math.max(2 * b, b + 1.0))
-      val (dt, gc) =
+      val (dt, gc, st) =
         if (ok1 && limit.exists(dt1 > _)) {
-          val (dt2, gc2, _) = timed()
+          val (dt2, gc2, st2, _) = timed()
           System.err.println(String.format(java.util.Locale.ROOT,
-            "[rerun] %s first=%.3fs gc1=%dms second=%.3fs gc2=%dms " +
-              "baseline=%.3fs -> recording min",
-            q.name, Double.box(dt1), Long.box(gc1), Double.box(dt2),
-            Long.box(gc2), Double.box(baseline(q.name))))
-          if (dt2 < dt1) (dt2, gc2) else (dt1, gc1)
-        } else (dt1, gc1)
+            "[rerun] %s first=%.3fs gc1=%dms steal1=%dcs second=%.3fs " +
+              "gc2=%dms steal2=%dcs baseline=%.3fs -> recording min",
+            q.name, Double.box(dt1), Long.box(gc1), Long.box(st1),
+            Double.box(dt2), Long.box(gc2), Long.box(st2),
+            Double.box(baseline(q.name))))
+          if (dt2 < dt1) (dt2, gc2, st2) else (dt1, gc1, st1)
+        } else (dt1, gc1, st1)
       System.err.println(
         String.format(java.util.Locale.ROOT,
-          "[leak] %s %.3fs gc=%dms %s", q.name, Double.box(dt),
-          Long.box(gc), leakStat()))
+          "[leak] %s %.3fs gc=%dms steal=%dcs %s", q.name, Double.box(dt),
+          Long.box(gc), Long.box(st), leakStat()))
       q.name -> dt
     }
     // The driver keeps only the LAST 2000 BYTES of stdout and parses the
