@@ -62,12 +62,18 @@ object Bench {
     def gcMillis(): Long =
       java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
         .asScala.map(b => math.max(0L, b.getCollectionTime)).sum
-    // Hypervisor steal during the query's own window (/proc/stat col 9,
-    // jiffies = centiseconds of one core). Round-12 measured the same
-    // q125 plan at 221 s vs 46.5 s across steal phases on an otherwise
-    // idle box — gc=0 [leak] lines could not attribute it. steal≈0 with
-    // a slow reading now isolates a genuine plan signal; steal of the
-    // same order as busy core-time marks the reading as host weather.
+    // Hypervisor steal during the query's own window (/proc/stat col 9).
+    // The counter is in RAW JIFFIES (logged as `j`), SUMMED ACROSS ALL
+    // CORES — so "same order as busy core-time" comparisons must use
+    // busy CORE-seconds (wall x cores-in-use), never wall time. One
+    // jiffy is 1/USER_HZ s (USER_HZ=100 on every kernel this runs on,
+    // i.e. centiseconds of one core; `getconf CLK_TCK` confirms — the
+    // JVM cannot call sysconf directly, so the unit is logged raw
+    // rather than converted). Round-12 measured the same q125 plan at
+    // 221 s vs 46.5 s across steal phases on an otherwise idle box —
+    // gc=0 [leak] lines could not attribute it. steal≈0 with a slow
+    // reading now isolates a genuine plan signal; steal of the same
+    // order as busy core-time marks the reading as host weather.
     def stealJiffies(): Long =
       try {
         val src = scala.io.Source.fromFile("/proc/stat")
@@ -124,8 +130,8 @@ object Bench {
         if (ok1 && limit.exists(dt1 > _)) {
           val (dt2, gc2, st2, _) = timed()
           System.err.println(String.format(java.util.Locale.ROOT,
-            "[rerun] %s first=%.3fs gc1=%dms steal1=%dcs second=%.3fs " +
-              "gc2=%dms steal2=%dcs baseline=%.3fs -> recording min",
+            "[rerun] %s first=%.3fs gc1=%dms steal1=%dj second=%.3fs " +
+              "gc2=%dms steal2=%dj baseline=%.3fs -> recording min",
             q.name, Double.box(dt1), Long.box(gc1), Long.box(st1),
             Double.box(dt2), Long.box(gc2), Long.box(st2),
             Double.box(baseline(q.name))))
@@ -133,7 +139,7 @@ object Bench {
         } else (dt1, gc1, st1)
       System.err.println(
         String.format(java.util.Locale.ROOT,
-          "[leak] %s %.3fs gc=%dms steal=%dcs %s", q.name, Double.box(dt),
+          "[leak] %s %.3fs gc=%dms steal=%dj %s", q.name, Double.box(dt),
           Long.box(gc), Long.box(st), leakStat()))
       q.name -> dt
     }

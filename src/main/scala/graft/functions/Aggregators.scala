@@ -44,6 +44,35 @@ object Aggregators {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
 
+  /** Single-pass argmin: the (value at lexicographic-min (dist, value))
+    * aggregation that k-means-assign / IVF probes need. Replaces the
+    * q100/q121 two-hash-agg argmin (min dist, join back, min value at
+    * that dist) — which evaluates its CANDIDATE SET twice (the r12
+    * verdict's last acknowledged double-eval) — with one ObjectHashAgg
+    * over a 17-byte buffer, so the broadcast-seed crossJoin is computed
+    * exactly once. Never min_by/min(struct): struct-typed declarative
+    * buffers force SortAggregate over the full n·k candidate stream.
+    *
+    * Tie-break matches the oracle's `row_number() ORDER BY dist, id`:
+    * smaller value wins at equal dist. Primitive `<`/`==` compares are
+    * exact here — dist is never NaN (finite inputs) and never -0.0
+    * (it is `(vv - 2·dot) + cc` with vv,cc ≥ 0: IEEE a-b and a+b yield
+    * -0.0 only from -0.0 operands), and primitive -0.0 == 0.0 equals
+    * SQL's equality semantics anyway. */
+  final case class AM(dist: Double, v: Long, set: Boolean)
+  object ArgMinAgg extends Aggregator[(Double, Long), AM, Long] {
+    override def zero: AM = AM(Double.PositiveInfinity, Long.MaxValue, false)
+    private def better(d: Double, v: Long, b: AM): Boolean =
+      !b.set || d < b.dist || (d == b.dist && v < b.v)
+    override def reduce(b: AM, a: (Double, Long)): AM =
+      if (better(a._1, a._2, b)) AM(a._1, a._2, set = true) else b
+    override def merge(x: AM, y: AM): AM =
+      if (y.set && better(y.dist, y.v, x)) y else x
+    override def finish(r: AM): Long = r.v
+    override def bufferEncoder: Encoder[AM] = Encoders.product[AM]
+    override def outputEncoder: Encoder[Long] = Encoders.scalaLong
+  }
+
   /** Misra–Gries heavy-hitters sketch: at most k counters, O(k) state per
     * partial regardless of input size. Deterministic guarantee (no
     * randomness, unlike count-min): every item with true frequency

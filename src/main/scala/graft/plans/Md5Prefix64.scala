@@ -101,6 +101,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functionDescriptors.foreach(ext.injectFunction)
     ext.injectOptimizerRule(_ => SizeFilterToExists)
+    // operator-optimization batch — runs before SchemaPruning's early
+    // scan-pushdown batch, so the extracted form is what pruning sees
+    ext.injectOptimizerRule(_ => TransformFieldExtraction)
   }
 }
 

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, IntegerType, StructType}
 
 /** Engine-side optimizer rule (SURVEY §7.3 path (c) demonstration):
   * `size(filter(arr, λ)) > 0`  -> `exists(arr, λ)` and
@@ -33,5 +33,89 @@ object SizeFilterToExists extends Rule[LogicalPlan] {
         Not(exists(arr, f))
       case EqualTo(Literal(0, IntegerType), Size(ArrayFilter(arr, f), _)) =>
         Not(exists(arr, f))
+    }
+}
+
+/** Extract-first rewrite for HOF nested pruning (the engine's one real
+  * optimizer-parity gap vs the reference's buffer-level necessary-columns,
+  * `reference src/dask_awkward/lib/optimize.py:69-223`): Spark's
+  * SchemaPruning does not see through lambda variables, so
+  * `transform(points, p -> p.x * 2)` reads the FULL element struct from
+  * parquet even though only `x` is touched. The documented manual idiom
+  * (extract fields first, then run HOFs on the extracted arrays —
+  * COVERAGE.md §2.2) is exactly mechanical, so this rule performs it:
+  *
+  *   transform(arr, p -> f(p.x))      -> transform(arr.x, v -> f(v))
+  *   transform(arr, p -> f(p.x, p.y)) -> zip_with(arr.x, arr.y,
+  *                                         (vx, vy) -> f(vx, vy))
+  *
+  * after which `arr.x` is a GetArrayStructFields that SchemaPruning DOES
+  * understand, and the scan's ReadSchema drops the untouched fields — on
+  * a 100 TB corpus whose element structs carry wide payload fields, the
+  * difference is reading the whole nested column vs one leaf.
+  *
+  * Semantics-preserving by construction: a null element yields null
+  * extracted leaves exactly as `p.x` on a null `p` does; zip_with zips
+  * equal-length arrays extracted from the SAME input. Guards: 1-arg
+  * lambda only (no index form), every use of the element variable is a
+  * direct field access, and the two-field form requires a cheap (pure
+  * attribute/field-chain) array so duplicating the reference costs
+  * nothing. Fires in the operator-optimization batch, which runs BEFORE
+  * SchemaPruning's "Early Filter and Projection Push-Down" batch. */
+object TransformFieldExtraction extends Rule[LogicalPlan] {
+
+  private def bareUse(e: Expression, v: NamedLambdaVariable): Boolean =
+    e match {
+      case GetStructField(nv: NamedLambdaVariable, _, _)
+          if nv.exprId == v.exprId => false
+      case nv: NamedLambdaVariable if nv.exprId == v.exprId => true
+      case other => other.children.exists(bareUse(_, v))
+    }
+
+  private def cheap(e: Expression): Boolean = e match {
+    case _: Attribute => true
+    case GetStructField(c, _, _) => cheap(c)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformAllExpressions {
+      case t @ ArrayTransform(arr,
+          LambdaFunction(body, Seq(v: NamedLambdaVariable), hidden))
+          if arr.dataType.isInstanceOf[ArrayType] &&
+            arr.dataType.asInstanceOf[ArrayType]
+              .elementType.isInstanceOf[StructType] &&
+            !bareUse(body, v) =>
+        val at = arr.dataType.asInstanceOf[ArrayType]
+        val st = at.elementType.asInstanceOf[StructType]
+        val ords = body.collect {
+          case GetStructField(nv: NamedLambdaVariable, ord, _)
+              if nv.exprId == v.exprId => ord
+        }.distinct.sorted
+        def extract(ord: Int): Expression =
+          GetArrayStructFields(arr, st(ord), ord, st.length,
+            at.containsNull || st(ord).nullable)
+        def leafVar(ord: Int): NamedLambdaVariable =
+          NamedLambdaVariable(v.name + "_" + st(ord).name,
+            st(ord).dataType, at.containsNull || st(ord).nullable)
+        ords match {
+          case Seq(ord) =>
+            val nv = leafVar(ord)
+            val nb = body.transformUp {
+              case GetStructField(x: NamedLambdaVariable, o, _)
+                  if x.exprId == v.exprId && o == ord => nv
+            }
+            ArrayTransform(extract(ord), LambdaFunction(nb, Seq(nv), hidden))
+          case Seq(o1, o2) if cheap(arr) =>
+            val (n1, n2) = (leafVar(o1), leafVar(o2))
+            val nb = body.transformUp {
+              case GetStructField(x: NamedLambdaVariable, o, _)
+                  if x.exprId == v.exprId =>
+                if (o == o1) n1 else n2
+            }
+            ZipWith(extract(o1), extract(o2),
+              LambdaFunction(nb, Seq(n1, n2), hidden))
+          case _ => t
+        }
     }
 }

@@ -1175,9 +1175,10 @@ object DedupQueries {
     // oracle's HUGEINT-cast form. Assignment is TWO-LEVEL (coarse cell →
     // fine seeds, see inline note): the standard IVF probe once K
     // outgrows the 32 coarse cells, degenerate-to-flat at every gate SF.
-    // Each argmin is q100's two scalar hash aggregations (min dist, then
-    // min sid at that dist — never min_by/min(struct), which buffer
-    // structs and force SortAggregate).
+    // Each argmin is ONE fused ObjectHashAggregate (ArgMinAgg: min sid
+    // at min dist in a scalar buffer, candidate set evaluated once) —
+    // never min_by/min(struct), which buffer structs and force
+    // SortAggregate.
     // The self-join keeps ONE capped subtree aliased twice (exchange
     // reuse) and streams the wide vectors through a codegen'd
     // shuffle-hash join (bucket-collect is for narrow payloads only).
@@ -1276,14 +1277,24 @@ object DedupQueries {
       val cNum = math.min(16L, k)
       val coarse = seeds.filter(col("sid") < cNum)
         .select(col("sid").as("cid"), col("cs").as("gcs"), col("cc").as("gcc"))
+      // Single-pass fused argmin (Aggregators.ArgMinAgg): ONE groupBy
+      // whose ObjectHashAggregate keeps (min dist, min value at that
+      // dist) in a 17-byte buffer — the candidate crossJoin is evaluated
+      // exactly once. The previous two-hash-agg form (min dist, join
+      // back, min value) evaluated the candidate set TWICE (the r12
+      // verdict's last acknowledged double-eval; PLANS.md showed the
+      // BroadcastNestedLoopJoin Cross pair). Never min_by/min(struct):
+      // struct buffers force SortAggregate over the n·k pair stream.
+      // Tie-break (min value at equal dist) matches the oracle's
+      // row_number ORDER BY dist, id exactly — A/B'd at sf0.1 AND the
+      // 100x replica per the q240 rule before adopting.
+      val amAgg = udaf(graft.functions.Aggregators.ArgMinAgg,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Double, Long)]())
       def argmin(cands: org.apache.spark.sql.DataFrame, key: String,
-          value: String, out: String): org.apache.spark.sql.DataFrame = {
-        // q100's two scalar hash aggregations (min dist, then min value at
-        // that dist) — never min_by/min(struct), which force SortAggregate
-        val best = cands.groupBy(key).agg(min(col("dist")).as("md"))
-        cands.join(best, key).filter(col("dist") === col("md"))
-          .groupBy(key).agg(min(col(value)).as(out))
-      }
+          value: String, out: String): org.apache.spark.sql.DataFrame =
+        cands.groupBy(key)
+          .agg(amAgg(col("dist"), col(value).cast("long")).as(out))
       val ei2 = ei.withColumn("vv", TextOps.dot(col("vs"), col("vs")))
       val assigned = if (k <= cNum) {
         argmin(

@@ -747,6 +747,56 @@ object EventStreams {
             if (bestSd >= 0) 1L else -1L, bestAbs * 1000000L / (dd * tt))
       }(e1, e2)
 
+  final case class QuantRow(wk: Long, n: Long, q25: Long, q50: Long,
+      q75: Long)
+
+  /** Streaming value-quantile monitor — the stream twin of q256: per
+    * WEEK (the stream key), maintain the cents-value histogram in keyed
+    * state and emit that week's exact type-1 quantiles (p25/p50/p75 =
+    * min v with 100·cum ≥ p·n — q256's integer rule verbatim) on every
+    * trigger. State is one map per week bounded by the DISTINCT CENT
+    * VALUES observed — distribution granularity, not event count — so a
+    * 100 TB/day stream carries the same state as a trickle, and weeks
+    * shard across executors like any keyed state. The drift step
+    * (week-over-week lag, max |Δ| per quantile) is CROSS-key and
+    * therefore stays downstream of the stream (the q243 per-key-span
+    * rule: keyed state cannot see other weeks); StreamingSpec folds the
+    * final per-week emissions through q256's drift algebra and pins
+    * byte-equality with the batch output under split delivery. */
+  def quantileDriftStream(evs: DataFrame)(
+      implicit e0: org.apache.spark.sql.Encoder[Map[Long, Long]],
+      e1: org.apache.spark.sql.Encoder[(Long, Long)],
+      e2: org.apache.spark.sql.Encoder[Long],
+      e3: org.apache.spark.sql.Encoder[QuantRow])
+      : Dataset[QuantRow] =
+    evs.select(expr("unix_micros(ts) div 604800000000").as("wk"),
+        expr("cast(floor(value * 100) as bigint)").as("v"))
+      .as[(Long, Long)](e1)
+      .groupByKey(_._1)(e2)
+      .mapGroupsWithState[Map[Long, Long], QuantRow](
+        GroupStateTimeout.NoTimeout()) {
+        (wk: Long, it: Iterator[(Long, Long)],
+            state: GroupState[Map[Long, Long]]) =>
+          var m = state.getOption.getOrElse(Map.empty[Long, Long])
+          it.foreach { e =>
+            m = m.updated(e._2, m.getOrElse(e._2, 0L) + 1L)
+          }
+          state.update(m)
+          val n = m.valuesIterator.sum
+          val sorted = m.toArray.sortBy(_._1)
+          def q(p: Long): Long = {
+            var cc = 0L
+            var i = 0
+            while (i < sorted.length) {
+              cc += sorted(i)._2
+              if (cc * 100 >= p * n) return sorted(i)._1
+              i += 1
+            }
+            sorted.last._1
+          }
+          QuantRow(wk, n, q(25), q(50), q(75))
+      }(e0, e3)
+
   final case class LedgerRow(event_type: String, user_id: Long,
       n: Long, cents: Long, forget: Boolean)
 

@@ -1047,4 +1047,55 @@ class StreamingSpec extends SparkSpec {
           s"batch=${batch.toSeq.sorted.take(3)}")
     } finally q.stop()
   }
+
+  case class QuantIn(ts: java.sql.Timestamp, value: Double)
+
+  test("quantileDriftStream: folding the final per-week quantile " +
+    "emissions through q256's drift algebra equals the batch " +
+    "value-quantile drift exactly, under 3-slice split delivery") {
+    implicit val sqlCtx = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(spark, sf)
+      .select(col("ts"), col("value"))
+      .collect()
+      .map(r => QuantIn(r.getTimestamp(0), r.getDouble(1))).toSeq
+    val batch = graft.queries.EventQueries
+      .quantileDriftCore(Tables.events(spark, sf))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val mem = MemoryStream[QuantIn]
+    // upsert accumulation: latest emission per week wins
+    val state = new java.util.concurrent.atomic.AtomicReference[
+      Map[Long, (Long, Long, Long)]](Map.empty)
+    val q = EventStreams.quantileDriftStream(mem.toDF()).writeStream
+      .outputMode("update")
+      .foreachBatch { (df: org.apache.spark.sql.Dataset[
+          EventStreams.QuantRow], _: Long) =>
+        val m = df.collect().map(r => r.wk -> (r.q25, r.q50, r.q75)).toMap
+        if (m.nonEmpty) state.set(state.get ++ m)
+      }
+      .start()
+    try {
+      val third = rows.size / 3
+      mem.addData(rows.take(third)); q.processAllAvailable()
+      mem.addData(rows.slice(third, 2 * third)); q.processAllAvailable()
+      mem.addData(rows.drop(2 * third)); q.processAllAvailable()
+      // the drift step is cross-week and lives DOWNSTREAM of the keyed
+      // stream (q243 per-key rule): fold the final per-week quantiles
+      // through q256's lag/max/argmax algebra verbatim
+      val fin = state.get
+      val weeks = fin.keys.toSeq.sorted
+      val streamed = Seq[(Long, Long => Long)](
+        (25L, w => fin(w)._1), (50L, w => fin(w)._2),
+        (75L, w => fin(w)._3)).map { case (p, get) =>
+        val ds = weeks.drop(1).zip(weeks.dropRight(1)).map {
+          case (w, pw) => (w, get(w) - get(pw))
+        }
+        val mx = ds.map(d => math.abs(d._2)).max
+        val peak = ds.filter(d => math.abs(d._2) == mx).map(_._1).min
+        p -> ((mx, peak))
+      }.toMap
+      assert(streamed == batch, s"stream=$streamed batch=$batch")
+    } finally q.stop()
+  }
 }

@@ -8,6 +8,7 @@ Usage: check.py <sfDir> <verifyOutDir> [query ...]
 """
 import json
 import math
+import os
 import sys
 
 import duckdb
@@ -32,6 +33,13 @@ def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
+    # replica-scale runs fan out one checker process per query
+    # (tools/check_budget.py): bound each worker so N parallel DuckDBs
+    # don't each claim 80% of RAM / every core. Unset = old behavior.
+    if os.environ.get("GRAFT_DUCK_THREADS"):
+        con.sql(f"SET threads TO {int(os.environ['GRAFT_DUCK_THREADS'])}")
+    if os.environ.get("GRAFT_DUCK_MEM"):
+        con.sql(f"SET memory_limit = '{os.environ['GRAFT_DUCK_MEM']}'")
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

@@ -28,6 +28,13 @@ rehearsal, VERDICT r5 #4):
     IDENTICAL text across all replicas — at 100x that is a single
     ~500-doc exact-dup cluster, which must trip q52's 256-doc bucket cap
     and stress q92's connected components, without growing output O(m^2).
+  * Hot event user (round 13): events whose user_id % 997 == 0 KEEP the
+    base user_id across all replicas (everyone else offsets per replica)
+    — per-key mass now grows with the factor (the one thing the plain
+    replica's constant-mass growth never exercises), so at 10x+ the
+    events self-join's worst key exceeds the 1e6-pair salt threshold and
+    q255's advisor must flip events_self to 'salt', and user-windowed
+    queries (sessionize, attribution) absorb a bot-user partition.
 
 Then:  SPARK_GRAFT_SF_DIR=<dstDir> SPARK_GRAFT_ONLY=q95_tfidf,... \
          sbt -batch "runMain graft.Bench"
@@ -113,10 +120,16 @@ def main():
     # layout kept Spark's read path identical but made every ts-bearing
     # oracle binder-fail, leaving event queries unchecked at scale).
     con.sql("SET TimeZone = 'UTC'")
+    # --skew: hot users (user_id % 997 == 0) collapse to the base id in
+    # every replica, so their per-key mass grows with the factor
+    uid = ("CASE WHEN user_id % 997 = 0 THEN user_id "
+           "ELSE user_id + {i} * CAST(10000000 AS BIGINT) END"
+           if skew else
+           "user_id + {i} * CAST(10000000 AS BIGINT)")
     replicate("events", f"""
         SELECT event_id + {{i}} * CAST(100000000 AS BIGINT) AS event_id,
                CAST(ts AS TIMESTAMP) AS ts,
-               user_id + {{i}} * CAST(10000000 AS BIGINT) AS user_id,
+               {uid} AS user_id,
                event_type, value, props
         FROM {evs}""")
 
