@@ -257,14 +257,13 @@ object PipelineQueries {
     // both engines combine three identically-computed dot products with
     // exactly-rounded double ops (an elementwise (x-y)² sum would round
     // differently). Spark: tiny seed table broadcast; the argmin is TWO
-    // SCALAR hash aggregations — min(dist) per vector, then min(sid) among
-    // the rows matching it (exact double equality: md is a copy of one of
-    // the dist values) — because ANY struct-buffered aggregate
-    // (min(struct), min_by) compiles to SortAggregate, and the pair rows
-    // deliberately carry no embedding (rejoined by vec_id afterwards)
-    // so nothing wide flows through the aggregation. AQE reuses the
-    // vec_id exchange between the two passes. The oracle's row_number
-    // form picks the same row (ties break on sid).
+    // ONE fused ObjectHashAggregate per assignment (ArgMinAgg: min sid
+    // at min dist in a scalar buffer) — the candidate crossJoin is
+    // evaluated exactly once, and the pair rows deliberately carry no
+    // embedding (rejoined by vec_id afterwards) so nothing wide flows
+    // through the aggregation. Never min_by/min(struct): struct-buffered
+    // aggregates compile to SortAggregate over the n·k pair stream. The
+    // oracle's row_number form picks the same row (ties break on sid).
     Q(
       "q100_kmeans_assign",
       """WITH seeds AS (
@@ -302,10 +301,15 @@ object PipelineQueries {
           lit(0.0)).as(s"c$i")
       val pairs = emb(s, d).crossJoin(broadcast(seeds))
         .select(col("vec_id"), col("sid"), dist.as("dist"))
-      val best = pairs.groupBy("vec_id").agg(min(col("dist")).as("md"))
-      val assigned = pairs.join(best, "vec_id")
-        .filter(col("dist") === col("md"))
-        .groupBy("vec_id").agg(min(col("sid")).as("cluster"))
+      // fused single-pass argmin (ArgMinAgg, the r13 q121 fix applied
+      // here too): one ObjectHashAggregate, candidate crossJoin
+      // evaluated once — the old min-dist + join-back + min-sid pair
+      // computed the n·k distance set twice
+      val amAgg = udaf(graft.functions.Aggregators.ArgMinAgg,
+        org.apache.spark.sql.catalyst.encoders
+          .ExpressionEncoder[(Double, Long)]())
+      val assigned = pairs.groupBy("vec_id")
+        .agg(amAgg(col("dist"), col("sid").cast("long")).as("cluster"))
       assigned.join(emb(s, d), "vec_id")
         .groupBy("cluster")
         .agg(count(lit(1)).cast("long").as("n"), cd(0), cd(1), cd(2), cd(3))
@@ -731,10 +735,13 @@ object PipelineQueries {
         val pairs = ei.crossJoin(broadcast(withC))
           .select(col("vec_id"), col("sid"),
             (col("vv") - lit(2.0) * vc + col("cc")).as("dist"))
-        val best = pairs.groupBy("vec_id").agg(min(col("dist")).as("md"))
-        pairs.join(best, "vec_id")
-          .filter(col("dist") === col("md"))
-          .groupBy("vec_id").agg(min(col("sid")).as("sid"))
+        // fused single-pass argmin (ArgMinAgg): each k-means round now
+        // computes its n·k distance set ONCE instead of twice
+        val amAgg = udaf(graft.functions.Aggregators.ArgMinAgg,
+          org.apache.spark.sql.catalyst.encoders
+            .ExpressionEncoder[(Double, Long)]())
+        pairs.groupBy("vec_id")
+          .agg(amAgg(col("dist"), col("sid").cast("long")).as("sid"))
       }
       def rebuild(adf: DataFrame): DataFrame = {
         val dims = adf.join(ei, "vec_id")
