@@ -45,4 +45,32 @@ class AggregatorsSpec extends SparkSpec {
     val p2 = df.withColumn("p", spark_partition_id()).filter(col("p") === 2)
     assert(p2.count() > 0 && p2.count() < 100)
   }
+
+  test("ArgMinAgg laws: lexicographic (dist, id) min across partitions; " +
+    "ties at equal dist break to the smaller id (row_number ORDER BY " +
+    "dist, id semantics); empty partials merge as identity") {
+    import graft.functions.Aggregators
+    val am = Aggregators.ArgMinAgg
+    // reduce/merge algebra directly (partition-order independence)
+    val z = am.zero
+    val a = am.reduce(am.reduce(z, (2.0, 7L)), (1.0, 9L))
+    val b = am.reduce(am.zero, (1.0, 3L)) // tie on dist=1.0, smaller id
+    assert(am.finish(am.merge(a, b)) == 3L)
+    assert(am.finish(am.merge(b, a)) == 3L) // merge is symmetric here
+    assert(am.finish(am.merge(am.zero, a)) == 9L) // empty partial = identity
+    assert(am.finish(am.merge(a, am.zero)) == 9L)
+    // end-to-end through a many-partition groupBy: every key must pick
+    // the min id among rows carrying its minimal dist
+    import spark.implicits._
+    val rows = for (k <- 0L until 8L; i <- 0L until 100L)
+      yield (k, (i % 10).toDouble, i)
+    val amAgg = udaf(am,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    val got = rows.toDF("k", "dist", "id").repartition(16)
+      .groupBy("k").agg(amAgg(col("dist"), col("id")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // dist 0.0 occurs at ids 0,10,...,90 -> min id 0 for every key
+    assert(got == (0L until 8L).map(_ -> 0L).toMap, s"$got")
+  }
 }

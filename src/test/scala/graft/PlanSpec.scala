@@ -93,11 +93,12 @@ class PlanSpec extends SparkSpec {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-nested").toString + "/pts"
     pointsDF.write.mode("overwrite").parquet(dir)
-    // NOTE (documented parity gap): Spark's SchemaPruning does NOT see
-    // through HOF lambdas — transform(points, p => p.x) reads the full
-    // struct. Direct extraction (`points.x` = GetArrayStructFields) prunes;
-    // the engine idiom is: extract fields FIRST, then run HOFs on the
-    // extracted arrays (COVERAGE.md §2.2 note).
+    // Spark's SchemaPruning does NOT see through HOF lambdas by itself;
+    // direct extraction (`points.x` = GetArrayStructFields) prunes. Since
+    // round 13 the TransformFieldExtraction rule performs this rewrite
+    // mechanically for transform() lambdas (Round13PlanSpec pins it);
+    // this test keeps the manual idiom pinned for the shapes the rule
+    // skips (index lambdas, >2 leaves, computed arrays).
     val pruned = spark.read.parquet(dir)
       .select(col("row_id"), col("points.x").as("xs"))
     val schemaStr = pruned.queryExecution.executedPlan.toString
