@@ -48,6 +48,10 @@ object SizeFilterToExists extends Rule[LogicalPlan] {
   *   transform(arr, p -> f(p.x))      -> transform(arr.x, v -> f(v))
   *   transform(arr, p -> f(p.x, p.y)) -> zip_with(arr.x, arr.y,
   *                                         (vx, vy) -> f(vx, vy))
+  *   exists/forall(arr, p -> pred(p.x)) -> exists/forall(arr.x, v -> pred(v))
+  *   aggregate(arr, z, (acc, p) -> m(acc, p.x), fin)
+  *                                    -> aggregate(arr.x, z, (acc, v) ->
+  *                                         m(acc, v), fin)
   *
   * after which `arr.x` is a GetArrayStructFields that SchemaPruning DOES
   * understand, and the scan's ReadSchema drops the untouched fields — on
@@ -56,12 +60,14 @@ object SizeFilterToExists extends Rule[LogicalPlan] {
   *
   * Semantics-preserving by construction: a null element yields null
   * extracted leaves exactly as `p.x` on a null `p` does; zip_with zips
-  * equal-length arrays extracted from the SAME input. Guards: 1-arg
-  * lambda only (no index form), every use of the element variable is a
-  * direct field access, and the two-field form requires a cheap (pure
-  * attribute/field-chain) array so duplicating the reference costs
-  * nothing. Fires in the operator-optimization batch, which runs BEFORE
-  * SchemaPruning's "Early Filter and Projection Push-Down" batch. */
+  * equal-length arrays extracted from the SAME input; element order and
+  * 3VL flags are preserved node-for-node. Guards: no index-form lambdas,
+  * every use of the element variable is a direct field access, single
+  * leaf only for exists/forall/aggregate, and transform's two-field form
+  * requires a cheap (pure attribute/field-chain) array so duplicating
+  * the reference costs nothing. Fires in the operator-optimization
+  * batch, which runs BEFORE SchemaPruning's "Early Filter and Projection
+  * Push-Down" batch. */
 object TransformFieldExtraction extends Rule[LogicalPlan] {
 
   private def bareUse(e: Expression, v: NamedLambdaVariable): Boolean =
@@ -78,44 +84,87 @@ object TransformFieldExtraction extends Rule[LogicalPlan] {
     case _ => false
   }
 
+  private def structArray(arr: Expression): Option[(ArrayType, StructType)] =
+    arr.dataType match {
+      case at @ ArrayType(st: StructType, _) => Some((at, st))
+      case _ => None
+    }
+
+  private def ordsOf(body: Expression, v: NamedLambdaVariable): Seq[Int] =
+    body.collect {
+      case GetStructField(nv: NamedLambdaVariable, ord, _)
+          if nv.exprId == v.exprId => ord
+    }.distinct.sorted
+
+  private def extract(arr: Expression, at: ArrayType, st: StructType,
+      ord: Int): Expression =
+    GetArrayStructFields(arr, st(ord), ord, st.length,
+      at.containsNull || st(ord).nullable)
+
+  private def leafVar(v: NamedLambdaVariable, at: ArrayType, st: StructType,
+      ord: Int): NamedLambdaVariable =
+    NamedLambdaVariable(v.name + "_" + st(ord).name,
+      st(ord).dataType, at.containsNull || st(ord).nullable)
+
+  /** Single-leaf rewrite shared by every HOF shape: if the element
+    * variable is used only as `v.field` for exactly ONE field, return
+    * (extracted array, fresh leaf variable, rewritten body). */
+  private def single(arr: Expression, v: NamedLambdaVariable,
+      body: Expression)
+      : Option[(Expression, NamedLambdaVariable, Expression)] =
+    structArray(arr).flatMap { case (at, st) =>
+      if (bareUse(body, v)) None
+      else ordsOf(body, v) match {
+        case Seq(ord) =>
+          val nv = leafVar(v, at, st, ord)
+          val nb = body.transformUp {
+            case GetStructField(x: NamedLambdaVariable, o, _)
+                if x.exprId == v.exprId && o == ord => nv
+          }
+          Some((extract(arr, at, st, ord), nv, nb))
+        case _ => None
+      }
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     plan.transformAllExpressions {
       case t @ ArrayTransform(arr,
           LambdaFunction(body, Seq(v: NamedLambdaVariable), hidden))
-          if arr.dataType.isInstanceOf[ArrayType] &&
-            arr.dataType.asInstanceOf[ArrayType]
-              .elementType.isInstanceOf[StructType] &&
-            !bareUse(body, v) =>
-        val at = arr.dataType.asInstanceOf[ArrayType]
-        val st = at.elementType.asInstanceOf[StructType]
-        val ords = body.collect {
-          case GetStructField(nv: NamedLambdaVariable, ord, _)
-              if nv.exprId == v.exprId => ord
-        }.distinct.sorted
-        def extract(ord: Int): Expression =
-          GetArrayStructFields(arr, st(ord), ord, st.length,
-            at.containsNull || st(ord).nullable)
-        def leafVar(ord: Int): NamedLambdaVariable =
-          NamedLambdaVariable(v.name + "_" + st(ord).name,
-            st(ord).dataType, at.containsNull || st(ord).nullable)
-        ords match {
-          case Seq(ord) =>
-            val nv = leafVar(ord)
-            val nb = body.transformUp {
-              case GetStructField(x: NamedLambdaVariable, o, _)
-                  if x.exprId == v.exprId && o == ord => nv
-            }
-            ArrayTransform(extract(ord), LambdaFunction(nb, Seq(nv), hidden))
+          if structArray(arr).isDefined && !bareUse(body, v) =>
+        val (at, st) = structArray(arr).get
+        ordsOf(body, v) match {
+          case Seq(_) =>
+            val (ea, nv, nb) = single(arr, v, body).get
+            ArrayTransform(ea, LambdaFunction(nb, Seq(nv), hidden))
           case Seq(o1, o2) if cheap(arr) =>
-            val (n1, n2) = (leafVar(o1), leafVar(o2))
+            val n1 = leafVar(v, at, st, o1)
+            val n2 = leafVar(v, at, st, o2)
             val nb = body.transformUp {
               case GetStructField(x: NamedLambdaVariable, o, _)
                   if x.exprId == v.exprId =>
                 if (o == o1) n1 else n2
             }
-            ZipWith(extract(o1), extract(o2),
+            ZipWith(extract(arr, at, st, o1), extract(arr, at, st, o2),
               LambdaFunction(nb, Seq(n1, n2), hidden))
           case _ => t
+        }
+      case e @ ArrayExists(arr,
+          LambdaFunction(body, Seq(v: NamedLambdaVariable), hidden), tvl) =>
+        single(arr, v, body).fold(e: Expression) { case (ea, nv, nb) =>
+          ArrayExists(ea, LambdaFunction(nb, Seq(nv), hidden), tvl)
+        }
+      case f @ ArrayForAll(arr,
+          LambdaFunction(body, Seq(v: NamedLambdaVariable), hidden)) =>
+        single(arr, v, body).fold(f: Expression) { case (ea, nv, nb) =>
+          ArrayForAll(ea, LambdaFunction(nb, Seq(nv), hidden))
+        }
+      case a @ ArrayAggregate(arr, zero,
+          LambdaFunction(mbody,
+            Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), hidden),
+          finish) =>
+        single(arr, v, mbody).fold(a: Expression) { case (ea, nv, nb) =>
+          ArrayAggregate(ea, zero,
+            LambdaFunction(nb, Seq(acc, nv), hidden), finish)
         }
     }
 }

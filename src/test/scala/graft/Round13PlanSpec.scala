@@ -80,6 +80,38 @@ class Round13PlanSpec extends SparkSpec {
       Seq(Seq(10L, 10L), Seq(), Seq(10L)))
   }
 
+  test("TransformFieldExtraction: exists/forall/aggregate lambdas " +
+    "prune the scan through the same single-leaf rewrite") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xtract4").toString + "/pts"
+    pointsDF.write.mode("overwrite").parquet(dir)
+    val ex = spark.read.parquet(dir)
+      .select(col("row_id"),
+        exists(col("points"), p => p("x") > 5).as("has_big"))
+    val exPlan = ex.queryExecution.executedPlan.toString
+    assert(exPlan.contains("struct<x:bigint>") &&
+      !exPlan.contains("y:bigint"), s"exists kept the full struct:\n$exPlan")
+    assert(eval1(ex, col("has_big")) ==
+      Seq(false, false, false, true, true))
+    val fa = spark.read.parquet(dir)
+      .select(col("row_id"),
+        forall(col("points"), p => p("y") > 1).as("all_pos"))
+    val faPlan = fa.queryExecution.executedPlan.toString
+    assert(faPlan.contains("struct<y:bigint>") &&
+      !faPlan.contains("x:bigint"), s"forall kept the full struct:\n$faPlan")
+    assert(eval1(fa, col("all_pos")) ==
+      Seq(true, true, true, true, false))
+    val ag = spark.read.parquet(dir)
+      .select(col("row_id"),
+        aggregate(col("points"), lit(0L), (acc, p) => acc + p("x"))
+          .as("sx"))
+    val agPlan = ag.queryExecution.executedPlan.toString
+    assert(agPlan.contains("struct<x:bigint>") &&
+      !agPlan.contains("y:bigint"),
+      s"aggregate kept the full struct:\n$agPlan")
+    assert(eval1(ag, col("sx")) == Seq(6L, 0L, 9L, 6L, 24L))
+  }
+
   test("TransformFieldExtraction guard: a lambda that uses the WHOLE " +
     "element (not just leaves) must not rewrite") {
     val dir = java.nio.file.Files
