@@ -71,7 +71,16 @@ def main() -> int:
                    for n, cs in zip(ids, bench["queries"])}
     else:
         bench_q = {short(k): v for k, v in bench["queries"].items()}
-    base = json.load(open(BASELINE))
+    # pick the baseline matching the run's SF when one is committed
+    # (round-13: an sf0.1 line fed to the guard silently compared
+    # against the sf0.01 baseline); fall back to the sf0.01 dev gate
+    baseline_path = BASELINE
+    sf = bench.get("sf", "")
+    cand = os.path.join(HERE,
+        f"bench_baseline_{os.path.basename(str(sf).rstrip('/'))}.json")
+    if os.path.isfile(cand):
+        baseline_path = cand
+    base = json.load(open(baseline_path))
 
     # Box-speed normalization (round-8): baselines are tightest historical
     # mins from quiet-box sessions, and the box oscillates 1.2-2x between
