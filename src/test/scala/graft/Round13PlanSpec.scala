@@ -128,6 +128,36 @@ class Round13PlanSpec extends SparkSpec {
       physical)
   }
 
+  test("TransformFieldExtraction edge laws: an outer-column capture " +
+    "inside the lambda survives the rewrite; nested HOFs rewrite only " +
+    "the inner (leaf-only) transform") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-xtract5").toString + "/pts"
+    pointsDF.write.mode("overwrite").parquet(dir)
+    // lambda body references BOTH the element leaf and the outer row_id
+    val cap = spark.read.parquet(dir)
+      .select(col("row_id"),
+        transform(col("points"), p => p("x") * col("row_id")).as("xs"))
+    val capPlan = cap.queryExecution.executedPlan.toString
+    assert(capPlan.contains("struct<x:bigint>") &&
+      !capPlan.contains("y:bigint"), s"capture blocked pruning:\n$capPlan")
+    assert(eval1(cap, col("xs")) == Seq(Seq(0L, 0L, 0L), Seq(),
+      Seq(8L, 10L), Seq(18L), Seq(28L, 32L, 36L)))
+    // nested HOF: outer lambda var used whole (as the inner array) so the
+    // outer must not rewrite; the inner leaf-only lambda still does
+    import spark.implicits._
+    val nested = Seq((0L, Seq(Seq((1L, 9L), (2L, 8L)), Seq((3L, 7L)))))
+      .toDF("row_id", "grid")
+      .selectExpr("row_id",
+        "transform(grid, row -> transform(row, p -> " +
+          "named_struct('x', p._1, 'y', p._2))) as grid")
+    val out = nested.select(
+      transform(col("grid"),
+        row => transform(row, p => p("x") + 1)).as("g"))
+      .collect().head.getSeq[scala.collection.Seq[Long]](0)
+    assert(out.map(_.toSeq) == Seq(Seq(2L, 3L), Seq(4L)))
+  }
+
   // ------------------------------------------------- engaged salt paths
 
   test("saltedJoin plan: the salt reaches the exchange keys on BOTH " +
