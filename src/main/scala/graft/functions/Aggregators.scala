@@ -58,7 +58,29 @@ object Aggregators {
     * exact here — dist is never NaN (finite inputs) and never -0.0
     * (it is `(vv - 2·dot) + cc` with vv,cc ≥ 0: IEEE a-b and a+b yield
     * -0.0 only from -0.0 operands), and primitive -0.0 == 0.0 equals
-    * SQL's equality semantics anyway. */
+    * SQL's equality semantics anyway.
+    *
+    * ==== CONTRACT (r13 verdict + ADVICE pin) — every caller MUST hold ====
+    *  1. `dist` is never NaN. NaN poisons the fold ORDER-DEPENDENTLY:
+    *     a NaN adopted into an empty buffer beats every later finite
+    *     row (both `<` and `==` are false against NaN), while a NaN
+    *     arriving after a finite row loses — the result then depends
+    *     on partition layout. AggregatorsSpec pins this divergence as
+    *     a negative law. A future SUBTRACTIVE distance (a−b with no
+    *     nonneg-square argument) must pre-filter `isnan(dist)` or map
+    *     NaN→+Inf before the agg.
+    *  2. `dist` is never -0.0 at a tie with +0.0 UNLESS bit-equality is
+    *     irrelevant: primitive == treats them equal (SQL semantics), so
+    *     ties at zero still break purely on id — this one is safe by
+    *     IEEE for the (vv − 2·dot) + cc call sites and proven in spec.
+    *  3. Inputs are NON-NULL. The old min()/join-back form silently
+    *     ignored NULL dist/value rows; this udaf's (Double, Long)
+    *     ExpressionEncoder is non-nullable and THROWS at runtime on a
+    *     null (e.g. a null embedding producing a null dot product) —
+    *     a data regression fails loudly instead of shifting the
+    *     argmin. Callers over possibly-null columns must filter
+    *     `isnull` first (all current call sites scan non-null
+    *     embedding/centroid arrays). */
   final case class AM(dist: Double, v: Long, set: Boolean)
   object ArgMinAgg extends Aggregator[(Double, Long), AM, Long] {
     override def zero: AM = AM(Double.PositiveInfinity, Long.MaxValue, false)

@@ -762,7 +762,17 @@ object EventStreams {
     * therefore stays downstream of the stream (the q243 per-key-span
     * rule: keyed state cannot see other weeks); StreamingSpec folds the
     * final per-week emissions through q256's drift algebra and pins
-    * byte-equality with the batch output under split delivery. */
+    * byte-equality with the batch output under split delivery.
+    *
+    * Retention (ADVICE r13): state is bounded PER WEEK but retained for
+    * every week ever seen (NoTimeout, no removal) — deliberate here
+    * because the drift consumer compares arbitrary week pairs and a
+    * year of weeks is ≤52 bounded histograms. A deployment whose
+    * week-count genuinely grows without bound (multi-year, many
+    * streams) should key the same op behind an event-time watermark
+    * and `state.remove()` weeks older than the watermark minus the
+    * drift lag — the emission algebra is unchanged because closed
+    * weeks never receive data. */
   def quantileDriftStream(evs: DataFrame)(
       implicit e0: org.apache.spark.sql.Encoder[Map[Long, Long]],
       e1: org.apache.spark.sql.Encoder[(Long, Long)],

@@ -73,4 +73,35 @@ class AggregatorsSpec extends SparkSpec {
     // dist 0.0 occurs at ids 0,10,...,90 -> min id 0 for every key
     assert(got == (0L until 8L).map(_ -> 0L).toMap, s"$got")
   }
+
+  test("ArgMinAgg contract (r13 verdict item 7): the call-site distance " +
+    "shape (vv - 2*dot) + cc never yields NaN/-0.0 for finite inputs, " +
+    "and a NaN-carrying caller WOULD be order-dependent — the documented " +
+    "precondition is load-bearing, not decorative") {
+    val am = Aggregators.ArgMinAgg
+    // (a) the call-site shape: vv, cc are sums of squares (>= +0.0 even
+    // from -0.0 inputs: (-0.0)*(-0.0) == +0.0), so a-b / a+b cannot
+    // produce -0.0 and finite operands cannot produce NaN
+    val probes = Seq((0.0, 0.0, 0.0), (-0.0 * -0.0, 0.0, 0.0),
+      (2.0, 1.0, 0.0), (1e300, 5e299, 1e300))
+    probes.foreach { case (vv, dot, cc) =>
+      val d = (vv - 2 * dot) + cc
+      assert(!d.isNaN, s"NaN from ($vv,$dot,$cc)")
+      assert(java.lang.Double.doubleToRawLongBits(d) !=
+        java.lang.Double.doubleToRawLongBits(-0.0),
+        s"-0.0 from ($vv,$dot,$cc)")
+    }
+    // -0.0 == 0.0 under primitive compare = SQL equality: a hypothetical
+    // -0.0 tie still breaks purely on id
+    val t1 = am.reduce(am.reduce(am.zero, (-0.0, 9L)), (0.0, 3L))
+    assert(am.finish(t1) == 3L)
+    // (b) negative law: NaN poisons the fold order-dependently — this is
+    // WHY the precondition exists. First-NaN wins over later finite rows;
+    // finite-first beats later NaN. A subtractive-distance caller that
+    // can produce NaN must pre-filter or map NaN -> +Inf.
+    val nanFirst = am.reduce(am.reduce(am.zero, (Double.NaN, 1L)), (1.0, 2L))
+    val nanLast = am.reduce(am.reduce(am.zero, (1.0, 2L)), (Double.NaN, 1L))
+    assert(am.finish(nanFirst) == 1L && am.finish(nanLast) == 2L,
+      "NaN order-dependence changed — revisit the documented contract")
+  }
 }

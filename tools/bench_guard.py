@@ -76,10 +76,19 @@ def main() -> int:
     # against the sf0.01 baseline); fall back to the sf0.01 dev gate
     baseline_path = BASELINE
     sf = bench.get("sf", "")
-    cand = os.path.join(HERE,
-        f"bench_baseline_{os.path.basename(str(sf).rstrip('/'))}.json")
+    sf_name = os.path.basename(str(sf).rstrip("/"))
+    cand = os.path.join(HERE, f"bench_baseline_{sf_name}.json")
     if os.path.isfile(cand):
         baseline_path = cand
+    elif sf_name != "sf0.01":
+        # round-14 (ADVICE): the silent sf0.01 fallback is exactly the
+        # silent-mismatch pathology the SF-based selection fixed for
+        # sf0.1 — name the baseline actually used for any other SF
+        # (e.g. a 100x replica dir) so a cross-SF comparison can't pass
+        # quietly.
+        print(f"warning: no committed baseline for sf '{sf_name}' "
+              f"({cand} missing); comparing against "
+              f"{os.path.basename(BASELINE)}", file=sys.stderr)
     base = json.load(open(baseline_path))
 
     # Box-speed normalization (round-8): baselines are tightest historical

@@ -58,6 +58,13 @@ def main():
             dt = time.time() - t0
             ok = r.returncode == 0
             detail = (r.stdout.strip().splitlines() or ["(no output)"])[0]
+            if not ok and detail == "(no output)":
+                # a crashing worker (e.g. parquet binder failure) writes
+                # its traceback to stderr only — surface the last
+                # non-empty stderr line instead of "(no output)"
+                err_lines = [l for l in r.stderr.strip().splitlines() if l]
+                if err_lines:
+                    detail = err_lines[-1]
             return (name, "PASS" if ok else "FAIL", dt, detail)
         except subprocess.TimeoutExpired:
             return (name, "SKIP", budget,
