@@ -593,33 +593,27 @@ object TextQueries {
     // BPE ENCODE — the inference side of q142: re-derive the merge table
     // (same distributed count + V-bounded loop), then tokenize every
     // document by applying the K merges IN LEARNED ORDER to each word's
-    // char sequence — one codegen'd map stage over the corpus (a chain of
-    // K replace() calls inside a per-word lambda; no shuffle before the
-    // final sort). Emits per-doc BPE token counts — the statistic every
-    // token-budget pipeline needs from its tokenizer. The oracle replays
-    // the identical replace chain with the merge pair pulled from the
-    // unrolled-CTE induction (scalar subqueries), so both engines encode
-    // with byte-identical greedy semantics.
+    // symbol sequence via the single-pass codegen symbol-walk kernel
+    // (plans/BpeCount, the CdcCuts pattern) — one fused JVM loop per doc,
+    // no shuffle before the final sort. Emits per-doc BPE token counts —
+    // the statistic every token-budget pipeline needs from its tokenizer.
+    // The oracle replays the equivalent replace chain with the merge pair
+    // pulled from the unrolled-CTE induction (scalar subqueries);
+    // BpeCount's scaladoc argues byte-identical greedy semantics and the
+    // unchanged oracle proves it. Replaced the r13 per-word K-replace
+    // chain (interpreted HOF — transform never codegens; the suite's
+    // worst decade row at 57x/100x): round-14 interleaved A/B, minima —
+    // sf0.1 1.84 -> 1.03 s, 100x 32.6 -> 8.4 s, decade ratio 57x -> 8.2x.
     Q("q148_bpe_encode", TextQueries.bpeEncodeOracle(6)) { (s, d) =>
       val merges = TextQueries.bpeMerges(s, d, 6)
-      val encWord: Column => Column = w => {
-        val start = concat(lit(" "),
-          regexp_replace(w, "(.)", "$1 "))
-        val enc = merges.foldLeft(start) { case (c, (_, l, r, _)) =>
-          replace(c, lit(" " + l + " " + r + " "), lit(" " + l + r + " "))
-        }
-        size(split(trim(enc), " ")).cast("long")
-      }
-      docs(s, d).select(col("doc_id"),
-          graft.functions.ArrayOps.bindOnce(TextOps.tokens(col("text"))) {
-            ws =>
-              struct(
-                aggregate(transform(ws, encWord), lit(0L), (a, x) => a + x)
-                  .as("n_bpe_tokens"),
-                size(ws).cast("long").as("n_words"))
-          }.as("m"))
-        .select(col("doc_id"), col("m.n_bpe_tokens").as("n_bpe_tokens"),
-          col("m.n_words").as("n_words"))
+      import org.apache.spark.sql.GraftColumnBridge
+      docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("ws"))
+        .select(col("doc_id"),
+          GraftColumnBridge.column(graft.plans.BpeCount(
+            GraftColumnBridge.expression(col("ws")),
+            merges.map(_._2), merges.map(_._3))).as("n_bpe_tokens"),
+          size(col("ws")).cast("long").as("n_words"))
         .orderBy("doc_id")
     },
 
