@@ -40,6 +40,22 @@ def main():
         con.sql(f"SET threads TO {int(os.environ['GRAFT_DUCK_THREADS'])}")
     if os.environ.get("GRAFT_DUCK_MEM"):
         con.sql(f"SET memory_limit = '{os.environ['GRAFT_DUCK_MEM']}'")
+    if os.environ.get("GRAFT_DUCK_TMP"):
+        # spill isolation: by default every in-memory DuckDB spills to
+        # cwd-relative ".tmp" — N parallel workers then SHARE one dir
+        # (remove races) and can fill the disk together (both observed
+        # at the 1000x gate). Give each worker its own dir, capped, so
+        # one runaway oracle aborts itself instead of the whole fleet.
+        d = os.path.join(
+            os.environ["GRAFT_DUCK_TMP"],
+            sys.argv[3] if len(sys.argv) == 4 else f"pid{os.getpid()}")
+        os.makedirs(d, exist_ok=True)
+        con.sql(f"SET temp_directory = '{d}'")
+        try:
+            cap = os.environ.get("GRAFT_DUCK_TMP_MAX", "18GB")
+            con.sql(f"SET max_temp_directory_size = '{cap}'")
+        except Exception:
+            pass  # setting absent in older DuckDB; dir isolation still holds
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracles = json.load(open(f"{out_dir}/oracle_sql.json"))

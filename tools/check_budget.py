@@ -16,6 +16,7 @@ Usage: check_budget.py <sfDir> <verifyOutDir> [--budget SEC] [--workers N]
 """
 import json
 import os
+import shutil
 import subprocess
 import sys
 import time
@@ -47,6 +48,9 @@ def main():
     # the 32-core / 125 GB envelope with headroom for the page cache
     env.setdefault("GRAFT_DUCK_THREADS", str(max(4, 32 // workers)))
     env.setdefault("GRAFT_DUCK_MEM", "24GB")
+    # per-query spill dirs (see check.py): isolated and capped so one
+    # runaway oracle can't fill the disk or race a sibling's temp files
+    env.setdefault("GRAFT_DUCK_TMP", f"/tmp/duck_spill_{os.getpid()}")
 
     def one(name):
         t0 = time.time()
@@ -69,6 +73,9 @@ def main():
         except subprocess.TimeoutExpired:
             return (name, "SKIP", budget,
                     f"oracle exceeded {budget:.0f}s budget")
+        finally:
+            shutil.rmtree(os.path.join(env["GRAFT_DUCK_TMP"], name),
+                          ignore_errors=True)
 
     results = []
     with ThreadPoolExecutor(max_workers=workers) as ex:
