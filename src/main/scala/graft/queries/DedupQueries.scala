@@ -862,14 +862,16 @@ object DedupQueries {
         .select(col("id").as("vec_id"), col("lbl").as("group_id"))
       val qual = docs(s, d)
         .select(col("doc_id").as("vec_id"), col("n_chars"))
+      // r14: ONE fused aggregate (count + max + canonPick argmax) over
+      // the member table, replacing the two-hash-agg join-back that
+      // computed members twice (PLANS.md's old 34-node plan: two
+      // grp BHJ docs subtrees feeding an SMJ). Tie-break identical to
+      // the oracle's min(vec_id) WHERE n_chars = best_len.
       val members = grp.join(qual, "vec_id")
-      val best = members.groupBy("group_id")
-        .agg(max(col("n_chars")).as("best_len"),
-          count(lit(1)).as("n_members"))
-      members.join(best, "group_id")
-        .filter(col("n_chars") === col("best_len"))
-        .groupBy("group_id", "n_members", "best_len")
-        .agg(min(col("vec_id")).as("canonical_id"))
+      members.groupBy("group_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(col("n_chars")).as("best_len"),
+          canonPick(col("n_chars"), col("vec_id")).as("canonical_id"))
         .select(col("group_id"), col("n_members"), col("best_len"),
           col("canonical_id"))
         .orderBy("group_id")
@@ -3618,15 +3620,29 @@ object DedupQueries {
         p.withColumn("__rn", row_number().over(w))
           .filter(col("__rn") <= 32).drop("__rn")
           .localCheckpoint(true) // CC re-reads edges every round
-      val e2 = bounded(pr)
-      val e1 = bounded(pr.filter(col("id_a") % 10 =!= 7 &&
-        col("id_b") % 10 =!= 7))
+      // r14: the two day-pipelines (bound -> CC, eager small jobs) are
+      // independent — run them as OVERLAPPED jobs so each CC round's
+      // straggler tail backfills with the other side's work instead of
+      // idling the cluster (optimization-guide §2.6; actions are only
+      // sequential because driver code calls them sequentially).
+      // Scheduling cannot change results: each side's computation is
+      // self-contained and deterministic.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val f2 = Future {
+        graft.functions.GraphOps.connectedComponents(bounded(pr),
+          "id_a", "id_b")
+      }
+      val f1 = Future {
+        graft.functions.GraphOps.connectedComponents(
+          bounded(pr.filter(col("id_a") % 10 =!= 7 &&
+            col("id_b") % 10 =!= 7)), "id_a", "id_b")
+      }
       val dq = docs(s, d).select(col("doc_id"), col("source"),
         col("n_chars"))
       canonicalFlipCore(
-        graft.functions.GraphOps.connectedComponents(e1, "id_a", "id_b"),
-        graft.functions.GraphOps.connectedComponents(e2, "id_a",
-          "id_b"),
+        Await.result(f1, scala.concurrent.duration.Duration.Inf),
+        Await.result(f2, scala.concurrent.duration.Duration.Inf),
         dq)
     },
 
@@ -4188,40 +4204,96 @@ object DedupQueries {
     * sketch laws (two textually identical sources estimate AND measure
     * Jaccard 1e6 with err 0; disjoint-vocabulary sources give 0/0). */
   private[graft] def kmvOverlapCore(
-      d: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      d: org.apache.spark.sql.DataFrame,
+      maskMaxSources: Int = 62): org.apache.spark.sql.DataFrame = {
     import graft.functions.{Aggregators, ArrayOps}
-    // NO checkpoint between the distinct and its two consumers: the
-    // r11 A/B (sf0.1 / 100x / 1000x skew replicas) measured recompute
-    // faster at every scale (4.0 vs 5.0 s, 14.6 vs 14.4, 61.9 vs 65.7)
-    // — the shingle+hash+distinct pipeline is codegen'd scan work,
-    // cheaper than a DISK_ONLY materialization barrier of the
-    // corpus-distinct rows plus its serial write (the q210 rule cuts
-    // the other way here because both consumers are CHEAP aggregates
-    // of the distinct, not join probes over it).
-    val hv = d
-      .select(col("source"),
-        explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
-          .as("sh"))
-      .select(col("source"),
-        call_function("md5_prefix64", col("sh")).as("h"))
-      .distinct()
     val minK = udaf(new Aggregators.MinKAgg(128),
       org.apache.spark.sql.Encoders.scalaLong)
-    val agg = hv.groupBy("source")
-      .agg(count(lit(1)).as("n"), minK(col("h")).as("bk"))
+    // r14 SOURCE-BITMASK shape. The r13 form computed the distinct
+    // (source, h) table TWICE (recompute beat a DISK_ONLY barrier of
+    // those string-bearing rows at every replica scale) and paid a
+    // THIRD corpus-scale exchange + two sort-fallback
+    // ObjectHashAggregates for the per-h source sets. Since |sources|
+    // is broadcast-small by construction (the sketch pair frame below
+    // is already a broadcast self-cross of the per-source aggregate),
+    // the per-h source SET is a ≤62-bit MASK: one pure-codegen
+    // partial+final bit_or HashAggregate keyed by h collapses the raw
+    // shingle stream map-side (no distinct pre-pass, no 128-key
+    // ObjectHashAgg fallback) and ships 16 B/row. NO barrier between
+    // the mask table and its two consumers: the r14 A/B re-confirmed
+    // the r11 call (recompute 4.0 s vs DISK_ONLY barrier 5.0 s at
+    // sf0.1) — the pipeline is pure codegen scan work and both
+    // consumers are cheap aggregates of it. Per-source n + bottom-128
+    // and the per-pair intersections are bit arithmetic over that
+    // table — the pair counts collapse to DISTINCT-MASK cardinality
+    // before the pair explode (groupBy(m) is bounded by 2^|sources|
+    // masks, in practice far fewer; the explode multiplies THAT, never
+    // corpus rows). Sorted-source bit order = lexicographic pair order,
+    // so outputs are byte-identical to the set form; sources > 62 (not
+    // a gate shape; crafted spec covers it) falls back to the proven
+    // r13 set path.
+    val srcs = d.select(col("source")).distinct().orderBy("source")
+      .collect().map(_.getString(0)).toSeq
+    val (agg0, inter) = if (srcs.length <= maskMaxSources) {
+      val nS = srcs.length
+      val bitOf = element_at(
+        typedlit(srcs.zipWithIndex.toMap), col("source"))
+      val hm = d
+        .select(bitOf.as("b"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+        .select(col("b"),
+          call_function("md5_prefix64", col("sh")).as("h"))
+        .groupBy("h")
+        .agg(expr("bit_or(shiftleft(cast(1 as bigint), b))").as("m"))
+      val a = hm
+        .select(col("h"), col("m"),
+          explode(sequence(lit(0), lit(nS - 1))).as("b"))
+        .where(expr("(shiftright(m, b) & 1) = 1"))
+        .groupBy("b")
+        .agg(count(lit(1)).as("n"), minK(col("h")).as("bk"))
+        .select(element_at(typedlit(srcs), col("b") + 1).as("source"),
+          col("n"), col("bk"))
+      val i0 = hm
+        .where(expr("bit_count(m) >= 2"))
+        .groupBy("m").agg(count(lit(1)).as("c"))
+        .select(col("c"), col("m"),
+          explode(sequence(lit(0), lit(nS - 2))).as("b1"))
+        .where(expr("(shiftright(m, b1) & 1) = 1"))
+        .select(col("c"), col("m"), col("b1"),
+          explode(sequence(col("b1") + 1, lit(nS - 1))).as("b2"))
+        .where(expr("(shiftright(m, b2) & 1) = 1"))
+        .groupBy(element_at(typedlit(srcs), col("b1") + 1).as("src_1"),
+          element_at(typedlit(srcs), col("b2") + 1).as("src_2"))
+        .agg(sum("c").as("i"))
+      (a, i0)
+    } else {
+      val hv = d
+        .select(col("source"),
+          explode(TextOps.shingles(TextOps.tokens(col("text")), 3))
+            .as("sh"))
+        .select(col("source"),
+          call_function("md5_prefix64", col("sh")).as("h"))
+        .distinct()
+      val a = hv.groupBy("source")
+        .agg(count(lit(1)).as("n"), minK(col("h")).as("bk"))
+      val i0 = hv.groupBy("h")
+        .agg(sort_array(collect_set(col("source"))).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(ArrayOps.combinations2(col("ss"),
+          fields = Seq("src_1", "src_2"))).as("pr"))
+        .groupBy(col("pr.src_1").as("src_1"),
+          col("pr.src_2").as("src_2"))
+        .agg(count(lit(1)).cast("long").as("i"))
+      (a, i0)
+    }
+    val agg = agg0
       .localCheckpoint(true) // |sources| rows; aliased twice below
     val pr = agg.select(col("source").as("src_1"), col("n").as("n_1"),
         col("bk").as("bk_1"))
       .crossJoin(broadcast(agg.select(col("source").as("src_2"),
         col("n").as("n_2"), col("bk").as("bk_2"))))
       .filter(col("src_1") < col("src_2"))
-    val inter = hv.groupBy("h")
-      .agg(sort_array(collect_set(col("source"))).as("ss"))
-      .filter(size(col("ss")) >= 2)
-      .select(explode(ArrayOps.combinations2(col("ss"),
-        fields = Seq("src_1", "src_2"))).as("pr"))
-      .groupBy(col("pr.src_1").as("src_1"), col("pr.src_2").as("src_2"))
-      .agg(count(lit(1)).as("i"))
     val merged = slice(array_sort(array_distinct(
       concat(col("bk_1"), col("bk_2")))), 1, 128)
     pr.join(inter, Seq("src_1", "src_2"), "left")
@@ -4307,16 +4379,33 @@ object DedupQueries {
 
   /** Canonical map (doc_id → canonical id) under q223's rule from an
     * (id, lbl) group frame and a (doc_id, n_chars) quality table. */
+  /** Single-pass canonical pick: the (max n_chars, min id) member of a
+    * group as ONE fused ObjectHashAggregate (Aggregators.ArgMinAgg, r14
+    * — the r13 argmin applied to the remaining two-hash-agg ARGMAX
+    * shapes q111/q223/canonMap, which each re-evaluated their member
+    * table through a max -> join-back -> min-at-max pair). ArgMinAgg
+    * contract holds: dist = -(n_chars+1) is always <= -1 (never NaN,
+    * never -0.0, inputs non-null by the inner join on generated docs)
+    * and integer-exact as a double at any real document length; the
+    * tie-break (min id at equal dist) is exactly the oracle's
+    * min(id) WHERE n_chars = max(n_chars). */
+  private def canonPick(nChars: org.apache.spark.sql.Column,
+      id: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val amAgg = udaf(graft.functions.Aggregators.ArgMinAgg,
+      org.apache.spark.sql.catalyst.encoders
+        .ExpressionEncoder[(Double, Long)]())
+    amAgg((lit(0L) - (nChars.cast("long") + lit(1L))).cast("double"),
+      id.cast("long"))
+  }
+
   private def canonMap(grp: org.apache.spark.sql.DataFrame,
       dq: org.apache.spark.sql.DataFrame, out: String)
       : org.apache.spark.sql.DataFrame = {
     val g = grp.select(col("id").as("doc_id"), col("lbl"))
       .join(dq.hint("shuffle_hash"), Seq("doc_id"))
-      .localCheckpoint(true) // dup-mass scale; three consumers
-    val best = g.groupBy("lbl").agg(max("n_chars").as("bl"))
-    val can = g.join(best, Seq("lbl"))
-      .filter(col("n_chars") === col("bl"))
-      .groupBy("lbl").agg(min("doc_id").as(out))
+      .localCheckpoint(true) // dup-mass scale; two consumers
+    val can = g.groupBy("lbl")
+      .agg(canonPick(col("n_chars"), col("doc_id")).as(out))
     g.select(col("doc_id"), col("lbl")).join(can, Seq("lbl"))
       .select(col("doc_id"), col(out))
   }
@@ -4330,8 +4419,14 @@ object DedupQueries {
       dq: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     val q = dq.select(col("doc_id"), col("n_chars"))
-    val m1 = canonMap(g1, q, "can1")
-    val m2 = canonMap(g2, q, "can2")
+    // r14: the two canonical maps are independent eager pipelines
+    // (checkpoint inside canonMap) — overlap them (guide §2.6).
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val fm1 = Future(canonMap(g1, q, "can1"))
+    val fm2 = Future(canonMap(g2, q, "can2"))
+    val m1 = Await.result(fm1, scala.concurrent.duration.Duration.Inf)
+    val m2 = Await.result(fm2, scala.concurrent.duration.Duration.Inf)
     dq.filter(col("doc_id") % 10 =!= 7)
       .join(m1.hint("shuffle_hash"), Seq("doc_id"), "left")
       .join(m2.hint("shuffle_hash"), Seq("doc_id"), "left")
@@ -4865,10 +4960,10 @@ object DedupQueries {
       : org.apache.spark.sql.DataFrame = {
     val g = grp.join(qual.hint("shuffle_hash"), Seq("doc_id"))
       .localCheckpoint(true)
-    val best = g.groupBy("group_id").agg(max("n_chars").as("best_len"))
-    val canon = g.join(best.hint("shuffle_hash"), Seq("group_id"))
-      .filter(col("n_chars") === col("best_len"))
-      .groupBy("group_id").agg(min("doc_id").as("canonical_id"))
+    // r14: single-pass canonPick replaces max -> join-back -> min-at-max
+    // (one aggregate over g instead of an agg + a dup-mass join + agg).
+    val canon = g.groupBy("group_id")
+      .agg(canonPick(col("n_chars"), col("doc_id")).as("canonical_id"))
     val dropped = g.join(canon.hint("shuffle_hash"), Seq("group_id"))
       .filter(col("doc_id") =!= col("canonical_id"))
     val tot = qual.groupBy("source")
