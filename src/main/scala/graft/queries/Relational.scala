@@ -551,19 +551,27 @@ object Relational {
         |       ELSE 'merge' END AS decision
         |FROM w ORDER BY join_name""".stripMargin
     ) { (s, d) =>
+      // r14: each table is scanned ONCE — orders emits its two join
+      // memberships from one scan (inline over a 2-struct array), and
+      // the events self-join emits both sides from one scan (explode
+      // over the side labels). Same (jn, side, k) rows as the old
+      // 6-scan union; orders and events (the biggest table) each lose
+      // a full scan.
       val sides = Tables.orders(s, d)
-        .select(lit("orders_lineitem").as("jn"), lit("L").as("side"),
-          col("o_orderkey").as("k"))
+        .select(inline(array(
+          struct(lit("orders_lineitem").as("jn"), lit("L").as("side"),
+            col("o_orderkey").as("k")),
+          struct(lit("customer_orders").as("jn"), lit("R").as("side"),
+            col("o_custkey").as("k")))))
         .union(Tables.lineitem(s, d).select(lit("orders_lineitem"),
           lit("R"), col("l_orderkey")))
         .union(Tables.customer(s, d).select(lit("customer_orders"),
           lit("L"), col("c_custkey")))
-        .union(Tables.orders(s, d).select(lit("customer_orders"),
-          lit("R"), col("o_custkey")))
-        .union(Tables.events(s, d).select(lit("events_self"),
-          lit("L"), col("user_id")))
-        .union(Tables.events(s, d).select(lit("events_self"),
-          lit("R"), col("user_id")))
+        .union(Tables.events(s, d)
+          .select(explode(array(lit("L"), lit("R"))).as("side"),
+            col("user_id"))
+          .select(lit("events_self").as("jn"), col("side"),
+            col("user_id").as("k")))
       joinAdvisorCore(sides)
     }
   )
@@ -574,32 +582,31 @@ object Relational {
   private[graft] def joinAdvisorCore(
       sides: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val h = sides.groupBy("jn", "side", "k")
-      .agg(count(lit(1)).as("c"))
-      .localCheckpoint(true) // key-histogram scale; st + fc consumers
-    val st = h.groupBy("jn", "side")
-      .agg(sum("c").as("n"))
-    val fc = h.filter(col("side") === "L")
-      .select(col("jn"), col("k"), col("c").as("cl"))
-      .join(h.filter(col("side") === "R")
-        .select(col("jn").as("jn2"), col("k").as("k2"),
-          col("c").as("cr")),
-        col("jn") === col("jn2") && col("k") === col("k2"))
-      .groupBy("jn")
-      .agg(sum(col("cl") * col("cr")).as("out_rows"),
+    // r14 ZERO-JOIN shape. The r13 form exchanged a (jn, side, k)
+    // histogram into a checkpoint (key-histogram scale — data-scale
+    // rows materialized) and then SELF-JOINED it L-vs-R plus a second
+    // per-side rollup join pair. But the L/R split is a PIVOT, not a
+    // join: ONE (jn, k)-keyed aggregate holds (cl, cr) per key — a key
+    // present on one side only contributes cl·cr = 0 to both the sum
+    // and the max, which is exactly the inner join's shared-key set —
+    // and every output column is a second, jn-scale rollup of that
+    // table. Two exchanges total (one data-scale with map-side
+    // partials, one |joins|-scale), no checkpoint, no join. The old
+    // st inner join's "jn present on both sides" semantics survives
+    // as the n_left>0 AND n_right>0 filter.
+    val hk = sides.groupBy("jn", "k")
+      .agg(sum(when(col("side") === "L", 1L).otherwise(0L)).as("cl"),
+        sum(when(col("side") === "R", 1L).otherwise(0L)).as("cr"))
+    hk.groupBy("jn")
+      .agg(sum("cl").as("n_left"), sum("cr").as("n_right"),
+        sum(col("cl") * col("cr")).as("out_rows"),
         max(col("cl") * col("cr")).as("max_key_out"))
-    st.filter(col("side") === "L")
-      .select(col("jn"), col("n").as("n_left"))
-      .join(st.filter(col("side") === "R")
-        .select(col("jn").as("j2"), col("n").as("n_right")),
-        col("jn") === col("j2"))
-      .join(fc, Seq("jn"), "left")
+      .filter(col("n_left") > 0 && col("n_right") > 0)
       .select(col("jn").as("join_name"),
         col("n_left").cast("long").as("n_left"),
         col("n_right").cast("long").as("n_right"),
-        coalesce(col("out_rows"), lit(0L)).cast("long").as("out_rows"),
-        coalesce(col("max_key_out"), lit(0L)).cast("long")
-          .as("max_key_out"))
+        col("out_rows").cast("long").as("out_rows"),
+        col("max_key_out").cast("long").as("max_key_out"))
       .selectExpr("join_name", "n_left", "n_right", "out_rows",
         "max_key_out",
         "case when out_rows = 0 then 0L" +
