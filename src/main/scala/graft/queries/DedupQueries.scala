@@ -4176,14 +4176,23 @@ object DedupQueries {
     var round = 1L
     var done = false
     while (round <= 8 && !done) {
+      // r14: ONE driver action per BFS round instead of three. The
+      // emptiness check rides the checkpoint job via observe() (the
+      // CC-loop fusion applied here — isEmpty was a second full job per
+      // round), and visited grows as a UNION of already-checkpointed
+      // round frontiers (≤9 LogicalRDD legs, no lineage growth) instead
+      // of re-materializing the whole visited set every round (which
+      // re-wrote O(|nodes|) rows per round as a third job).
+      val obs = org.apache.spark.sql.Observation()
       val nxt = frontier.join(und, frontier("id") === und("src"))
         .select(col("dst").as("id")).distinct()
         .join(visited, Seq("id"), "left_anti")
         .withColumn("d", lit(round))
+        .observe(obs, count(lit(1)).as("c"))
         .localCheckpoint(true)
-      if (nxt.isEmpty) done = true
+      if (obs.get("c").asInstanceOf[Long] == 0L) done = true
       else {
-        visited = visited.union(nxt).localCheckpoint(true)
+        visited = visited.union(nxt)
         frontier = nxt
         round += 1
       }
