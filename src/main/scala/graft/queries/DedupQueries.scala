@@ -1685,9 +1685,18 @@ object DedupQueries {
         .select(col("doc_id"), col("s"), size(col("s")).cast("long").as("m"))
         .localCheckpoint()
       val toks = sets.select(col("doc_id"), col("m"), explode(col("s")).as("h"))
-      val dfreq = toks.groupBy("h").agg(count(lit(1)).as("df"))
+      // df via count() OVER (PARTITION BY h) on the SAME h-exchange the
+      // old groupBy+join-back pair needed two of: the r14 shape exchanged
+      // toks by h twice (once as partial-agg df rows, once as the join
+      // probe) and built a vocabulary-scale hash relation per partition;
+      // the window computes identical df values (toks is distinct per
+      // (doc_id, h) by construction) in ONE exchange with no join. Output
+      // is provably byte-identical: same df -> same rn -> same prefix ->
+      // same candidates -> same exact-verify result.
+      val byBucketAll = Window.partitionBy("h")
       val byDoc = Window.partitionBy("doc_id").orderBy("df", "h")
-      val ranked = toks.join(dfreq.hint(bigJoin(s, d)), "h")
+      val ranked = toks
+        .withColumn("df", count(lit(1)).over(byBucketAll))
         .withColumn("rn", row_number().over(byDoc))
       val prefix = ranked
         .filter(col("rn") <= col("m") - expr("(m + 1) div 2") + 1)
@@ -3627,23 +3636,30 @@ object DedupQueries {
       // sequential because driver code calls them sequentially).
       // Scheduling cannot change results: each side's computation is
       // self-contained and deterministic.
-      import scala.concurrent.{Await, Future}
+      // blocking{} marks the Spark actions for the global pool's blocking
+      // manager, and the Await is FINITE (generous — r15 ADVICE item): a
+      // fatal error (OOM) inside a Future body is NOT captured by
+      // NonFatal-only Future completion, which with Duration.Inf would
+      // hang the query forever instead of failing the run.
+      import scala.concurrent.{blocking, Await, Future}
       import scala.concurrent.ExecutionContext.Implicits.global
       val f2 = Future {
-        graft.functions.GraphOps.connectedComponents(bounded(pr),
-          "id_a", "id_b")
+        blocking {
+          graft.functions.GraphOps.connectedComponents(bounded(pr),
+            "id_a", "id_b")
+        }
       }
       val f1 = Future {
-        graft.functions.GraphOps.connectedComponents(
-          bounded(pr.filter(col("id_a") % 10 =!= 7 &&
-            col("id_b") % 10 =!= 7)), "id_a", "id_b")
+        blocking {
+          graft.functions.GraphOps.connectedComponents(
+            bounded(pr.filter(col("id_a") % 10 =!= 7 &&
+              col("id_b") % 10 =!= 7)), "id_a", "id_b")
+        }
       }
       val dq = docs(s, d).select(col("doc_id"), col("source"),
         col("n_chars"))
-      canonicalFlipCore(
-        Await.result(f1, scala.concurrent.duration.Duration.Inf),
-        Await.result(f2, scala.concurrent.duration.Duration.Inf),
-        dq)
+      val tmo = scala.concurrent.duration.Duration(4, "hours")
+      canonicalFlipCore(Await.result(f1, tmo), Await.result(f2, tmo), dq)
     },
 
     // KMV CROSS-SOURCE OVERLAP — the bottom-k (KMV / theta) sketch IS
@@ -4213,9 +4229,17 @@ object DedupQueries {
     * sketch laws (two textually identical sources estimate AND measure
     * Jaccard 1e6 with err 0; disjoint-vocabulary sources give 0/0). */
   private[graft] def kmvOverlapCore(
-      d: org.apache.spark.sql.DataFrame,
+      d0: org.apache.spark.sql.DataFrame,
       maskMaxSources: Int = 62): org.apache.spark.sql.DataFrame = {
     import graft.functions.{Aggregators, ArrayOps}
+    // Null-source rows (r15 ADVICE): the mask path dropped them silently
+    // (element_at on the bit map yields null) while the set path kept a
+    // null GROUP in its per-source aggregate — both produce identical
+    // OUTPUT (null never survives the src_1 < src_2 pair filter, and
+    // collect_set skips nulls), but the differential-equivalence spec is
+    // stronger when both paths see the same input. Filter once, up
+    // front, in both paths.
+    val d = d0.filter(col("source").isNotNull)
     val minK = udaf(new Aggregators.MinKAgg(128),
       org.apache.spark.sql.Encoders.scalaLong)
     // r14 SOURCE-BITMASK shape. The r13 form computed the distinct

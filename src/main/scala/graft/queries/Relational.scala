@@ -597,10 +597,18 @@ object Relational {
     val hk = sides.groupBy("jn", "k")
       .agg(sum(when(col("side") === "L", 1L).otherwise(0L)).as("cl"),
         sum(when(col("side") === "R", 1L).otherwise(0L)).as("cr"))
+    // NULL-key contract (r15 ADVICE): the oracle's SQL counts null-key
+    // rows in n_left/n_right (st sums the full histogram) but its inner
+    // join on l.k = r.k drops them from out_rows/max_key_out. Mirror
+    // that exactly: nulls stay in the histogram sums, contribute 0 to
+    // the pair rollups. No-op on gate data (keys non-null), removes the
+    // latent cross-engine divergence on nullable key columns.
+    val pairOut = when(col("k").isNotNull, col("cl") * col("cr"))
+      .otherwise(0L)
     hk.groupBy("jn")
       .agg(sum("cl").as("n_left"), sum("cr").as("n_right"),
-        sum(col("cl") * col("cr")).as("out_rows"),
-        max(col("cl") * col("cr")).as("max_key_out"))
+        sum(pairOut).as("out_rows"),
+        max(pairOut).as("max_key_out"))
       .filter(col("n_left") > 0 && col("n_right") > 0)
       .select(col("jn").as("join_name"),
         col("n_left").cast("long").as("n_left"),
