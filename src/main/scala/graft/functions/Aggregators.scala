@@ -34,12 +34,58 @@ object Aggregators {
     }
     def ++(o: MinK): MinK = copy(vals = (vals ++ o.vals).sorted.take(k))
   }
-  final class MinKAgg(k: Int) extends Aggregator[Long, MinK, Seq[Long]] {
-    override def zero: MinK = MinK(k, Nil)
-    override def reduce(b: MinK, a: Long): MinK = b.add(a)
-    override def merge(x: MinK, y: MinK): MinK = x ++ y
-    override def finish(r: MinK): Seq[Long] = r.vals
-    override def bufferEncoder: Encoder[MinK] = Encoders.product[MinK]
+
+  /** r15 mutable MinK buffer: the immutable `MinK` above (kept as the
+    * executable reference — Round15LawsSpec's differential pins multiset
+    * equality) allocated and SORTED a (k+1)-element list per input row
+    * — ~20 query sites pay that on corpus-scale streams (k up to 128 in
+    * q240). This is the classic bounded max-heap over the k smallest:
+    * O(log k) in-place on the rare improving row, O(1) rejection on the
+    * common row, zero allocation. Duplicates are kept, exactly like
+    * sorted.take(k); finish sorts ascending once per group. */
+  final case class MinKH(k: Int, heap: Array[Long], var n: Int) {
+    def add(v: Long): Unit = {
+      if (n < k) {
+        heap(n) = v
+        n += 1
+        var i = n - 1
+        while (i > 0 && heap((i - 1) / 2) < heap(i)) {
+          val p = (i - 1) / 2
+          val t = heap(p); heap(p) = heap(i); heap(i) = t
+          i = p
+        }
+      } else if (k > 0 && v < heap(0)) {
+        heap(0) = v
+        var i = 0
+        var done = false
+        while (!done) {
+          val l = 2 * i + 1
+          val r = l + 1
+          var m = i
+          if (l < n && heap(l) > heap(m)) m = l
+          if (r < n && heap(r) > heap(m)) m = r
+          if (m == i) done = true
+          else { val t = heap(m); heap(m) = heap(i); heap(i) = t; i = m }
+        }
+      }
+    }
+    def mergeIn(o: MinKH): MinKH = {
+      var i = 0
+      while (i < o.n) { add(o.heap(i)); i += 1 }
+      this
+    }
+    def sortedVals: Seq[Long] = {
+      val a = java.util.Arrays.copyOf(heap, n)
+      java.util.Arrays.sort(a)
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(a)
+    }
+  }
+  final class MinKAgg(k: Int) extends Aggregator[Long, MinKH, Seq[Long]] {
+    override def zero: MinKH = MinKH(k, new Array[Long](k), 0)
+    override def reduce(b: MinKH, a: Long): MinKH = { b.add(a); b }
+    override def merge(x: MinKH, y: MinKH): MinKH = x.mergeIn(y)
+    override def finish(r: MinKH): Seq[Long] = r.sortedVals
+    override def bufferEncoder: Encoder[MinKH] = Encoders.product[MinKH]
     override def outputEncoder: Encoder[Seq[Long]] =
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Long]]()
   }
@@ -133,17 +179,104 @@ object Aggregators {
       }
     }
   }
+  /** r15 mutable MG buffer: the immutable-Map `MG` above (kept as the
+    * executable reference — the Round15LawsSpec differential pins
+    * equivalence) rebuilt a 64-entry map PER MISSING ITEM (two O(k)
+    * traversals + a fresh Map), i.e. allocation proportional to the
+    * vocabulary on the reduce path. This state runs the identical
+    * algorithm over two parallel arrays + a slot index: hits are one
+    * hash probe + in-place add, the decrement-all path is two in-place
+    * array sweeps with zero allocation, and merge is the same Agarwal
+    * et al. rule computed on a scratch map once per partial (not per
+    * row). Buffer encoding is a product over (k, keys, vals, n) — the
+    * slot index is @transient and rebuilt lazily after
+    * deserialization. */
+  final case class MGState(k: Int, keys: Array[String], vals: Array[Long],
+      var n: Int) {
+    @transient private lazy val idx = {
+      val m = new java.util.HashMap[String, Integer](2 * k)
+      var i = 0
+      while (i < n) { m.put(keys(i), i); i += 1 }
+      m
+    }
+    private def insert(item: String, w: Long): Unit = {
+      keys(n) = item; vals(n) = w; idx.put(item, n); n += 1
+    }
+    private def removeSlot(i: Int): Unit = {
+      idx.remove(keys(i))
+      n -= 1
+      if (i != n) {
+        keys(i) = keys(n); vals(i) = vals(n); idx.put(keys(i), i)
+      }
+      keys(n) = null
+    }
+    def add(item: String, w0: Long): Unit = {
+      var w = w0
+      while (w > 0) {
+        val s = idx.get(item)
+        if (s != null) { vals(s.intValue) += w; return }
+        if (n < k) { insert(item, w); return }
+        // decrement-all by min(w, current min); zeroed slots are freed
+        // (the swapped-in tail element is re-examined, not skipped)
+        var mn = Long.MaxValue
+        var i = 0
+        while (i < n) { if (vals(i) < mn) mn = vals(i); i += 1 }
+        val d = math.min(w, mn)
+        i = 0
+        while (i < n) {
+          vals(i) -= d
+          if (vals(i) == 0L) removeSlot(i) else i += 1
+        }
+        w -= d
+      }
+    }
+    /** Agarwal et al. merge: sum counters, subtract the (k+1)-largest,
+      * drop non-positives — identical to MG.++ . */
+    def mergeIn(o: MGState): MGState = {
+      val m = new java.util.HashMap[String, java.lang.Long](
+        2 * (n + o.n) + 1)
+      var i = 0
+      while (i < n) { m.put(keys(i), vals(i)); i += 1 }
+      i = 0
+      while (i < o.n) {
+        val prev = m.get(o.keys(i))
+        m.put(o.keys(i),
+          if (prev == null) o.vals(i) else prev.longValue + o.vals(i))
+        i += 1
+      }
+      var d = 0L
+      if (m.size > k) {
+        val vs = new Array[Long](m.size)
+        val it0 = m.values().iterator()
+        var j = 0
+        while (it0.hasNext) { vs(j) = it0.next().longValue; j += 1 }
+        java.util.Arrays.sort(vs)
+        d = vs(vs.length - 1 - k) // the (k+1)-largest value
+      }
+      val out = MGState(k, new Array[String](k), new Array[Long](k), 0)
+      val it = m.entrySet().iterator()
+      while (it.hasNext) {
+        val e = it.next()
+        val v = e.getValue.longValue - d
+        if (v > 0) out.insert(e.getKey, v)
+      }
+      out
+    }
+    def toSortedSeq: Seq[(String, Long)] =
+      (0 until n).map(i => keys(i) -> vals(i))
+        .sortBy { case (it, c) => (-c, it) }
+  }
   final class FreqItemsAgg(k: Int)
-      extends Aggregator[String, MG, Seq[(String, Long)]] {
-    override def zero: MG = MG(k, Map.empty)
-    override def reduce(b: MG, a: String): MG = b.add(a, 1L)
-    override def merge(x: MG, y: MG): MG = x ++ y
+      extends Aggregator[String, MGState, Seq[(String, Long)]] {
+    override def zero: MGState =
+      MGState(k, new Array[String](k), new Array[Long](k), 0)
+    override def reduce(b: MGState, a: String): MGState = { b.add(a, 1L); b }
+    override def merge(x: MGState, y: MGState): MGState = x.mergeIn(y)
     /** Survivors sorted by retained count desc, then item — determinism
       * of the ORDER is guaranteed; the retained counts themselves are
       * order-dependent (as for any MG), only their error bound is not. */
-    override def finish(r: MG): Seq[(String, Long)] =
-      r.counts.toSeq.sortBy { case (i, c) => (-c, i) }
-    override def bufferEncoder: Encoder[MG] = Encoders.product[MG]
+    override def finish(r: MGState): Seq[(String, Long)] = r.toSortedSeq
+    override def bufferEncoder: Encoder[MGState] = Encoders.product[MGState]
     override def outputEncoder: Encoder[Seq[(String, Long)]] =
       org.apache.spark.sql.catalyst.encoders
         .ExpressionEncoder[Seq[(String, Long)]]()

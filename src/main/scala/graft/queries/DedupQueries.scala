@@ -4265,8 +4265,27 @@ object DedupQueries {
     // so outputs are byte-identical to the set form; sources > 62 (not
     // a gate shape; crafted spec covers it) falls back to the proven
     // r13 set path.
-    val srcs = d.select(col("source")).distinct().orderBy("source")
-      .collect().map(_.getString(0)).toSeq
+    // construction-time source-list job (dispatch needs |sources| before
+    // planning): sort driver-side — |sources| is broadcast-small by the
+    // query's own design, and dropping the orderBy removes the global
+    // sort exchange from the job (r15: one fewer stage; the scan itself
+    // is load-bearing and stays — see OPTIMIZATION_r15.md item 6)
+    // NB sort by UTF-8 bytes (unsigned), exactly UTF8String.compareTo —
+    // Scala's default String ordering is UTF-16 and diverges on
+    // supplementary code points
+    val utf8Order: Ordering[String] = (a: String, b: String) => {
+      val x = a.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      val y = b.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      var i = 0
+      var r = 0
+      while (r == 0 && i < x.length && i < y.length) {
+        r = java.lang.Integer.compare(x(i) & 0xff, y(i) & 0xff)
+        i += 1
+      }
+      if (r != 0) r else java.lang.Integer.compare(x.length, y.length)
+    }
+    val srcs = d.select(col("source")).distinct()
+      .collect().map(_.getString(0)).sorted(utf8Order).toSeq
     val (agg0, inter) = if (srcs.length <= maskMaxSources) {
       val nS = srcs.length
       val bitOf = element_at(

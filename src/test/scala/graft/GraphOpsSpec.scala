@@ -89,6 +89,46 @@ class GraphOpsSpec extends SparkSpec {
     assert(cl(9L) == 9L)
   }
 
+  test("delta-frontier rounds: deep chains + late pointer retargets converge exactly (r15)") {
+    // The r15 delta rounds only probe frontier-adjacent rows; the
+    // dangerous case is a node whose POINTER retargets (its label
+    // changes) onto a node that changed in an EARLIER round — branch (c)
+    // must re-probe the fresh pointer or the chain converges late/wrong.
+    // Deep paths spread over many partitions maximize retargeting, and
+    // descending id order makes every hop a label change. Reference:
+    // in-test union-find.
+    val rng = new scala.util.Random(1315)
+    (0 until 1).foreach { trial =>
+      // descending chains cross-linked at random points (sized so the
+      // loop stays within the suite's time budget — each propagation
+      // round is a full driver action)
+      val chains = (0 until 2).flatMap { c =>
+        val base = 1000L * c
+        (0L until 20L).map(i => (base + 20L - i, base + 19L - i))
+      }
+      val cross = Seq.fill(3)(
+        (rng.nextInt(2) * 1000L + rng.nextInt(20),
+          rng.nextInt(2) * 1000L + rng.nextInt(20))).filter(e => e._1 != e._2)
+      val edges = (chains ++ cross).distinct
+      val par = scala.collection.mutable.HashMap.empty[Long, Long]
+      def find(x0: Long): Long = {
+        var x = x0
+        while (par(x) != x) { par(x) = par(par(x)); x = par(x) }
+        x
+      }
+      edges.foreach { case (a, b) =>
+        par.getOrElseUpdate(a, a); par.getOrElseUpdate(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) par(rb) = ra else if (rb < ra) par(ra) = rb
+      }
+      val want = par.keys.map(n => n -> find(n)).toMap
+      val got = GraphOps
+        .connectedComponents(edges.toDF("a", "b").repartition(16), "a", "b")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == want, s"trial $trial diverged")
+    }
+  }
+
   test("pageRank releases superseded round checkpoints (no block leak)") {
     // checkpoint blocks are non-evictable and Dataset.unpersist never
     // sees them (CacheManager-only); pageRank must free each superseded
